@@ -1,0 +1,365 @@
+package graft.operators
+
+import graft.Tables
+import graft.wikidata.IdCodec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational/OLAP core (SURVEY.md §2.2) + the wd2sql query patterns
+  * (§2.1 W1/W2/W14/W15/W16) expressed over the driver testdata, each with a
+  * DuckDB oracle.
+  *
+  * Conventions that make the DuckDB hash-compare deterministic at any
+  * parallelism:
+  *   - money/metric sums go through DECIMAL(18,2) (`money`) — decimal sums
+  *     are exact and associative, double sums are not; at 1000-way
+  *     parallelism a double sum is run-to-run nondeterministic.
+  *   - every computed column is aliased identically in Spark and SQL.
+  *   - rank/top-k orderings always carry a unique tiebreaker key.
+  */
+object Relational {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Discounted revenue — the TPC-H workhorse metric. The multiply happens in
+    * DECIMAL domain (exact), never on doubles: rounding a double *product* to
+    * 2dp lands on .005 boundaries where engines disagree; rounding the raw
+    * 2dp-generated columns is the identity.
+    */
+  private def revenue(ep: Column, disc: Column): Column =
+    money(ep) * (lit(1).cast(DecimalType(18, 2)) - money(disc))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_pushdown" -> { (s, dir) =>
+      // Filter + projection both reach the parquet scan (PushedFilters/ReadSchema).
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-01-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    "r2_agg" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(money(col("l_quantity"))).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).as("sum_base_price"),
+          sum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "r3_join_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "r4_star_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      // Classic star join: fact shuffles once on s_suppkey; nation/region are
+      // broadcast (they are tiny at any scale factor — explicit hint).
+      t.lineitem
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "r6_antijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    "r7_window_topn" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val base = t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("rev").desc, col("p_partkey"))
+      base.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    },
+
+    "r8_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(money(col("o_totalprice"))).over(w).as("running_spend"))
+    },
+
+    "r9_distinct" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "r10_setops" -> { (s, dir) =>
+      val t    = Tables(s, dir)
+      val cust = t.customer.select(col("c_nationkey").as("nk"))
+      val supp = t.supplier.select(col("s_nationkey").as("nk"))
+      cust.intersect(supp).withColumn("tag", lit("both"))
+        .unionAll(cust.except(supp).withColumn("tag", lit("cust_only")))
+    },
+
+    "r11_condagg" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+          sum(when(col("event_type") === "purchase", money(col("value")))
+            .otherwise(money(lit(0)))).as("purchase_value"))
+    },
+
+    "r12_topk" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(15)
+    },
+
+    "r14_nullsafe" -> { (s, dir) =>
+      val t   = Tables(s, dir)
+      val big = t.lineitem.filter(col("l_quantity") > 49)
+        .select(col("l_orderkey").as("bl_orderkey"),
+          col("l_extendedprice").as("bl_extendedprice"))
+      // Left join manufactures NULLs (orders with no qty-50 item); the
+      // aggregate coalesces them away — exercises null-fallback semantics.
+      t.orders.join(big, col("o_orderkey") === col("bl_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(
+          coalesce(sum(money(col("bl_extendedprice"))), money(lit(0))).as("big_value"),
+          count(col("bl_orderkey")).as("n_big_items"))
+    },
+
+    // ---- wd2sql surface (reference: README.md:103-156, src/id.rs:6-24) ----
+
+    "w1_id_encode" -> { (s, dir) =>
+      Tables(s, dir).nation.select(
+        col("n_nationkey").cast("long").as("raw_id"),
+        IdCodec.qid(col("n_nationkey")).as("q_enc"),
+        IdCodec.pid(col("n_nationkey")).as("p_enc"),
+        IdCodec.lid(col("n_nationkey")).as("l_enc"),
+        IdCodec.fid(col("n_nationkey"), lit(2)).as("f_enc"),
+        IdCodec.sid(col("n_nationkey"), lit(3)).as("s_enc"))
+    },
+
+    "w2_id_decode" -> { (s, dir) =>
+      val enc = Tables(s, dir).nation.select(
+        explode(array(
+          IdCodec.qid(col("n_nationkey")),
+          IdCodec.pid(col("n_nationkey")),
+          IdCodec.lid(col("n_nationkey")),
+          IdCodec.fid(col("n_nationkey"), lit(2)),
+          IdCodec.sid(col("n_nationkey"), lit(3)))).as("eid"))
+      enc.select(
+        col("eid"),
+        IdCodec.kindCol(col("eid")).as("kind"),
+        IdCodec.numCol(col("eid")).as("num"),
+        IdCodec.subCol(col("eid")).as("sub"))
+    },
+
+    "w14_label_lookup" -> { (s, dir) =>
+      // meta-table label lookup ≙ README.md:108 `SELECT * FROM meta WHERE label = 'red'`
+      Tables(s, dir).part
+        .select(col("p_partkey").as("id"), col("p_name").as("label"),
+          col("p_type").as("description"))
+        .filter(col("label").startsWith("red "))
+    },
+
+    "w15_conjunctive_semijoin" -> { (s, dir) =>
+      // "red fruits" pattern (README.md:129-131): ids satisfying claim A AND claim B
+      // = chained LEFT SEMI joins; Catalyst broadcasts the small claim sets.
+      val t = Tables(s, dir)
+      def ordersWithBrand(brand: String): DataFrame =
+        t.lineitem.join(t.part.filter(col("p_brand") === brand),
+          col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"))
+      t.orders
+        .join(ordersWithBrand("Brand#1"), col("o_orderkey") === col("ok"), "left_semi")
+        .join(ordersWithBrand("Brand#2"), col("o_orderkey") === col("ok"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    "w16_claim_filter" -> { (s, dir) =>
+      // claim-value lookup with property filter: claims(id, property, value)
+      // ≙ lineitem(l_orderkey, l_partkey, l_quantity) + label join.
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.part.filter(col("p_brand") === "Brand#3"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey").as("id"), col("p_name").as("label"),
+          col("l_quantity").as("quantity"))
+    }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "r1_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+        |  AND l_quantity > 45""".stripMargin,
+
+    "r2_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "r3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "r4_star_join" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "r6_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "r7_window_topn" ->
+      """SELECT p_brand, p_partkey, rev, rk FROM (
+        |  SELECT p_brand, p_partkey, rev,
+        |    rank() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rk
+        |  FROM (
+        |    SELECT p_brand, p_partkey,
+        |      sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    GROUP BY p_brand, p_partkey)
+        |) WHERE rk <= 3""".stripMargin,
+
+    "r8_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders""".stripMargin,
+
+    "r9_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "r10_setops" ->
+      """SELECT nk, 'both' AS tag FROM
+        |  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nk, 'cust_only' AS tag FROM
+        |  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "r11_condagg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "r12_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "r14_nullsafe" ->
+      """SELECT o_orderkey,
+        |  coalesce(sum(CAST(bl_extendedprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS big_value,
+        |  count(bl_orderkey) AS n_big_items
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey AS bl_orderkey, l_extendedprice AS bl_extendedprice
+        |  FROM lineitem WHERE l_quantity > 49) ON o_orderkey = bl_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "w1_id_encode" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS raw_id,
+        |  CAST(n_nationkey AS BIGINT) AS q_enc,
+        |  CAST(n_nationkey AS BIGINT) + 1000000000 AS p_enc,
+        |  CAST(n_nationkey AS BIGINT) + 2000000000 AS l_enc,
+        |  CAST(n_nationkey AS BIGINT) + 2000000000 + 2 * 100000000000 AS f_enc,
+        |  CAST(n_nationkey AS BIGINT) + 2000000000 + 3 * 100000000000 + 10000000000 AS s_enc
+        |FROM nation""".stripMargin,
+
+    "w2_id_decode" ->
+      """WITH enc AS (
+        |  SELECT unnest([CAST(n_nationkey AS BIGINT),
+        |                 CAST(n_nationkey AS BIGINT) + 1000000000,
+        |                 CAST(n_nationkey AS BIGINT) + 2000000000,
+        |                 CAST(n_nationkey AS BIGINT) + 2000000000 + 2 * 100000000000,
+        |                 CAST(n_nationkey AS BIGINT) + 2000000000 + 3 * 100000000000 + 10000000000]) AS eid
+        |  FROM nation)
+        |SELECT eid,
+        |  CASE WHEN eid >= 100000000000 THEN
+        |         CASE WHEN eid % 100000000000 >= 12000000000 THEN 'S' ELSE 'F' END
+        |       WHEN eid >= 2000000000 THEN 'L'
+        |       WHEN eid >= 1000000000 THEN 'P' ELSE 'Q' END AS kind,
+        |  CASE WHEN eid >= 100000000000 THEN
+        |         CASE WHEN eid % 100000000000 >= 12000000000
+        |              THEN eid % 100000000000 - 12000000000
+        |              ELSE eid % 100000000000 - 2000000000 END
+        |       WHEN eid >= 2000000000 THEN eid - 2000000000
+        |       WHEN eid >= 1000000000 THEN eid - 1000000000 ELSE eid END AS num,
+        |  CASE WHEN eid >= 100000000000 THEN eid // 100000000000 ELSE 0 END AS sub
+        |FROM enc""".stripMargin,
+
+    "w14_label_lookup" ->
+      """SELECT p_partkey AS id, p_name AS label, p_type AS description
+        |FROM part WHERE label LIKE 'red %'""".stripMargin,
+
+    "w15_conjunctive_semijoin" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |                     WHERE p_brand = 'Brand#1')
+        |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |                     WHERE p_brand = 'Brand#2')""".stripMargin,
+
+    "w16_claim_filter" ->
+      """SELECT l_orderkey AS id, p_name AS label, l_quantity AS quantity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3' AND l_quantity >= 50""".stripMargin
+  )
+}
