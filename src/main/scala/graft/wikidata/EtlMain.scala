@@ -1,0 +1,36 @@
+package graft.wikidata
+
+import graft.GraftSession
+
+/** CLI parity with the reference (`wd2sql <JSON_FILE> <SQLITE_FILE>`,
+  * reference: src/main.rs:35-40,95-255): transform a Wikidata JSON dump into
+  * the 8 normalized tables, here as partitioned+sorted parquet instead of
+  * SQLite (the 100 TB-appropriate sink).
+  *
+  * Usage: EtlMain <dump.json or directory of shards> <output dir> [partitions]
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: EtlMain <json dump path> <output dir> [partitions]")
+      sys.exit(2)
+    }
+    val Array(dumpPath, outDir) = args.take(2)
+    val partitions = if (args.length > 2) args(2).toInt else 0
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir))) {
+      // match the reference's refuse-to-overwrite contract (src/main.rs:98-104)
+      System.err.println(s"The output '$outDir' already exists. Choose a new directory.")
+      sys.exit(1)
+    }
+    val spark  = GraftSession.local()
+    val t0     = System.nanoTime()
+    val tables = WikidataEtl.runFile(spark, dumpPath, outDir, partitions)
+    val counts = tables.byName.map { case (n, _) =>
+      n -> spark.read.parquet(s"$outDir/$n").count()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"wrote ${counts.values.sum} rows across ${counts.size} tables in $secs%.1f s")
+    counts.toSeq.sortBy(_._1).foreach { case (n, c) => println(f"  $n%-12s $c%d") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.wikidata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The query surface the reference's SQLite database gives its users
+  * (reference: README.md:103-156), as composable DataFrame operators.
+  *
+  * Everything returns a plan, not results — Catalyst fuses the filters into
+  * scans and broadcasts the small claim sets, so a conjunctive search over
+  * 100 TB of claims is N semi-joins against one fact scan, not N passes.
+  */
+final case class QueryApi(tables: WikidataTables) {
+
+  /** `SELECT * FROM meta WHERE label = ?` (README.md:108). */
+  def byLabel(label: String): DataFrame =
+    tables.meta.filter(col("label") === label)
+
+  /** Claims of one property with an entity value: `?item wdt:P462 wd:Q3142`. */
+  def withEntityClaim(propertyId: Long, entityId: Long): DataFrame =
+    tables.entity.filter(col("property_id") === propertyId && col("entity_id") === entityId)
+
+  /** The "red fruits" query (README.md:129-131): entities satisfying ALL of
+    * the given (property, entity-value) claims, with their labels.
+    * Each conjunct is a LEFT SEMI join; the claim sets are usually tiny
+    * relative to `meta`, so Catalyst broadcasts them.
+    */
+  def conjunctiveEntitySearch(conjuncts: Seq[(Long, Long)]): DataFrame =
+    conjuncts.foldLeft(tables.meta) { case (acc, (pid, qid)) =>
+      acc.join(
+        withEntityClaim(pid, qid).select(col("id").as("match_id")),
+        col("id") === col("match_id"), "left_semi")
+    }
+
+  /** Entities whose textual id matches, e.g. byId("Q42"). */
+  def byId(textId: String): DataFrame = {
+    val encoded = IdCodec.encodeText(textId)
+      .getOrElse(throw new IllegalArgumentException(s"bad Wikidata id: $textId"))
+    tables.meta.filter(col("id") === encoded)
+  }
+
+  /** All claims of an entity across the typed tables, unioned into a long
+    * (id, property_id, value_kind, value_text) view — the "SELECT * across
+    * tables" exploration pattern from the README example. */
+  def claimsOf(entityId: Long): DataFrame = {
+    def slim(df: DataFrame, kind: String, value: Column): DataFrame =
+      df.filter(col("id") === entityId)
+        .select(col("id"), col("property_id"), lit(kind).as("value_kind"),
+          value.cast("string").as("value_text"))
+    slim(tables.string, "string", col("string"))
+      .unionAll(slim(tables.entity, "entity", col("entity_id")))
+      .unionAll(slim(tables.coordinates, "coordinates",
+        concat_ws(",", col("latitude"), col("longitude"))))
+      .unionAll(slim(tables.quantity, "quantity", col("amount")))
+      .unionAll(slim(tables.time, "time", col("time")))
+      .unionAll(slim(tables.none, "none", lit(null)))
+      .unionAll(slim(tables.unknown, "unknown", lit(null)))
+  }
+}

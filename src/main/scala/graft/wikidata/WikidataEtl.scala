@@ -1,0 +1,210 @@
+package graft.wikidata
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The 8 typed claim tables produced by the ETL (reference: src/value.rs:63-112). */
+final case class WikidataTables(
+    meta: DataFrame,
+    string: DataFrame,
+    entity: DataFrame,
+    coordinates: DataFrame,
+    quantity: DataFrame,
+    time: DataFrame,
+    none: DataFrame,
+    unknown: DataFrame) {
+
+  def byName: Map[String, DataFrame] = Map(
+    "meta" -> meta, "string" -> string, "entity" -> entity,
+    "coordinates" -> coordinates, "quantity" -> quantity, "time" -> time,
+    "none" -> none, "unknown" -> unknown)
+
+  /** Write all tables as parquet under `dir`, one subdirectory each.
+    *
+    * At scale this replaces SQLite-plus-indices (reference: src/main.rs:53-67):
+    * each table is repartitioned on `id` so a given entity's claims co-locate
+    * (the common access path), and sorted within partitions by
+    * (property_id, id) so parquet row-group min/max stats prune both claim
+    * lookups by property and id probes — the two index shapes the reference
+    * builds.
+    */
+  def writeParquet(dir: String, partitions: Int = 0): Unit =
+    byName.foreach { case (name, df) =>
+      val sized = if (partitions > 0) df.repartition(partitions, col("id")) else df
+      val sorted =
+        if (df.columns.contains("property_id"))
+          sized.sortWithinPartitions("property_id", "id")
+        else sized.sortWithinPartitions("id")
+      sorted.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+}
+
+/** Wikidata JSON dump → normalized typed tables, the wd2sql pipeline
+  * re-expressed as a declarative Spark plan.
+  *
+  * The reference is a sequential loop: parse line → store meta → route each
+  * claim by value type into one of 7 tables (src/main.rs:69-93,
+  * src/value.rs:201-261). Here the whole pipeline is column algebra over a
+  * VariantType parse: ONE pass over the dump builds an exploded claim core,
+  * and each output table is a filter+projection of that core — no UDFs, no
+  * shuffle anywhere (the ETL is embarrassingly parallel), all inside
+  * WholeStageCodegen. Callers that materialize several tables should
+  * `.cache()` the core (see `run`).
+  */
+object WikidataEtl {
+
+  private val V = "entity" // variant column produced by DumpReader
+
+  private def vGetS(path: String): Column = variant_get(col(V), path, "string")
+
+  /** claims map: pid-text -> array<variant> of claim objects. */
+  private def claimsMap: Column =
+    try_variant_get(col(V), "$.claims", "map<string, array<variant>>")
+
+  /** Exploded claim core: one row per (entity, property, claim), with the
+    * snak fields every router needs extracted exactly once.
+    * Deprecated-rank claims are dropped (reference: src/main.rs:87).
+    */
+  def claimCore(entities: DataFrame): DataFrame = {
+    val exploded = entities
+      .select(
+        IdCodec.encodeTextCol(vGetS("$.id")).as("id"),
+        explode(claimsMap).as(Seq("pid_text", "claims")))
+      .select(col("id"), IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
+        explode(col("claims")).as("claim"))
+      .filter(coalesce(variant_get(col("claim"), "$.rank", "string"), lit("normal")) =!= "deprecated")
+
+    def snak(path: String, typ: String): Column =
+      try_variant_get(col("claim"), "$.mainsnak" + path, typ)
+
+    exploded.select(
+      col("id"),
+      col("property_id"),
+      snak(".snaktype", "string").as("snaktype"),
+      snak(".datavalue.type", "string").as("value_type"),
+      snak(".datavalue.value", "string").as("v_string"),
+      snak(".datavalue.value.text", "string").as("v_text"),
+      snak(".datavalue.value.language", "string").as("v_language"),
+      snak(".datavalue.value.id", "string").as("v_entity_id"),
+      snak(".datavalue.value.latitude", "double").as("v_lat"),
+      snak(".datavalue.value.longitude", "double").as("v_lon"),
+      snak(".datavalue.value.precision", "double").as("v_coord_precision"),
+      snak(".datavalue.value.globe", "string").as("v_globe"),
+      snak(".datavalue.value.amount", "string").as("v_amount"),
+      snak(".datavalue.value.lowerBound", "string").as("v_lower"),
+      snak(".datavalue.value.upperBound", "string").as("v_upper"),
+      snak(".datavalue.value.unit", "string").as("v_unit"),
+      snak(".datavalue.value.time", "string").as("v_time"),
+      snak(".datavalue.value.precision", "int").as("v_time_precision"))
+  }
+
+  /** `meta`: one row per entity with English label/description or NULL
+    * (reference: src/main.rs:78-84). */
+  def meta(entities: DataFrame): DataFrame =
+    entities.select(
+      IdCodec.encodeTextCol(vGetS("$.id")).as("id"),
+      vGetS("$.labels.en.value").as("label"),
+      vGetS("$.descriptions.en.value").as("description"))
+      .filter(col("id").isNotNull)
+
+  /** Wikidata entity URI or bare id → encoded id (globes/units arrive as
+    * "http://www.wikidata.org/entity/Q2"). */
+  private def uriToId(c: Column): Column =
+    IdCodec.encodeTextCol(substring_index(c, "/", -1))
+
+  /** "+123.45" → double (Wikidata quantity amounts carry an explicit sign). */
+  private def signedNum(c: Column): Column =
+    regexp_replace(c, "^\\+", "").cast("double")
+
+  /** Wikidata time "+2001-12-31T00:00:00Z" (month/day may be 00 at coarse
+    * precision) → timestamp, best-effort NULL on the extreme years SQL
+    * timestamps can't hold. */
+  private def wikidataTime(c: Column): Column = {
+    val noPlus = regexp_replace(c, "^\\+", "")
+    // zero month/day (coarse precision) → January/1st; anchored so BC years
+    // like "-0042" are never touched
+    val fixed = regexp_replace(regexp_replace(noPlus, "-00-", "-01-"), "-00T", "-01T")
+    try_to_timestamp(fixed, lit("yyyy-MM-dd'T'HH:mm:ssX"))
+  }
+
+  // ---- value routing: each table is a filter+projection of the claim core
+  //      (reference: src/value.rs:201-261 From<ClaimValueData>) ----
+
+  private def hasValue = col("snaktype") === "value"
+
+  /** string ← string-family datatypes + monolingual text (value.rs:206,221,230,249-253). */
+  def stringTable(core: DataFrame): DataFrame =
+    core.filter(hasValue &&
+        (col("value_type") === "string" ||
+          (col("value_type") === "monolingualtext" && col("v_text").isNotNull)))
+      .select(col("id"), col("property_id"),
+        coalesce(col("v_text"), col("v_string")).as("string"))
+      .filter(col("string").isNotNull)
+
+  /** entity ← item/property/lexeme/form/sense references (value.rs:218-219,254-256). */
+  def entityTable(core: DataFrame): DataFrame =
+    core.filter(hasValue && col("value_type") === "wikibase-entityid")
+      .select(col("id"), col("property_id"),
+        IdCodec.encodeTextCol(col("v_entity_id")).as("entity_id"))
+      .filter(col("entity_id").isNotNull)
+
+  /** coordinates ← globe coordinates, globe URI → q_id (value.rs:207-217). */
+  def coordinatesTable(core: DataFrame): DataFrame =
+    core.filter(hasValue && col("value_type") === "globecoordinate")
+      .select(col("id"), col("property_id"),
+        col("v_lat").as("latitude"), col("v_lon").as("longitude"),
+        coalesce(col("v_coord_precision"), lit(0.0)).as("precision"),
+        coalesce(uriToId(col("v_globe")), lit(0L)).as("globe_id"))
+
+  /** quantity ← amounts with optional bounds/unit; unit "1" = dimensionless
+    * → NULL (value.rs:231-241). */
+  def quantityTable(core: DataFrame): DataFrame =
+    core.filter(hasValue && col("value_type") === "quantity")
+      .select(col("id"), col("property_id"),
+        signedNum(col("v_amount")).as("amount"),
+        signedNum(col("v_lower")).as("lower_bound"),
+        signedNum(col("v_upper")).as("upper_bound"),
+        when(col("v_unit") === "1", lit(null).cast("long"))
+          .otherwise(uriToId(col("v_unit"))).as("unit_id"))
+
+  /** time ← point-in-time values with precision (value.rs:242-248). */
+  def timeTable(core: DataFrame): DataFrame =
+    core.filter(hasValue && col("value_type") === "time")
+      .select(col("id"), col("property_id"),
+        wikidataTime(col("v_time")).as("time"),
+        coalesce(col("v_time_precision"), lit(0)).as("precision"))
+
+  /** none/unknown ← novalue/somevalue snaks, plus multilingual misses
+    * (value.rs:222-229,257-258). */
+  def noneTable(core: DataFrame): DataFrame =
+    core.filter(col("snaktype") === "novalue" ||
+        (hasValue && col("value_type") === "monolingualtext" && col("v_text").isNull))
+      .select("id", "property_id")
+
+  def unknownTable(core: DataFrame): DataFrame =
+    core.filter(col("snaktype") === "somevalue").select("id", "property_id")
+
+  /** Full pipeline: parsed entities → all 8 tables. `cache=true` persists the
+    * exploded claim core so the 8 sinks share one dump scan (the distributed
+    * analogue of the reference's single pass). */
+  def run(entities: DataFrame, cache: Boolean = true): WikidataTables = {
+    val core = if (cache) claimCore(entities).cache() else claimCore(entities)
+    WikidataTables(
+      meta = meta(entities),
+      string = stringTable(core),
+      entity = entityTable(core),
+      coordinates = coordinatesTable(core),
+      quantity = quantityTable(core),
+      time = timeTable(core),
+      none = noneTable(core),
+      unknown = unknownTable(core))
+  }
+
+  /** End-to-end: dump path → parquet tables at `outDir`. */
+  def runFile(spark: SparkSession, dumpPath: String, outDir: String, partitions: Int = 0): WikidataTables = {
+    val tables = run(DumpReader.read(spark, dumpPath))
+    tables.writeParquet(outDir, partitions)
+    tables
+  }
+}

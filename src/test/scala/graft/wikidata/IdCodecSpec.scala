@@ -1,0 +1,63 @@
+package graft.wikidata
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IdCodecSpec extends SparkSpec {
+
+  // Anchor values straight from the reference docs (README.md:72-83).
+  test("encodes the documented examples") {
+    IdCodec.qId(42) shouldBe 42L
+    IdCodec.pId(31) shouldBe 1000000031L
+    IdCodec.lId(234) shouldBe 2000000234L
+    IdCodec.fId(99, 2) shouldBe 202000000099L
+    IdCodec.sId(99, 1) shouldBe 112000000099L
+  }
+
+  test("encodeText parses all id shapes") {
+    IdCodec.encodeText("Q42") shouldBe Some(42L)
+    IdCodec.encodeText("P31") shouldBe Some(1000000031L)
+    IdCodec.encodeText("L234") shouldBe Some(2000000234L)
+    IdCodec.encodeText("L99-F2") shouldBe Some(202000000099L)
+    IdCodec.encodeText("L99-S1") shouldBe Some(112000000099L)
+    IdCodec.encodeText("X7") shouldBe None
+    IdCodec.encodeText("Qabc") shouldBe None
+    IdCodec.encodeText("") shouldBe None
+  }
+
+  test("decode inverts encode for all kinds (seeded sweep)") {
+    val rng  = new scala.util.Random(42)
+    val nums = Seq(0L, 1L, 42L, 999_999_999L) ++ Seq.fill(200)(rng.nextLong(1_000_000_000L))
+    val subs = Seq(1L, 2L, 99L) ++ Seq.fill(20)(1 + rng.nextLong(99L))
+    for (n <- nums) {
+      IdCodec.decode(IdCodec.qId(n)) shouldBe (("Q", n, 0L))
+      IdCodec.decode(IdCodec.pId(n)) shouldBe (("P", n, 0L))
+      IdCodec.decode(IdCodec.lId(n)) shouldBe (("L", n, 0L))
+    }
+    for (n <- nums.take(40); m <- subs) {
+      IdCodec.decode(IdCodec.fId(n, m)) shouldBe (("F", n, m))
+      IdCodec.decode(IdCodec.sId(n, m)) shouldBe (("S", n, m))
+    }
+  }
+
+  test("columnar encode/decode agrees with scalar") {
+    import spark.implicits._
+    val ids = Seq("Q42", "P31", "L234", "L99-F2", "L99-S1", "q7", "l3-f1", "junk")
+    val out = ids.toDF("t")
+      .select(col("t"), IdCodec.encodeTextCol(col("t")).as("enc"))
+      .withColumn("kind", IdCodec.kindCol(col("enc")))
+      .withColumn("num", IdCodec.numCol(col("enc")))
+      .withColumn("sub", IdCodec.subCol(col("enc")))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_ => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    out("Q42") shouldBe Some((42L, "Q", 42L, 0L))
+    out("P31") shouldBe Some((1000000031L, "P", 31L, 0L))
+    out("L234") shouldBe Some((2000000234L, "L", 234L, 0L))
+    out("L99-F2") shouldBe Some((202000000099L, "F", 99L, 2L))
+    out("L99-S1") shouldBe Some((112000000099L, "S", 99L, 1L))
+    out("q7") shouldBe Some((7L, "Q", 7L, 0L))
+    out("l3-f1") shouldBe Some((102000000003L, "F", 3L, 1L))
+    out("junk") shouldBe None
+  }
+}
