@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.3 D1-D5).
+  *
+  * Scale design: nothing here ever cross-joins the corpus. Exact dedup
+  * shuffles once on a content hash; MinHash/SimHash shuffle on *bucket keys*
+  * (LSH bands / hamming blocks), so candidate-pair generation is bounded by
+  * bucket sizes, and only candidates pay the exact-verification cost — the
+  * standard way near-dedup stays O(n·bands) instead of O(n²) at 100 TB.
+  */
+object Dedup {
+
+  /** D1: exact dedup on normalized content. Returns the winning row per
+    * content group (min id wins, matching a deterministic "first wins"
+    * policy). One shuffle on the 128-bit content hash, map-side partial agg.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.withColumn("__h", md5(col(textCol)))
+    val winners = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Per-group dup statistics (content_hash, keep_id, n_copies). */
+  def dupStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature (length `numHashes`) over word k-shingles.
+    * One xxhash64 per shingle, then `numHashes` universal-hash permutations
+    * applied with `transform`+`aggregate` — all codegen, no UDF, no model.
+    */
+  def minhashSignature(text: Column, shingleK: Int = 3, numHashes: Int = 64): Column = {
+    val shingleHashes = TextAnalysis.wordShingles(text, shingleK)
+    // 2^31-1: keeps a*h below 2^62 so ANSI-mode 64-bit multiply never
+    // overflows; a 31-bit minhash space is ample for jaccard estimation
+    val Prime = 2147483647L
+    transform(sequence(lit(0), lit(numHashes - 1)), i => {
+      val a = pmod(xxhash64(lit("a"), i), lit(Prime - 1)) + 1
+      val b = pmod(xxhash64(lit("b"), i), lit(Prime))
+      aggregate(shingleHashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(a * pmod(h, lit(Prime)) + b, lit(Prime))))
+    })
+  }
+
+  /** Estimated Jaccard from two MinHash signatures. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m).cast("double") / size(sigA)
+
+  /** D2: MinHash-LSH candidate pairs. Signatures are banded; rows sharing any
+    * band hash meet in a bucket; each bucket emits its pairs. The only
+    * shuffles are the band-key groupBy (bounded fan-out = rows × bands) and
+    * the pair distinct. Returns (id_a, id_b, est_jaccard) with id_a < id_b,
+    * est_jaccard ≥ `threshold`.
+    */
+  def minhashLsh(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit("band"), lit(b), to_json(slice(col("sig"), b * rows + 1, rows)))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** D4: exact n-gram Jaccard verification on candidate pairs — join the
+    * shingle sets back and compute |∩|/|∪| precisely. `pairs` must have
+    * (id_a, id_b); only candidates pay this cost.
+    */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("__jid"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleK)).as("__set"))
+    pairs
+      .join(sets.withColumnsRenamed(Map("__jid" -> "id_a", "__set" -> "set_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("__jid" -> "id_b", "__set" -> "set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .drop("set_a", "set_b")
+  }
+
+  /** SimHash: 64-bit signature — token hashes vote ±1 per bit, sign of each
+    * bit-sum becomes the bit. Near-dups have small hamming distance. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    // variable-distance shifts only exist at the SQL function layer (getbit);
+    // the Scala shiftleft/shiftright APIs take literal Ints
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(call_function("getbit", h, b) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** D3: SimHash near-dup pairs within `maxHamming`. Blocking: the 64-bit
+    * signature is cut into `maxHamming + 1` blocks — by pigeonhole, any pair
+    * within the distance shares at least one exact block, so candidates meet
+    * in a block-key bucket (again no cross join).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width  = 64 / blocks
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_val"))
+    val a = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("block"), col("block_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

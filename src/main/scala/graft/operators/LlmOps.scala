@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the training-data operators (SURVEY.md §2.3).
+  *
+  * The testdata corpus has no planted duplicates, so the near-dup gates build
+  * a derived corpus from `documents`: every doc plus a perturbed copy
+  * (truncated tail / slightly shifted embedding, id offset by 1,000,000).
+  * The operators must re-find exactly those planted pairs — a self-checking
+  * construction that stays honest at any scale factor.
+  */
+object LlmOps {
+
+  private val CopyOffset = 1000000L
+
+  /** documents ∪ near-duplicate copies (text truncated ~10%). */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select("doc_id", "text")
+    docs.unionAll(
+      docs.select((col("doc_id") + CopyOffset).as("doc_id"),
+        expr("substring(text, 1, greatest(20, int(length(text) * 0.9)))").as("text")))
+  }
+
+  /** embeddings ∪ slightly-perturbed copies. */
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(s, dir).embeddings.select("vec_id", "embedding")
+    vecs.unionAll(
+      vecs.select((col("vec_id") + CopyOffset).as("vec_id"),
+        VectorFunctions.add(col("embedding"),
+          VectorFunctions.scale(col("embedding"), lit(0.01))).as("embedding")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> { (s, dir) =>
+      Dedup.dupStats(Tables(s, dir).documents, "text", "doc_id")
+    },
+
+    "d2_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLsh(plantedDocs(s, dir), "text", "doc_id", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d3_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(plantedDocs(s, dir), "text", "doc_id", maxHamming = 7)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val candidates = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4)
+      Dedup.jaccardVerify(candidates.select("id_a", "id_b"), docs, "text", "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d5_embed_dedup" -> { (s, dir) =>
+      Similarity.embeddingDedup(plantedVecs(s, dir), "vec_id", "embedding", threshold = 0.999)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "s1_cosine_topk" -> { (s, dir) =>
+      val vecs = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    "s2_lsh_ann" -> { (s, dir) =>
+      val vecs = Tables(s, dir).embeddings
+      Similarity.lshTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    "t1_langid" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.detectLang(col("text")).as("detected_lang"))
+    },
+
+    "t2_quality" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        TextAnalysis.wsTokens(col("text")).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.isQuality(col("text")).as("is_quality"))
+    },
+
+    "t3_tokens" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
+    },
+
+    "t4_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    "m1_multimodal" -> { (s, dir) =>
+      val media = Multimodal.asMediaCorpus(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
+          element_at(col("histogram"), 1).as("hist_0"))
+    }
+  )
+
+  /** DuckDB oracles for the SQL-expressible subset. */
+  def oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "t2_quality" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |  (length(text) >= 100 AND
+        |   CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END < 0.1)
+        |    AS is_quality
+        |FROM documents""".stripMargin,
+
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '[\s\S]'), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin
+  )
+}

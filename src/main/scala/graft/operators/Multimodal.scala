@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.3 M1).
+  *
+  * Media travels as an opaque `binary` payload plus a typed metadata struct —
+  * the schema a 100 TB image/audio corpus actually uses (payloads in parquet
+  * binary columns or referenced object-store keys, metadata queryable without
+  * touching bytes). Decode/feature-extraction runs per-partition over an
+  * iterator so a real codec (JNI image lib, ffmpeg pipe) drops in without
+  * changing the plan shape; the container has no media libs, so `FakeCodec`
+  * is a clearly-marked deterministic stand-in — the Spark-side plumbing
+  * (schema, batching, partition flow) is real and tested.
+  */
+object Multimodal {
+
+  case class MediaMeta(modality: String, format: String, width: Int, height: Int, durationMs: Long)
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long, modality: String, n_bytes: Long, checksum: Long,
+      histogram: Array[Long], thumbnail: Array[Byte])
+
+  /** STUB — deterministic fake decode. A real deployment swaps this for the
+    * actual codec; it runs inside `mapPartitions` so the swap is local.
+    */
+  object FakeCodec {
+    def features(row: MediaRow): MediaFeatures = {
+      val bytes = row.payload
+      var checksum = 17L
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < bytes.length) {
+        checksum = checksum * 31 + (bytes(i) & 0xff)
+        hist((bytes(i) & 0xff) % 16) += 1
+        i += 1
+      }
+      MediaFeatures(row.media_id, row.meta.modality, bytes.length.toLong, checksum,
+        hist, bytes.take(16))
+    }
+  }
+
+  /** Wrap a text corpus as a fake media corpus: payload = utf-8 bytes,
+    * metadata derived deterministically. Lets the plumbing be exercised on
+    * the `documents` testdata without real media files.
+    */
+  def asMediaCorpus(documents: DataFrame, idCol: String, textCol: String): DataFrame =
+    documents.select(
+      col(idCol).cast("long").as("media_id"),
+      struct(
+        when(col(idCol) % 3 === 0, "image").when(col(idCol) % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        lit("fake/raw").as("format"),
+        (pmod(col(idCol), lit(64)) * 16 + 16).cast("int").as("width"),
+        (pmod(col(idCol), lit(48)) * 16 + 16).cast("int").as("height"),
+        (length(col(textCol)) * 40L).cast("long").as("durationMs")).as("meta"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Per-partition batched decode/feature-extract — the `mapInPandas`-shaped
+    * stage: iterator in, iterator out, no per-row overhead, executor-local.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(rows => rows.map(FakeCodec.features))
+  }
+
+  /** Metadata-only pruning path: query width/height/duration without reading
+    * payload bytes (column pruning drops `payload` at the scan). */
+  def filterByMeta(media: DataFrame, modality: String, minWidth: Int): DataFrame =
+    media.filter(col("meta.modality") === modality && col("meta.width") >= minWidth)
+      .select("media_id", "meta.width", "meta.height")
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2.3 T1-T4).
+  * All pure column expressions — token counting, quality scoring, language ID
+  * and fingerprinting run inside WholeStageCodegen with no UDF boundary, so
+  * they cost one codegen'd pass over the corpus at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, and individual symbols —
+    * the pre-tokenization regex family GPT-style BPEs apply before merges. */
+  def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of non-alphanumeric, non-space chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / length(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    when(wsTokens(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / wsTokens(text))
+
+  /** Stopword ratio against a small built-in English list — the classic
+    * "is this prose or noise" curation signal. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "that", "this", "it", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(Stopwords))
+    when(size(toks) === 0, 0.0).otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Repetition: 1 - distinct-token ratio (high = boilerplate/spam). */
+  def repetitionRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Composite quality gate used by the curation pipeline. */
+  def isQuality(text: Column, minChars: Int = 100, maxPunct: Double = 0.1): Column =
+    length(text) >= minChars && punctRatio(text) < maxPunct
+
+  // ---- language ID (T1): char-trigram profiles, pure column algebra ----
+
+  /** Tiny built-in char-trigram/stopword profiles per language. Honest
+    * heuristic: score = Σ matches of language-characteristic tokens &
+    * trigrams; best score wins, "und" unknown when nothing matches. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " that ", "ing ", " with "),
+    "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " nicht ", "sch", " ein "),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " dans ", " pour "),
+    "es" -> Seq(" el ", " los ", " y ", " es ", " una ", " que ", "ción", " para "),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    LangMarkers(lang)
+      .map(m => when(padded.contains(m), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Detected language code, or "und" when no marker fires. */
+  def detectLang(text: Column): Column = {
+    val langs  = LangMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
+    val best   = greatest(scored: _*)
+    when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  // ---- fingerprinting (T4) ----
+
+  /** Polynomial rolling hash over the document's characters:
+    * h = fold(h*31 + code) mod 1e9+7 — the classic Rabin-Karp fingerprint,
+    * computed with `aggregate` over the char array (codegen'd, no UDF).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+
+  /** Shingle fingerprints: hash of each k-word window — the building block
+    * for MinHash and content-defined chunking. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+}

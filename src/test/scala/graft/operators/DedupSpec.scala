@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),       // near dup of 1
+    (4L, "completely different content about spark distributed query engines and shuffles"),
+    (5L, "another unrelated document mentioning databases indexes and storage formats")
+  ).toDF("id", "text")
+
+  test("exactDedup keeps min-id winner per content group (D1)") {
+    val kept = Dedup.exactDedup(corpus, "text", "id").select("id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 3L, 4L, 5L)
+    val stats = Dedup.dupStats(corpus, "text", "id")
+      .filter(col("n_copies") > 1).collect()
+    stats.length shouldBe 1
+    stats.head.getLong(1) shouldBe 1L // keep_id
+    stats.head.getLong(2) shouldBe 2L // n_copies
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs (D2)") {
+    val pairs = Dedup.minhashLsh(corpus, "text", "id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs should not contain ((4L, 5L))
+  }
+
+  test("estimated jaccard ≈ exact jaccard on candidates (D2/D4)") {
+    val candidates = Dedup.minhashLsh(corpus, "text", "id", threshold = 0.3)
+    val verified = Dedup.jaccardVerify(candidates.select("id_a", "id_b"), corpus, "text", "id")
+      .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    verified((1L, 2L)) shouldBe 1.0 // identical
+    verified((1L, 3L)) should be > 0.6
+    val est = candidates.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    math.abs(est((1L, 2L)) - 1.0) should be < 0.01
+    math.abs(est((1L, 3L)) - verified((1L, 3L))) should be < 0.25 // 64 hashes → ±1.96/√64 ≈ 0.25
+  }
+
+  test("simhash: identical text → distance 0, near text → small, unrelated → large (D3)") {
+    val sigs = corpus.select(col("id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    ham(sigs(1L), sigs(2L)) shouldBe 0
+    ham(sigs(1L), sigs(3L)) should be <= 8
+    ham(sigs(1L), sigs(4L)) should be > 10
+  }
+
+  test("simhashPairs blocking finds pairs within maxHamming (D3)") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "id", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs should not contain ((4L, 5L))
+  }
+}

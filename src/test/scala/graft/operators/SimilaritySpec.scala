@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic 16-d corpus: 3 tight clusters + noise
+  private lazy val vecs: DataFrame = {
+    val rng = new scala.util.Random(7)
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      val v = c.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine/dot/norm basics") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)), (Array(1f, 1f, 0f), Array(1f, 1f, 0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("cos"),
+        VectorFunctions.dot(col("a"), col("b")).as("dot"))
+      .collect()
+    df(0).getDouble(0) shouldBe 0.0 +- 1e-9
+    df(0).getDouble(1) shouldBe 0.0 +- 1e-9
+    df(1).getDouble(0) shouldBe 1.0 +- 1e-9
+    df(1).getDouble(1) shouldBe 2.0 +- 1e-9
+  }
+
+  test("brute-force top-k returns same-cluster neighbors (S1)") {
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    byQuery.keySet shouldBe Set(0L, 1L, 2L)
+    for ((q, rows) <- byQuery) {
+      rows.length shouldBe 5
+      // all neighbors of query q should be in cluster q%3
+      rows.foreach { r =>
+        (r.getLong(1) % 3) shouldBe (q % 3)
+        r.getDouble(2) should be > 0.9
+      }
+    }
+  }
+
+  test("LSH ANN reaches high recall vs brute force (S2)") {
+    val queries = vecs.filter(col("vec_id") < 9)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 5, bits = 4, tables = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("embeddingDedup finds planted near-identical vectors (D5)") {
+    val planted = vecs.unionAll(vecs.select((col("vec_id") + 1000).as("vec_id"),
+      VectorFunctions.scale(col("embedding"), lit(1.01)).as("embedding")))
+    val pairs = Similarity.embeddingDedup(planted, "vec_id", "embedding",
+      threshold = 0.9999, bits = 4, tables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every original must pair with its scaled copy (cosine exactly 1)
+    val expected = (0 until 90).map(i => (i.toLong, i + 1000L)).toSet
+    val found = expected intersect pairs
+    (found.size.toDouble / expected.size) should be >= 0.9 // LSH recall, not exhaustive
+    // no cross-cluster false positives at this threshold
+    pairs.foreach { case (a, b) => ((a % 1000) % 3) shouldBe ((b % 1000) % 3) }
+  }
+}

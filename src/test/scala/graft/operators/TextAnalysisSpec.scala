@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and ratios (T2/T3)") {
+    val r = Seq("Hello world, 42 things!").toDF("text")
+      .select(
+        TextAnalysis.wsTokens(col("text")).as("ws"),
+        TextAnalysis.bpeTokens(col("text")).as("bpe"),
+        TextAnalysis.punctRatio(col("text")).as("punct"))
+      .collect().head
+    r.getInt(0) shouldBe 4
+    // Hello|world|,|42|things|! → 6
+    r.getInt(1) shouldBe 6
+    r.getDouble(2) shouldBe (2.0 / 23) +- 1e-9
+  }
+
+  test("stopword and repetition ratios (T2)") {
+    val r = Seq("the cat and the dog and the bird").toDF("text")
+      .select(
+        TextAnalysis.stopwordRatio(col("text")).as("stop"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep"))
+      .collect().head
+    r.getDouble(0) shouldBe (5.0 / 8) +- 1e-9  // the,and,the,and,the
+    r.getDouble(1) shouldBe (1.0 - 5.0 / 8) +- 1e-9
+  }
+
+  test("language ID detects real sentences (T1)") {
+    val out = Seq(
+      ("en", "the cat sat on the mat and it was happy with that"),
+      ("de", "der hund und die katze sind nicht im haus"),
+      ("fr", "le chien est dans la maison et les chats sont pour nous"),
+      ("es", "el perro es una mascota que vive para siempre"),
+      ("zh", "我是一个学生，我的老师是中国人"),
+      ("und", "xyzzy plugh qwertzuiop"))
+      .toDF("expected", "text")
+      .withColumn("detected", TextAnalysis.detectLang(col("text")))
+      .collect()
+    out.foreach(r => r.getString(2) shouldBe r.getString(0))
+  }
+
+  test("fingerprint matches hand-computed rolling hash (T4)") {
+    def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val inputs = Seq("abc", "hello world", "the quick brown fox")
+    val got = inputs.toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).as[Long].collect()
+    got.toSeq shouldBe inputs.map(ref)
+  }
+
+  test("wordShingles produces n-k+1 shingles and handles short docs (T4/D2)") {
+    val n = Seq("a b c d e").toDF("text")
+      .select(org.apache.spark.sql.functions.size(TextAnalysis.wordShingles(col("text"), 3)).as("n")).as[Int].collect().head
+    n shouldBe 3
+    val short = Seq("a b").toDF("text")
+      .select(org.apache.spark.sql.functions.size(TextAnalysis.wordShingles(col("text"), 3)).as("n")).as[Int].collect().head
+    short shouldBe 1
+  }
+}
