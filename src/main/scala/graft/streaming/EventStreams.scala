@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operators (SURVEY.md §2.3 X1/X2).
+  *
+  * The same transforms run in batch and in Structured Streaming: the
+  * windowed aggregation is identical column algebra over either source, and
+  * sessionization has a batch form (window functions) plus a streaming form
+  * (`flatMapGroupsWithState` with event-time timeout) whose outputs agree —
+  * the StreamingSpec asserts that equivalence on a shared input.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_seq: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      total_value: java.math.BigDecimal)
+
+  /** Streaming session accumulator (state value — needs a stable encoder,
+    * hence top-level). Money held as cents to stay exact in state. */
+  case class Acc(seq: Long, n: Long, startUs: Long, endUs: Long, cents: Long)
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** X1: tumbling-window counts/sums per event type. Works on batch frames
+    * as-is; for streams pair with `withWatermark` (see `windowedAggStream`). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(money(col("value"))).as("total_value"))
+      .select(col("w").getField("start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming X1: watermarked tumbling windows in append mode. The groupBy
+    * must be on the window struct itself — extracting `.start` before the
+    * aggregation severs the event-time watermark chain and the engine
+    * rejects append mode. */
+  def windowedAggStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(money(col("value"))).as("total_value"))
+      .select(col("w").getField("start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
+  /** X2 batch: gap-based sessionization with window functions. A session
+    * breaks when the gap to the previous event of the same user exceeds
+    * `gapMinutes`. Shuffles once on user_id; everything else is per-partition
+    * sort — the standard scalable formulation. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs  = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull || unix_micros(col("ts")) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(money(col("value"))).as("total_value"))
+  }
+
+  /** X2 streaming: per-user session accumulation in `flatMapGroupsWithState`
+    * with event-time timeout — a session closes when the watermark passes its
+    * last event + gap, exactly the batch gap rule. Emits closed sessions. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    import spark.implicits._
+
+    def usToTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+
+    def toSession(userId: Long, a: Acc): Session =
+      Session(userId, a.seq, a.n, usToTs(a.startUs), usToTs(a.endUs),
+        java.math.BigDecimal.valueOf(a.cents, 2))
+
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events.withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Acc], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, events, state: GroupState[List[Acc]]) =>
+          // Accumulate; sessions that the watermark has passed are emitted.
+          // In-order processing per micro-batch; late events beyond the open
+          // head session would need a merge pass (bounded by the watermark).
+          var accs = state.getOption.getOrElse(Nil)
+          def usOf(e: Event): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+          val sorted = events.toSeq.sortBy(e => (usOf(e), e.event_id))
+          for (e <- sorted) {
+            val us    = usOf(e)
+            val cents = math.round(e.value * 100)
+            accs = accs match {
+              case head :: tail if us - head.endUs <= gapUs =>
+                head.copy(n = head.n + 1, endUs = math.max(head.endUs, us),
+                  cents = head.cents + cents) :: tail
+              case _ =>
+                Acc(accs.headOption.map(_.seq + 1).getOrElse(1L), 1, us, us, cents) :: accs
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = accs.partition(a => wmUs > 0 && a.endUs + gapUs < wmUs)
+          if (open.isEmpty && closed.nonEmpty) state.remove()
+          else {
+            state.update(open)
+            if (open.nonEmpty) state.setTimeoutTimestamp(open.head.endUs / 1000 + gapUs / 1000)
+          }
+          closed.reverseIterator.map(a => toSession(userId, a))
+      }
+  }
+}

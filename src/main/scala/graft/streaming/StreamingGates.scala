@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch-equivalent gate queries for the streaming operators (X1/X2): the
+  * same column algebra the streams run, executed over the `events` table so
+  * DuckDB can oracle-check the semantics. */
+object StreamingGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_window_agg" -> { (s, dir) =>
+      EventStreams.windowedAgg(Tables(s, dir).events)
+    },
+    "x2_sessionize" -> { (s, dir) =>
+      EventStreams.sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x1_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x2_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ⇔ batch equivalence (X1/X2): feed the same events through the
+  * streaming operators via MemoryStream and through the batch forms, and
+  * require identical results. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  // Two users; u1 has sessions {0,5,10}, {60,70}; u2 has {0}, {120}. The
+  // final event at minute 600 pushes the watermark far past every session.
+  private val fixture: Seq[EventStreams.Event] = Seq(
+    EventStreams.Event(1, ts(0), 1, "click", 1.0),
+    EventStreams.Event(2, ts(5), 1, "view", 2.0),
+    EventStreams.Event(3, ts(10), 1, "click", 3.0),
+    EventStreams.Event(4, ts(60), 1, "purchase", 10.0),
+    EventStreams.Event(5, ts(70), 1, "click", 4.0),
+    EventStreams.Event(6, ts(0), 2, "view", 5.0),
+    EventStreams.Event(7, ts(120), 2, "click", 6.0),
+    EventStreams.Event(8, ts(600), 3, "signup", 0.5))
+
+  test("streaming windowed agg equals batch on the same events (X1)") {
+    val input = MemoryStream[EventStreams.Event](spark)
+    val streamed = EventStreams.windowedAggStream(input.toDF(), "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("memory").queryName("x1_stream")
+      .outputMode("append").start()
+    try {
+      // batches follow event-time order: a watermark correctly drops
+      // late-beyond-watermark rows, so the fixture must not deliver them
+      input.addData(fixture.take(7))
+      q.processAllAvailable()
+      input.addData(fixture.drop(7))
+      q.processAllAvailable()
+      // close all windows: watermark must pass the last window's end
+      input.addData(EventStreams.Event(99, ts(1500), 9, "click", 0.0))
+      q.processAllAvailable()
+      // the far-future event closes every fixture window; its own window
+      // stays open and unemitted, so closed streaming windows == batch
+      // windows over the fixture exactly
+      val streamedRows = spark.table("x1_stream").collect().toSet
+      val batchRows = EventStreams.windowedAgg(fixture.toDF(), "1 hour").collect().toSet
+      streamedRows should not be empty
+      streamedRows shouldBe batchRows
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals batch sessionization (X2)") {
+    val input = MemoryStream[EventStreams.Event](spark)
+    val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("x2_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture.take(7))
+      q.processAllAvailable()
+      input.addData(fixture.drop(7))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(100, ts(3000), 9, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(101, ts(3001), 9, "click", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("x2_stream")
+        .select("user_id", "session_seq", "n_events", "session_start", "session_end", "total_value")
+        .collect().toSet
+      val batch = EventStreams.sessionizeBatch(fixture.toDF(), 30)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("session_start"), col("session_end"),
+          col("total_value").cast("decimal(20,2)"))
+        .collect().toSet
+
+      val batchComparable = batch.map(r => Row(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getDecimal(5).stripTrailingZeros()))
+      val streamComparable = streamed.map(r => Row(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getDecimal(5).stripTrailingZeros()))
+      streamComparable shouldBe batchComparable
+    } finally q.stop()
+  }
+}
