@@ -17,11 +17,10 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 for zero-norm vectors rather than NaN. */
-  def cosine(a: Column, b: Column): Column = {
-    val n = norm(a) * norm(b)
-    when(n === 0.0, 0.0).otherwise(dot(a, b) / n)
-  }
+  /** Cosine similarity; 0.0 for zero-norm vectors rather than NaN.
+    * Backed by a native codegen'd expression — this sits in the inner loop
+    * of every ANN/dedup candidate join. */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineNative(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
@@ -32,21 +31,14 @@ object VectorFunctions {
   /** Element-wise add. */
   def add(a: Column, b: Column): Column = zip_with(d(a), d(b), (x, y) => x + y)
 
-  /** Deterministic pseudo-random hyperplane signature for LSH bucketing:
-    * bit p = sign( Σ_j w(p,j) · v_j ) with w(p,j) derived from a hash of
-    * (seed, p, j) — no stored model, every executor computes identical planes.
+  /** Deterministic gaussian hyperplanes for LSH bucketing, materialized as
+    * literal weight arrays at plan time: every executor gets identical planes
+    * baked into the codegen'd expression, and a row costs exactly
+    * `bits × dim` multiply-adds — no per-row weight derivation. `dim` must
+    * match the embedding width (the planes are plan-time constants; a
+    * dimension can't be data-dependent).
     * Returns an int bucket in [0, 2^bits).
     */
-  def hyperplaneBucket(v: Column, bits: Int, seed: Int = 42): Column = {
-    val planeBits = (0 until bits).map { p =>
-      // w(p,j) in [-0.5, 0.5): xxhash64 of (seed, p, j) scaled
-      val weighted = zip_with(
-        d(v),
-        transform(sequence(lit(0), size(v) - 1), j => (pmod(xxhash64(lit(seed), lit(p), j), lit(1000000)).cast("double") / 1000000.0) - 0.5),
-        (x, w) => x * w)
-      val proj = aggregate(weighted, lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    planeBits.reduce((a, b) => a + b).cast("int")
-  }
+  def hyperplaneBucket(v: Column, bits: Int, dim: Int, seed: Int = 42): Column =
+    VectorExpressions.hyperplaneBucketNative(v, bits, dim, seed)
 }

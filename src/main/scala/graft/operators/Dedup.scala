@@ -30,22 +30,34 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature (length `numHashes`) over word k-shingles.
-    * One xxhash64 per shingle, then `numHashes` universal-hash permutations
-    * applied with `transform`+`aggregate` — all codegen, no UDF, no model.
+  /** Stage word-shingle hashes as a materialized `__sh` column. Catalyst
+    * lambda bodies re-evaluate captured subtrees per element, so feeding the
+    * raw shingle *expression* into 64 hash loops would re-run the regex
+    * tokenizer 64× per row (measured: minutes instead of seconds at sf0.1).
+    * Two chained projections force one evaluation; downstream loops see a
+    * cheap attribute. CollapseProject keeps the split, because the tokenize
+    * expression is non-trivial and referenced more than once.
     */
-  def minhashSignature(text: Column, shingleK: Int = 3, numHashes: Int = 64): Column = {
-    val shingleHashes = TextAnalysis.wordShingles(text, shingleK)
-    // 2^31-1: keeps a*h below 2^62 so ANSI-mode 64-bit multiply never
-    // overflows; a 31-bit minhash space is ample for jaccard estimation
-    val Prime = 2147483647L
-    transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = pmod(xxhash64(lit("a"), i), lit(Prime - 1)) + 1
-      val b = pmod(xxhash64(lit("b"), i), lit(Prime))
-      aggregate(shingleHashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(a * pmod(h, lit(Prime)) + b, lit(Prime))))
-    })
-  }
+  private def withShingleHashes(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("__sh",
+        when(size(col("__toks")) < k, array(xxhash64(concat_ws(" ", col("__toks")))))
+          .otherwise(transform(sequence(lit(0), size(col("__toks")) - k),
+            i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
+      .drop("__toks")
+
+  /** MinHash signature (length `numHashes`) over a pre-staged shingle-hash
+    * array column — a native codegen'd expression (one primitive loop per
+    * row); the higher-order-function formulation evaluated interpreted and
+    * was ~50× slower (see graft.functions.NativeExpressions).
+    */
+  def minhashSignatureOver(shingleHashes: Column, numHashes: Int = 64): Column =
+    graft.functions.NativeExpressions.minhashSignature(shingleHashes, numHashes)
+
+  /** Convenience single-expression form (tests, small frames). For corpus
+    * scale use the staged path inside `minhashLsh`. */
+  def minhashSignature(text: Column, shingleK: Int = 3, numHashes: Int = 64): Column =
+    minhashSignatureOver(TextAnalysis.wordShingles(text, shingleK), numHashes)
 
   /** Estimated Jaccard from two MinHash signatures. */
   def estJaccard(sigA: Column, sigB: Column): Column =
@@ -63,7 +75,11 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    // persisted: the banded self-join reads this from both sides, and the
+    // signature computation is the expensive part of the whole operator
+    val sigs = withShingleHashes(df, textCol, shingleK)
+      .select(col(idCol).as("id"), minhashSignatureOver(col("__sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
@@ -85,8 +101,8 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("__jid"),
-      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleK)).as("__set"))
+    val sets = withShingleHashes(df, textCol, shingleK)
+      .select(col(idCol).as("__jid"), array_distinct(col("__sh")).as("__set"))
     pairs
       .join(sets.withColumnsRenamed(Map("__jid" -> "id_a", "__set" -> "set_a")), Seq("id_a"))
       .join(sets.withColumnsRenamed(Map("__jid" -> "id_b", "__set" -> "set_b")), Seq("id_b"))
@@ -98,20 +114,9 @@ object Dedup {
 
   /** SimHash: 64-bit signature — token hashes vote ±1 per bit, sign of each
     * bit-sum becomes the bit. Near-dups have small hamming distance. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
-    // variable-distance shifts only exist at the SQL function layer (getbit);
-    // the Scala shiftleft/shiftright APIs take literal Ints
-    val bitSums = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, b) => a + when(call_function("getbit", h, b) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.NativeExpressions.simhash64(
+      transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -125,6 +130,7 @@ object Dedup {
     val blocks = maxHamming + 1
     val width  = 64 / blocks
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until blocks).map(b =>
         shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))

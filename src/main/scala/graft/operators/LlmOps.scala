@@ -18,8 +18,16 @@ object LlmOps {
   private val CopyOffset = 1000000L
 
   /** documents ∪ near-duplicate copies (text truncated ~10%). */
+  private def parallelism(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    // documents.parquet is a single small file → 1 scan partition; the
+    // signature computation is CPU-bound, so spread it across the cluster
+    // before the heavy projection (at real scale the scan already has
+    // thousands of partitions and this repartition is a no-op to remove)
     val docs = Tables(s, dir).documents.select("doc_id", "text")
+      .repartition(parallelism(s))
     docs.unionAll(
       docs.select((col("doc_id") + CopyOffset).as("doc_id"),
         expr("substring(text, 1, greatest(20, int(length(text) * 0.9)))").as("text")))
@@ -28,6 +36,7 @@ object LlmOps {
   /** embeddings ∪ slightly-perturbed copies. */
   private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      .repartition(parallelism(s))
     vecs.unionAll(
       vecs.select((col("vec_id") + CopyOffset).as("vec_id"),
         VectorFunctions.add(col("embedding"),
@@ -58,21 +67,21 @@ object LlmOps {
     },
 
     "d5_embed_dedup" -> { (s, dir) =>
-      Similarity.embeddingDedup(plantedVecs(s, dir), "vec_id", "embedding", threshold = 0.999)
+      Similarity.embeddingDedup(plantedVecs(s, dir), "vec_id", "embedding", threshold = 0.999, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     },
 
     "s1_cosine_topk" -> { (s, dir) =>
-      val vecs = Tables(s, dir).embeddings
+      val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
       Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
     },
 
     "s2_lsh_ann" -> { (s, dir) =>
-      val vecs = Tables(s, dir).embeddings
-      Similarity.lshTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5)
+      val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
+      Similarity.lshTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5, dim = 64)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
     },

@@ -36,11 +36,11 @@ object Similarity {
     * against S1.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, bits: Int = 6, tables: Int = 4): DataFrame = {
+      k: Int = 5, bits: Int = 6, tables: Int = 4, dim: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"), hyperplaneBucket(col(vecCol), bits, seed = 1000 + t).as("bucket"))): _*)).as("tb"))
+          struct(lit(t).as("table"), hyperplaneBucket(col(vecCol), bits, dim, seed = 1000 + t).as("bucket"))): _*)).as("tb"))
         .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
 
     val q = bucketed(broadcast(queries), "query_id", "__qv")
@@ -60,11 +60,12 @@ object Similarity {
     * Returns (id_a, id_b, cosine), id_a < id_b.
     */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.99, bits: Int = 6, tables: Int = 4): DataFrame = {
+      threshold: Double = 0.99, bits: Int = 6, tables: Int = 4, dim: Int = 64): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("table"), hyperplaneBucket(col(vecCol), bits, seed = 2000 + t).as("bucket"))): _*)).as("tb"))
+        struct(lit(t).as("table"), hyperplaneBucket(col(vecCol), bits, dim, seed = 2000 + t).as("bucket"))): _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = hashed.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = hashed.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("table", "bucket"))

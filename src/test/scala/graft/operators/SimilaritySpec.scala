@@ -50,7 +50,7 @@ class SimilaritySpec extends SparkSpec {
     val queries = vecs.filter(col("vec_id") < 9)
     val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 5, bits = 4, tables = 6)
+    val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 5, bits = 4, tables = 6, dim = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     recall should be >= 0.8
@@ -60,7 +60,7 @@ class SimilaritySpec extends SparkSpec {
     val planted = vecs.unionAll(vecs.select((col("vec_id") + 1000).as("vec_id"),
       VectorFunctions.scale(col("embedding"), lit(1.01)).as("embedding")))
     val pairs = Similarity.embeddingDedup(planted, "vec_id", "embedding",
-      threshold = 0.9999, bits = 4, tables = 6)
+      threshold = 0.9999, bits = 4, tables = 6, dim = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // every original must pair with its scaled copy (cosine exactly 1)
     val expected = (0 until 90).map(i => (i.toLong, i + 1000L)).toSet
