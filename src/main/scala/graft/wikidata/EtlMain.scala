@@ -22,12 +22,18 @@ object EtlMain {
       System.err.println(s"The output '$outDir' already exists. Choose a new directory.")
       sys.exit(1)
     }
-    val spark  = GraftSession.local()
-    val t0     = System.nanoTime()
-    val tables = WikidataEtl.runFile(spark, dumpPath, outDir, partitions)
+    val spark = GraftSession.local()
+    val t0    = System.nanoTime()
+    def mark(label: String): Unit =
+      println(f"  [${(System.nanoTime() - t0) / 1e9}%7.1f s] $label")
+    val tables = WikidataEtl.run(DumpReader.read(spark, dumpPath))
+    mark("plan built")
+    tables.writeParquet(outDir, partitions)
+    mark("tables written")
     val counts = tables.byName.map { case (n, _) =>
       n -> spark.read.parquet(s"$outDir/$n").count()
     }
+    mark("counts")
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"wrote ${counts.values.sum} rows across ${counts.size} tables in $secs%.1f s")
     counts.toSeq.sortBy(_._1).foreach { case (n, c) => println(f"  $n%-12s $c%d") }

@@ -1,0 +1,36 @@
+package graft.wikidata
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: time each ETL phase to find the throughput bottleneck. */
+object EtlProbe {
+  def main(args: Array[String]): Unit = {
+    val path  = args.headOption.getOrElse("/tmp/dump.json")
+    val spark = GraftSession.local()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val lines = spark.read.text(path)
+    println(s"[probe] partitions: ${lines.rdd.getNumPartitions}")
+    time("raw line count")(lines.count())
+    val parsed = DumpReader.read(spark, path)
+    time("parse_json count")(parsed.count())
+    time("meta count")(WikidataEtl.meta(parsed).count())
+    val core = WikidataEtl.claimCore(parsed)
+    time("claimCore count")(core.count())
+    time("claimCore agg by type")(core.groupBy("value_type").count().collect())
+    val t = WikidataEtl.run(parsed, cache = false)
+    time("string table count")(t.string.count())
+    time("entity table count")(t.entity.count())
+    val cached = WikidataEtl.claimCore(parsed).cache()
+    time("core cache materialize")(cached.count())
+    val t2 = WikidataEtl.run(parsed)
+    val out = java.nio.file.Files.createTempDirectory("etlprobe").toString
+    time("writeParquet all 8 (shuffled)")(t2.writeParquet(out, 32))
+    time("writeParquet all 8 (no shuffle)")(t2.writeParquet(out + "2"))
+    spark.stop()
+  }
+}
