@@ -159,6 +159,17 @@ object Relational {
           count(col("bl_orderkey")).as("n_big_items"))
     },
 
+    "r15_percentile" -> { (s, dir) =>
+      // exact (sort-based) percentiles; linear interpolation matches
+      // DuckDB quantile_cont bit-for-bit on these double inputs
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+    },
+
     // ---- wd2sql surface (reference: README.md:103-156, src/id.rs:6-24) ----
 
     "w1_id_encode" -> { (s, dir) =>
@@ -314,6 +325,13 @@ object Relational {
         |  SELECT l_orderkey AS bl_orderkey, l_extendedprice AS bl_extendedprice
         |  FROM lineitem WHERE l_quantity > 49) ON o_orderkey = bl_orderkey
         |GROUP BY o_orderkey""".stripMargin,
+
+    "r15_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "w1_id_encode" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS raw_id,

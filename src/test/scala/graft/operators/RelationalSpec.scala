@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Relational gate queries run against sf0.001 inside sbt test: shape and
+  * spot-value assertions so the suite catches regressions without the
+  * driver's DuckDB gate. (Full value-level verification is the oracle gate —
+  * tools/check_oracle.py.)
+  */
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every relational gate query runs and returns rows at sf0.001") {
+    for ((name, fn) <- Relational.queries) {
+      val df = fn(spark, dir)
+      withClue(s"$name: ") { df.limit(1).count() should be >= 0L }
+    }
+  }
+
+  test("r2_agg: group count and decimal-exact sums") {
+    val rows = Relational.queries("r2_agg")(spark, dir).collect()
+    rows.length shouldBe 6 // 3 returnflags × 2 linestatus minus absent combos
+    rows.foreach { r =>
+      r.getDecimal(2).signum() should be >= 0
+      r.getLong(5) should be > 0L
+    }
+  }
+
+  test("r12_topk is ordered and bounded") {
+    val rows = Relational.queries("r12_topk")(spark, dir).collect()
+    rows.length shouldBe 15
+    val prices = rows.map(_.getDouble(2))
+    prices.toSeq shouldBe prices.sortBy(-_).toSeq
+  }
+
+  test("w1/w2 id codec round-trips through the gate queries") {
+    val enc = Relational.queries("w1_id_encode")(spark, dir).collect()
+    enc.length shouldBe 25
+    enc.foreach { r =>
+      r.getLong(1) shouldBe r.getLong(0)                 // q
+      r.getLong(2) shouldBe r.getLong(0) + 1000000000L   // p
+      r.getLong(3) shouldBe r.getLong(0) + 2000000000L   // l
+    }
+    val dec = Relational.queries("w2_id_decode")(spark, dir).collect()
+    dec.length shouldBe 125
+    dec.filter(_.getString(1) == "S").foreach(_.getLong(3) shouldBe 3L)
+  }
+
+  test("r10_setops: supplier nations are a subset of customer nations") {
+    val rows = Relational.queries("r10_setops")(spark, dir).collect()
+    val byTag = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getInt(0)).toSet).toMap
+    byTag.keySet should contain("both")
+    (byTag.getOrElse("both", Set()) intersect byTag.getOrElse("cust_only", Set())) shouldBe empty
+  }
+}
