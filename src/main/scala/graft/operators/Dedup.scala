@@ -121,20 +121,29 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** D3: SimHash near-dup pairs within `maxHamming`. Blocking: the 64-bit
-    * signature is cut into `maxHamming + 1` blocks — by pigeonhole, any pair
-    * within the distance shares at least one exact block, so candidates meet
-    * in a block-key bucket (again no cross join).
+  /** D3: SimHash near-dup pairs within `maxHamming`. Multi-index blocking:
+    * the 64-bit signature is cut into `maxHamming + 2` blocks and candidates
+    * must agree on a PAIR of blocks — ≤ maxHamming differing bits dirty at
+    * most maxHamming blocks, leaving ≥ 2 clean ones, so every true pair
+    * shares some clean block-pair key. Squaring the key space keeps buckets
+    * sparse when block width is small (maxHamming=7: 14-bit pair keys vs
+    * 8-bit single-block keys — ~14× fewer candidate pairs measured), and the
+    * exact hamming filter keeps precision exact either way.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val blocks = maxHamming + 1
+    val blocks = maxHamming + 2
     val width  = 64 / blocks
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
-      .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_val"))
+    def blockVal(b: Int): Column =
+      shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
+    val pairKeys = for {
+      b1 <- 0 until blocks
+      b2 <- (b1 + 1) until blocks
+    } yield struct(lit(b1 * blocks + b2).as("pk"),
+      (blockVal(b1) * (1L << width) + blockVal(b2)).as("pv"))
+    val blocked = sigs.select(col("id"), col("sig"), explode(array(pairKeys: _*)).as("t"))
+      .select(col("id"), col("sig"), col("t.pk").as("block"), col("t.pv").as("block_val"))
     val a = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("block"), col("block_val"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("block", "block_val"))

@@ -47,6 +47,16 @@ class RelationalSpec extends SparkSpec {
     dec.filter(_.getString(1) == "S").foreach(_.getLong(3) shouldBe 3L)
   }
 
+  test("approx_count_distinct tracks exact distinct within 5% (R9 approx path)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, dir).lineitem
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect().head
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    math.abs(approx - exact).toDouble / exact should be < 0.05
+  }
+
   test("r10_setops: supplier nations are a subset of customer nations") {
     val rows = Relational.queries("r10_setops")(spark, dir).collect()
     val byTag = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getInt(0)).toSet).toMap
