@@ -170,6 +170,17 @@ object Relational {
           expr("percentile(l_extendedprice, 0.5)").as("median_price"))
     },
 
+    "p1_topk_native" -> { (s, dir) =>
+      // custom LogicalPlan/Strategy/Exec path (SURVEY §2 P1): bounded
+      // per-group heaps instead of full sort + rank
+      val t = Tables(s, dir)
+      val base = t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      graft.plans.TopK.perGroup(base, Seq("p_brand"), Seq("rev", "p_partkey"), k = 3)
+    },
+
     // ---- wd2sql surface (reference: README.md:103-156, src/id.rs:6-24) ----
 
     "w1_id_encode" -> { (s, dir) =>
@@ -332,6 +343,17 @@ object Relational {
         |  quantile_cont(l_quantity, 0.95) AS p95_qty,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "p1_topk_native" ->
+      """SELECT p_brand, p_partkey, rev FROM (
+        |  SELECT p_brand, p_partkey, rev,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey DESC) AS rn
+        |  FROM (
+        |    SELECT p_brand, p_partkey,
+        |      sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    GROUP BY p_brand, p_partkey)
+        |) WHERE rn <= 3""".stripMargin,
 
     "w1_id_encode" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS raw_id,
