@@ -87,9 +87,8 @@ object LlmOps {
     },
 
     "t1_langid" -> { (s, dir) =>
-      Tables(s, dir).documents.select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        TextAnalysis.detectLang(col("text")).as("detected_lang"))
+      TextAnalysis.withDetectedLang(Tables(s, dir).documents, "text")
+        .select(col("doc_id"), col("lang").as("labeled_lang"), col("detected_lang"))
     },
 
     "t2_quality" -> { (s, dir) =>

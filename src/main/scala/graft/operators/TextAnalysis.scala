@@ -78,6 +78,24 @@ object TextAnalysis {
     when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
   }
 
+  /** Corpus-scale language ID: stages the padded lowercase text as a column
+    * so the ~40 marker probes share one normalization instead of each
+    * re-lowering the document (the lambda/captured-subtree rule — see
+    * SURVEY.md §4). Adds `outCol` to `df`. */
+  def withDetectedLang(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String = "detected_lang"): org.apache.spark.sql.DataFrame = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val staged = df.withColumn("__padded", concat(lit(" "), lower(col(textCol)), lit(" ")))
+    val scored = langs.map { l =>
+      val hits = LangMarkers(l).map(m => when(col("__padded").contains(m), 1).otherwise(0))
+      struct(hits.reduce((a, b) => a + b).as("score"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    staged
+      .withColumn(outCol, when(best.getField("score") === 0, "und").otherwise(best.getField("lang")))
+      .drop("__padded")
+  }
+
   // ---- fingerprinting (T4) ----
 
   /** Polynomial rolling hash over the document's characters:

@@ -43,6 +43,14 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach(r => r.getString(2) shouldBe r.getString(0))
   }
 
+  test("withDetectedLang (staged) agrees with detectLang (T1)") {
+    val df = Seq("the cat sat on the mat", "der hund und die katze", "xyzzy")
+      .toDF("text")
+    val staged = TextAnalysis.withDetectedLang(df, "text").select("detected_lang")
+    val direct = df.select(TextAnalysis.detectLang(col("text")).as("detected_lang"))
+    staged.collect().map(_.getString(0)).toSeq shouldBe direct.collect().map(_.getString(0)).toSeq
+  }
+
   test("fingerprint matches hand-computed rolling hash (T4)") {
     def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
     val inputs = Seq("abc", "hello world", "the quick brown fox")
