@@ -52,6 +52,14 @@ object EventStreams {
         sum(money(col("value"))).as("total_value"))
       .select(col("w").getField("start").as("ws"), col("event_type"), col("n"), col("total_value"))
 
+  /** X4: streaming exact dedup — at-least-once sources (Kafka, file
+    * re-lists) deliver duplicates; this keeps the first occurrence per key
+    * with state bounded by the watermark window, the streaming face of the
+    * batch `Dedup.exactDedup`. */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** X2 batch: gap-based sessionization with window functions. A session
     * breaks when the gap to the previous event of the same user exceeds
     * `gapMinutes`. Shuffles once on user_id; everything else is per-partition

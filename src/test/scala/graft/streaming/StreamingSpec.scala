@@ -51,6 +51,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per event_id across batches (X4)") {
+    val input = MemoryStream[EventStreams.Event](spark)
+    val deduped = EventStreams.dedupStream(input.toDF(), Seq("event_id"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("x4_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture.take(3))
+      q.processAllAvailable()
+      input.addData(fixture.take(3)) // exact redelivery
+      q.processAllAvailable()
+      input.addData(fixture(0).copy(value = 99.0)) // same id, new payload → dup
+      q.processAllAvailable()
+      val rows = spark.table("x4_stream").collect()
+      rows.length shouldBe 3
+      rows.map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
+      // first occurrence won: the redelivered payload was dropped
+      rows.find(_.getLong(0) == 1L).get.getDouble(4) shouldBe 1.0
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch sessionization (X2)") {
     val input = MemoryStream[EventStreams.Event](spark)
     val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
