@@ -107,6 +107,14 @@ object LlmOps {
         TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
     },
 
+    "t5_tfidf" -> { (s, dir) =>
+      // integer columns only (tf/df exact in any engine); the double tfidf
+      // score itself is spec-gated, not hash-gated, to dodge libm ulps
+      TextAnalysis.tfidf(Tables(s, dir).documents, "text", "doc_id")
+        .filter(col("doc_id") < 20)
+        .select("doc_id", "term", "tf", "df")
+    },
+
     "t4_fingerprint" -> { (s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
@@ -143,6 +151,14 @@ object LlmOps {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    "t5_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |SELECT doc_id, term, tf, df FROM tf JOIN df USING(term) WHERE doc_id < 20""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,

@@ -96,6 +96,24 @@ object TextAnalysis {
       .drop("__padded")
   }
 
+  // ---- TF-IDF (T5) ----
+
+  /** Term frequencies per document plus corpus document frequencies and the
+    * tf-idf score — the relevance/quality primitive for corpus filtering.
+    * Scale shape: one explode + two aggregations sharing the `term` shuffle
+    * key; the df side is tiny (vocabulary-sized) and broadcasts into the
+    * join at planning or AQE time.
+    */
+  def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val n    = df.count()
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+  }
+
   // ---- fingerprinting (T4) ----
 
   /** Polynomial rolling hash over the document's characters:

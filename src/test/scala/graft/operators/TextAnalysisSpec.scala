@@ -59,6 +59,19 @@ class TextAnalysisSpec extends SparkSpec {
     got.toSeq shouldBe inputs.map(ref)
   }
 
+  test("tfidf: rare terms outscore ubiquitous ones (T5)") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common words here"),
+      (3L, "common again words")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "text", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out(("common", 1L))._2 shouldBe 3L     // df: in all docs
+    out(("rare", 1L))._2 shouldBe 1L
+    out(("rare", 1L))._3 should be > out(("common", 1L))._3 // tfidf despite tf 1 vs 2
+    out(("common", 1L))._3 shouldBe 0.0 +- 1e-12            // ln(3/3) = 0
+  }
+
   test("wordShingles produces n-k+1 shingles and handles short docs (T4/D2)") {
     val n = Seq("a b c d e").toDF("text")
       .select(org.apache.spark.sql.functions.size(TextAnalysis.wordShingles(col("text"), 3)).as("n")).as[Int].collect().head
