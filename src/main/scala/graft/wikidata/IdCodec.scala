@@ -71,14 +71,17 @@ object IdCodec {
   def fid(n: Column, form: Column): Column  = lid(n) + form.cast("long") * SubIdFactor
   def sid(n: Column, sense: Column): Column = lid(n) + sense.cast("long") * SubIdFactor + SenseOffset
 
-  /** Columnar encode of a textual id ("Q42" / "P31" / "L9-F2" / "L9-S1" → int64, else null). */
+  /** Columnar encode of a textual id ("Q42" / "P31" / "L9-F2" / "L9-S1" → int64, else null).
+    * try_cast, not cast: under ANSI mode a malformed id would otherwise
+    * fail the whole job — the reference skips bad input per line
+    * (src/main.rs:206-215) and so must a 100 TB run. */
   def encodeTextCol(s: Column): Column = {
     val prefix = upper(substring(s, 1, 1))
     val dash   = instr(s, "-")
-    val simpleNum = substring(s, 2, 18).cast("long")
-    val lexNum    = substring(substring_index(s, "-", 1), 2, 18).cast("long")
+    val simpleNum = substring(s, 2, 18).try_cast("long")
+    val lexNum    = substring(substring_index(s, "-", 1), 2, 18).try_cast("long")
     val subKind   = upper(substring(substring_index(s, "-", -1), 1, 1))
-    val subNum    = substring(substring_index(s, "-", -1), 2, 18).cast("long")
+    val subNum    = substring(substring_index(s, "-", -1), 2, 18).try_cast("long")
     when(prefix === "Q", simpleNum)
       .when(prefix === "P", simpleNum + PropertyOffset)
       .when(prefix === "L" && dash === 0, simpleNum + LexemeOffset)

@@ -135,7 +135,7 @@ object WikidataEtl {
 
   /** "+123.45" → double (Wikidata quantity amounts carry an explicit sign). */
   private def signedNum(c: Column): Column =
-    regexp_replace(c, "^\\+", "").cast("double")
+    regexp_replace(c, "^\\+", "").try_cast("double") // bad amounts → null, never a job failure
 
   /** Wikidata time "+2001-12-31T00:00:00Z" (month/day may be 00 at coarse
     * precision) → timestamp, best-effort NULL on the extreme years SQL

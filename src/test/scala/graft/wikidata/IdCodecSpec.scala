@@ -40,6 +40,30 @@ class IdCodecSpec extends SparkSpec {
     }
   }
 
+  test("columnar encode agrees with scalar on 500 random ids incl. malformed") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val ids = Seq.fill(500) {
+      rng.nextInt(8) match {
+        case 0 => s"Q${rng.nextInt(1000000000)}"
+        case 1 => s"P${rng.nextInt(10000)}"
+        case 2 => s"L${rng.nextInt(1000000)}"
+        case 3 => s"L${rng.nextInt(1000000)}-F${1 + rng.nextInt(50)}"
+        case 4 => s"L${rng.nextInt(1000000)}-S${1 + rng.nextInt(50)}"
+        case 5 => s"q${rng.nextInt(100)}"
+        case 6 => "bogus" + rng.nextInt(10)
+        case _ => s"Q${rng.nextInt(100)}x" // trailing garbage
+      }
+    }
+    val columnar = ids.toDF("t")
+      .select(IdCodec.encodeTextCol(col("t")).as("enc")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val scalar = ids.map(IdCodec.encodeText)
+    // scalar rejects trailing garbage (toLong throws); columnar substring
+    // cast is equally strict (cast returns null on non-numeric)
+    columnar.toSeq shouldBe scalar
+  }
+
   test("columnar encode/decode agrees with scalar") {
     import spark.implicits._
     val ids = Seq("Q42", "P31", "L234", "L99-F2", "L99-S1", "q7", "l3-f1", "junk")
