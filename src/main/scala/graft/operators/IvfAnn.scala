@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN — the centroid-bucketed scale path (SURVEY §2.3
+  * S3), complementing the hyperplane-LSH variant.
+  *
+  * A small k-means coarse quantizer is trained with Lloyd iterations where
+  * only the k×dim centroid matrix ever reaches the driver (assignment and
+  * re-averaging are DataFrame aggregations over the cluster). Search assigns
+  * the corpus once to its nearest centroid and probes each query's `nprobe`
+  * nearest cells — candidate counts shrink by ~k/nprobe versus a full scan,
+  * recall controlled by nprobe. Scoring reuses the native codegen'd cosine.
+  */
+object IvfAnn {
+
+  /** Cosine similarity of a vector column against a literal centroid. */
+  private def simTo(vec: Column, centroid: Array[Double]): Column =
+    VectorExpressions.cosineNative(vec, lit(centroid))
+
+  /** Nearest-centroid id (and similarity) as a struct column. */
+  private def nearest(vec: Column, cents: Seq[Array[Double]]): Column =
+    greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(simTo(vec, c).as("sim"), lit(i).as("cid"))
+    }: _*)
+
+  /** Lloyd's k-means over an embedding column. Deterministic: seeds from the
+    * first `k` rows by a hash ordering; distances are cosine. Only centroids
+    * (k×dim doubles) are collected — assignments never leave the executors. */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int, iters: Int = 5): Seq[Array[Double]] = {
+    val vecs = df.select(col(vecCol).as("v"))
+    var cents: Seq[Array[Double]] = vecs
+      .withColumn("__h", xxhash64(to_json(col("v"))))
+      .orderBy("__h").limit(k)
+      .collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      .toSeq
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cid", nearest(col("v"), cents).getField("cid"))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** S3: IVF top-k — probe the `nprobe` nearest cells per query. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val corpusAssigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("cid", nearest(col("__cv"), centroids).getField("cid"))
+    // per query: top-nprobe cells by centroid similarity
+    val probeCells = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("cid", explode(array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(simTo(col("__qv"), c).as("sim"), lit(i).as("cid"))
+        }: _*)))
+        .select(col("query_id"), col("__qv"), col("cid.sim").as("__csim"), col("cid.cid").as("cid"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cid"))))
+        .filter(col("__rk") <= nprobe)
+        .drop("__rk", "__csim"))
+    val scored = probeCells.join(corpusAssigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorExpressions.cosineNative(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+}

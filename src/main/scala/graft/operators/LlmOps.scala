@@ -86,6 +86,15 @@ object LlmOps {
         .orderBy("query_id", "neighbor_id")
     },
 
+    "s3_ivf_ann" -> { (s, dir) =>
+      val vecs  = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val cents = IvfAnn.trainCentroids(vecs, "embedding", k = 8, iters = 3)
+      IvfAnn.topK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding",
+          cents, k = 5, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.withDetectedLang(Tables(s, dir).documents, "text")
         .select(col("doc_id"), col("lang").as("labeled_lang"), col("detected_lang"))

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated clusters in 16-d
+  private lazy val vecs = {
+    val rng = new scala.util.Random(11)
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian().toFloat * 3))
+    (0 until 120).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.1f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("k-means centroids land one per cluster (S3 quantizer)") {
+    val cents = IvfAnn.trainCentroids(vecs, "embedding", k = 3, iters = 6)
+    cents.length shouldBe 3
+    // each true cluster should have exactly one nearest centroid
+    val assignments = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      (r.getLong(0) % 3) -> cents.zipWithIndex.maxBy { case (c, _) => cos(v, c) }._2
+    }
+    assignments.groupBy(_._1).values.foreach { cluster =>
+      cluster.map(_._2).distinct.length shouldBe 1 // cluster-pure assignment
+    }
+    assignments.map(_._2).distinct.length shouldBe 3 // no two clusters share a centroid
+  }
+
+  test("IVF top-k reaches high recall vs brute force (S3)") {
+    val cents   = IvfAnn.trainCentroids(vecs, "embedding", k = 3, iters = 6)
+    val queries = vecs.filter(col("vec_id") < 9)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfAnn.topK(queries, vecs, "vec_id", "embedding", cents, k = 5, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    recall should be >= 0.9 // separated clusters: nprobe=1 already suffices
+  }
+}
