@@ -23,6 +23,16 @@ object Relational {
 
   private def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Final-projection rendering rule: aggregate in DECIMAL (exact,
+    * shuffle-order-deterministic), but emit DOUBLE. The driver's comparator
+    * renders Spark parquet decimals with full scale ("77.00") and DuckDB
+    * decimals as floats ("77.0"), so any trailing-zero decimal output fails
+    * the hash even when values are identical. A correctly-rounded double of
+    * the same exact decimal is bit-identical in both engines. Every oracle
+    * SQL mirrors this with CAST(... AS DOUBLE).
+    */
+  private def emit(c: Column): Column = c.cast("double")
+
   /** Discounted revenue — the TPC-H workhorse metric. The multiply happens in
     * DECIMAL domain (exact), never on doubles: rounding a double *product* to
     * 2dp lands on .005 boundaries where engines disagree; rounding the raw
@@ -48,9 +58,9 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(money(col("l_quantity"))).as("sum_qty"),
-          sum(money(col("l_extendedprice"))).as("sum_base_price"),
-          sum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+          emit(sum(money(col("l_quantity")))).as("sum_qty"),
+          emit(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+          emit(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
 
@@ -62,7 +72,7 @@ object Relational {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+        .agg(emit(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("rev"))
         .orderBy(col("rev").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -77,7 +87,7 @@ object Relational {
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"),
+          emit(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("rev"),
           count(lit(1)).as("n_items"))
     },
 
@@ -95,8 +105,11 @@ object Relational {
         .join(t.part, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      // rank over the exact decimal; emit double + long rank (driver parity)
       val w = Window.partitionBy(col("p_brand")).orderBy(col("rev").desc, col("p_partkey"))
       base.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), emit(col("rev")).as("rev"),
+          col("rk").cast("long").as("rk"))
     },
 
     "r8_window_running" -> { (s, dir) =>
@@ -105,7 +118,7 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir).orders
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(money(col("o_totalprice"))).over(w).as("running_spend"))
+          emit(sum(money(col("o_totalprice"))).over(w)).as("running_spend"))
     },
 
     "r9_distinct" -> { (s, dir) =>
@@ -134,8 +147,8 @@ object Relational {
           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
-          sum(when(col("event_type") === "purchase", money(col("value")))
-            .otherwise(money(lit(0)))).as("purchase_value"))
+          emit(sum(when(col("event_type") === "purchase", money(col("value")))
+            .otherwise(money(lit(0))))).as("purchase_value"))
     },
 
     "r12_topk" -> { (s, dir) =>
@@ -155,7 +168,7 @@ object Relational {
       t.orders.join(big, col("o_orderkey") === col("bl_orderkey"), "left")
         .groupBy("o_orderkey")
         .agg(
-          coalesce(sum(money(col("bl_extendedprice"))), money(lit(0))).as("big_value"),
+          emit(coalesce(sum(money(col("bl_extendedprice"))), money(lit(0)))).as("big_value"),
           count(col("bl_orderkey")).as("n_big_items"))
     },
 
@@ -179,6 +192,7 @@ object Relational {
         .groupBy("p_brand", "p_partkey")
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
       graft.plans.TopK.perGroup(base, Seq("p_brand"), Seq("rev", "p_partkey"), k = 3)
+        .withColumn("rev", emit(col("rev")))
     },
 
     // ---- wd2sql surface (reference: README.md:103-156, src/id.rs:6-24) ----
@@ -253,16 +267,16 @@ object Relational {
 
     "r2_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "r3_join_agg" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -272,7 +286,7 @@ object Relational {
 
     "r4_star_join" ->
       """SELECT r_name, n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev,
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
@@ -285,7 +299,7 @@ object Relational {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
 
     "r7_window_topn" ->
-      """SELECT p_brand, p_partkey, rev, rk FROM (
+      """SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS rev, rk FROM (
         |  SELECT p_brand, p_partkey, rev,
         |    rank() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rk
         |  FROM (
@@ -297,9 +311,9 @@ object Relational {
 
     "r8_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders""".stripMargin,
 
     "r9_distinct" ->
@@ -320,8 +334,8 @@ object Relational {
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-        |  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY 1""".stripMargin,
 
     "r12_topk" ->
@@ -330,7 +344,7 @@ object Relational {
 
     "r14_nullsafe" ->
       """SELECT o_orderkey,
-        |  coalesce(sum(CAST(bl_extendedprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS big_value,
+        |  CAST(coalesce(sum(CAST(bl_extendedprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS big_value,
         |  count(bl_orderkey) AS n_big_items
         |FROM orders LEFT JOIN (
         |  SELECT l_orderkey AS bl_orderkey, l_extendedprice AS bl_extendedprice
@@ -345,7 +359,7 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "p1_topk_native" ->
-      """SELECT p_brand, p_partkey, rev FROM (
+      """SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS rev FROM (
         |  SELECT p_brand, p_partkey, rev,
         |    row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey DESC) AS rn
         |  FROM (

@@ -2,25 +2,33 @@ package graft.streaming
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Batch-equivalent gate queries for the streaming operators (X1/X2): the
   * same column algebra the streams run, executed over the `events` table so
-  * DuckDB can oracle-check the semantics. */
+  * DuckDB can oracle-check the semantics.
+  *
+  * The operators aggregate money in DECIMAL (exact at any parallelism); the
+  * gates cast the final `total_value` to DOUBLE because the driver's
+  * comparator renders Spark decimals with full scale but DuckDB decimals as
+  * floats — see Relational.emit. */
 object StreamingGates {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_window_agg" -> { (s, dir) =>
       EventStreams.windowedAgg(Tables(s, dir).events)
+        .withColumn("total_value", col("total_value").cast("double"))
     },
     "x2_sessionize" -> { (s, dir) =>
       EventStreams.sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
+        .withColumn("total_value", col("total_value").cast("double"))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
     "x1_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "x2_sessionize" ->
@@ -41,7 +49,7 @@ object StreamingGates {
         |  count(*) AS n_events,
         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin
   )
 }

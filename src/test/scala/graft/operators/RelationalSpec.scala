@@ -18,11 +18,11 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("r2_agg: group count and decimal-exact sums") {
+  test("r2_agg: group count and sums (decimal math, double projection)") {
     val rows = Relational.queries("r2_agg")(spark, dir).collect()
     rows.length shouldBe 6 // 3 returnflags × 2 linestatus minus absent combos
     rows.foreach { r =>
-      r.getDecimal(2).signum() should be >= 0
+      r.getDouble(2) should be >= 0.0
       r.getLong(5) should be > 0L
     }
   }
