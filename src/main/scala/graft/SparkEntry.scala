@@ -12,10 +12,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ LlmOps.queries ++ graft.streaming.StreamingGates.queries
+    Relational.queries ++ LlmOps.queries ++ graft.streaming.StreamingGates.queries ++
+      graft.wikidata.EtlGates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables (the ETL gates read the checked-in mini-dump
+    * by absolute path instead). Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ LlmOps.oracleSql ++ graft.streaming.StreamingGates.oracleSql
+    Relational.oracleSql ++ LlmOps.oracleSql ++ graft.streaming.StreamingGates.oracleSql ++
+      graft.wikidata.EtlGates.oracleSql
 }

@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Generate the deterministic ETL mini-dump checked in at data/etl_minidump.jsonl.
+
+The file mimics the Wikidata dump framing the reference consumes
+(reference: src/main.rs:174-215): a `[` line, one JSON entity per line with a
+trailing comma, a `]` line — plus deliberately malformed lines that a tolerant
+reader must skip. It is the shared input for the driver-visible ETL gate:
+graft.wikidata.EtlGates runs the Spark ETL over it, and the paired DuckDB
+oracle SQL re-derives each output table from the same file with JSON
+functions. Regenerate with `python3 tools/gen_minidump.py` (seeded — output
+is byte-stable).
+
+Coverage by construction: Q/P/L entities; labels/descriptions present and
+absent; string + monolingualtext claims (incl. a text-less monolingual that
+must route to `none`); entity refs incl. lexeme form/sense ids and one
+malformed id; globe coordinates with/without precision; quantities with
+bounds, dimensionless unit "1", unit URIs, and one malformed amount; times
+with zero month/day at coarse precision; novalue/somevalue snaks; deprecated
+ranks (must be dropped); junk lines (must be skipped).
+"""
+import json
+import random
+
+OUT = "data/etl_minidump.jsonl"
+rng = random.Random(20260812)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "rho", "sigma", "omega", "kappa"]
+
+
+def word():
+    return rng.choice(WORDS) + str(rng.randint(0, 99))
+
+
+def statement(snak, rank):
+    return {"mainsnak": snak, "type": "statement", "rank": rank}
+
+
+def gen_entity(i):
+    kind = rng.randrange(3)
+    n = i + 1
+    id_text = ("Q", "P", "L")[kind] + str(n)
+    ent = {"id": id_text, "type": "item", "labels": {}, "descriptions": {}, "claims": {}}
+    if rng.random() < 0.7:
+        ent["labels"]["en"] = {"language": "en", "value": word()}
+    if rng.random() < 0.5:
+        ent["descriptions"]["en"] = {"language": "en", "value": word() + " " + word()}
+    # a sprinkle of non-English labels the ETL must ignore
+    if rng.random() < 0.3:
+        ent["labels"]["de"] = {"language": "de", "value": word()}
+
+    for _ in range(rng.randrange(5)):
+        pid = rng.randint(1, 9999)
+        rank = rng.choice(["normal", "normal", "preferred", "deprecated"])
+        kind = rng.randrange(10)
+        if kind == 0:  # plain string
+            snak = {"snaktype": "value", "property": f"P{pid}",
+                    "datavalue": {"value": word() + " " + word(), "type": "string"}}
+        elif kind == 1:  # monolingual text
+            snak = {"snaktype": "value", "property": f"P{pid}",
+                    "datavalue": {"value": {"text": word(), "language": "en"},
+                                  "type": "monolingualtext"}}
+        elif kind == 2:  # monolingual with no text -> none table
+            snak = {"snaktype": "value", "property": f"P{pid}",
+                    "datavalue": {"value": {"language": "en"}, "type": "monolingualtext"}}
+        elif kind == 3:  # entity ref (sometimes a form/sense id, rarely malformed)
+            r = rng.random()
+            if r < 0.6:
+                target = f"Q{rng.randint(1, 99999)}"
+            elif r < 0.75:
+                target = f"L{rng.randint(1, 999)}-F{rng.randint(1, 9)}"
+            elif r < 0.9:
+                target = f"L{rng.randint(1, 999)}-S{rng.randint(1, 9)}"
+            else:
+                target = "Qbroken"  # encode -> NULL -> dropped
+            snak = {"snaktype": "value", "property": f"P{pid}",
+                    "datavalue": {"value": {"entity-type": "item", "id": target},
+                                  "type": "wikibase-entityid"}}
+        elif kind == 4:  # coordinates
+            lat = round(rng.uniform(-90, 90) * 2) / 2.0
+            lon = round(rng.uniform(-180, 180) * 2) / 2.0
+            value = {"latitude": lat, "longitude": lon,
+                     "globe": "http://www.wikidata.org/entity/Q2"}
+            if rng.random() < 0.8:
+                value["precision"] = rng.choice([0.1, 0.01, 1.0])
+            snak = {"snaktype": "value", "property": f"P{pid}",
+                    "datavalue": {"value": value, "type": "globecoordinate"}}
+        elif kind == 5:  # quantity
+            amt = round(rng.uniform(-100, 10000), 2)
+            value = {"amount": f"+{amt}" if amt >= 0 else str(amt)}
+            if rng.random() < 0.1:
+                value["amount"] = "+not-a-number"  # try_cast -> NULL amount
+            if rng.random() < 0.5:
+                value["unit"] = "1"
+            else:
+                value["unit"] = f"http://www.wikidata.org/entity/Q{rng.randint(1, 999)}"
+            if rng.random() < 0.3:
+                value["lowerBound"] = f"+{round(amt - 1, 2)}"
+                value["upperBound"] = f"+{round(amt + 1, 2)}"
+            snak = {"snaktype": "value", "property": f"P{pid}",
+                    "datavalue": {"value": value, "type": "quantity"}}
+        elif kind == 6:  # time (zero month/day at coarse precision)
+            # years kept >= 1900: pyarrow coerces INT96 parquet timestamps to
+            # nanoseconds, whose range starts at 1677 — an earlier year would
+            # overflow in any ns-based reader (driver comparator included)
+            year = rng.randint(1900, 1999)
+            month = 0 if rng.random() < 0.5 else rng.randint(1, 12)
+            day = 0 if month == 0 or rng.random() < 0.5 else rng.randint(1, 28)
+            prec = rng.randint(9, 11)
+            value = {"time": f"+{year:04d}-{month:02d}-{day:02d}T00:00:00Z",
+                     "timezone": 0, "precision": prec}
+            snak = {"snaktype": "value", "property": f"P{pid}",
+                    "datavalue": {"value": value, "type": "time"}}
+        elif kind == 7:
+            snak = {"snaktype": "novalue", "property": f"P{pid}"}
+        else:
+            snak = {"snaktype": "somevalue", "property": f"P{pid}"}
+        ent["claims"].setdefault(f"P{pid}", []).append(statement(snak, rank))
+    return ent
+
+
+def main():
+    lines = ["["]
+    for i in range(300):
+        lines.append(json.dumps(gen_entity(i), separators=(",", ":")) + ",")
+        if i % 60 == 17:
+            lines.append("this is not json,")  # tolerant reader must skip
+        if i % 60 == 43:
+            lines.append("")  # blank line must be skipped
+    lines.append("]")
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {OUT}: {len(lines)} lines")
+
+
+if __name__ == "__main__":
+    main()
