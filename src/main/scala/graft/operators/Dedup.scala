@@ -46,6 +46,14 @@ object Dedup {
             i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
       .drop("__toks")
 
+  /** Distinct word-shingle hash sets per document: (id, __set). The shared
+    * staging frame for every shingle-based operator — compute once, persist,
+    * and derive candidates + verification from it (one tokenization pass
+    * over the corpus instead of one per stage). */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    withShingleHashes(df, textCol, k)
+      .select(col(idCol).as("id"), array_distinct(col("__sh")).as("__set"))
+
   /** MinHash signature (length `numHashes`) over a pre-staged shingle-hash
     * array column — a native codegen'd expression (one primitive loop per
     * row); the higher-order-function formulation evaluated interpreted and
@@ -81,35 +89,77 @@ object Dedup {
       .select(col(idCol).as("id"), minhashSignatureOver(col("__sh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(col("id"), col("sig"),
+    // The band join ships only (band, band_hash, id) — NOT the 64-long
+    // signature (~16 KB/row×bands of shuffle it doesn't need). Pairs are
+    // dedup'd on bare ids first; signatures re-join once per surviving pair.
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit("band"), lit(b), to_json(slice(col("sig"), b * rows + 1, rows)))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .select("band", "band_hash", "id")
 
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.withColumnRenamed("id", "id_a")
+    val b = banded.withColumnRenamed("id", "id_b")
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** D4: exact n-gram Jaccard verification on candidate pairs — join the
     * shingle sets back and compute |∩|/|∪| precisely. `pairs` must have
-    * (id_a, id_b); only candidates pay this cost.
+    * (id_a, id_b); only candidates pay this cost. `sets` is a pre-staged
+    * `shingleSets` frame so callers share one tokenization pass.
     */
-  def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3): DataFrame = {
-    val sets = withShingleHashes(df, textCol, shingleK)
-      .select(col(idCol).as("__jid"), array_distinct(col("__sh")).as("__set"))
+  def jaccardVerifySets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
-      .join(sets.withColumnsRenamed(Map("__jid" -> "id_a", "__set" -> "set_a")), Seq("id_a"))
-      .join(sets.withColumnsRenamed(Map("__jid" -> "id_b", "__set" -> "set_b")), Seq("id_b"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "__set" -> "set_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "__set" -> "set_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))))
       .drop("set_a", "set_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Convenience form that stages the sets itself (one extra tokenization —
+    * prefer `jaccardVerifySets` when a sets frame already exists). */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3): DataFrame =
+    jaccardVerifySets(pairs, shingleSets(df, textCol, idCol, shingleK))
+
+  /** D4 end-to-end: exact n-gram Jaccard near-dup pairs via a shingle
+    * inverted index. Candidates = pairs sharing ≥1 shingle (optionally only
+    * shingles appearing in ≤ `maxDf` docs — the standard guard that keeps a
+    * boilerplate shingle from creating a quadratic bucket at corpus scale);
+    * only candidates pay the exact |∩|/|∪| cost. Fully deterministic (unlike
+    * the MinHash candidate path), so it is oracle-checkable end to end.
+    *
+    * Scale shape: one tokenization pass (sets persisted and reused for
+    * candidate generation AND verification), one shuffle on shingle hash,
+    * pair dedup on bare ids before the sets re-join — candidate volume is
+    * Σ_s df(s)², bounded by `maxDf`·corpus when capped.
+    */
+  def ngramJaccardDedup(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5, maxDf: Int = 0): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("id"), explode(col("__set")).as("sh"))
+    val joinable =
+      if (maxDf > 0)
+        ex.join(ex.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("sh"), Seq("sh"))
+      else ex
+    val pairs = joinable.select(col("sh"), col("id").as("id_a"))
+      .join(joinable.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    jaccardVerifySets(pairs, sets).filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 64-bit signature — token hashes vote ±1 per bit, sign of each

@@ -31,7 +31,10 @@ object IvfAnn {
     * first `k` rows by a hash ordering; distances are cosine. Only centroids
     * (k×dim doubles) are collected — assignments never leave the executors. */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int, iters: Int = 5): Seq[Array[Double]] = {
+    // persisted across Lloyd iterations: seeding + every iteration is an
+    // action over this frame — unpersisted, each would re-scan the corpus
     val vecs = df.select(col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[Array[Double]] = vecs
       .withColumn("__h", xxhash64(to_json(col("v"))))
       .orderBy("__h").limit(k)
@@ -51,6 +54,7 @@ object IvfAnn {
       // empty cells keep their previous centroid
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
+    vecs.unpersist(false)
     cents
   }
 

@@ -59,10 +59,10 @@ object LlmOps {
     },
 
     "d4_ngram_jaccard" -> { (s, dir) =>
-      val docs = plantedDocs(s, dir)
-      val candidates = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4)
-      Dedup.jaccardVerify(candidates.select("id_a", "id_b"), docs, "text", "doc_id")
-        .filter(col("jaccard") >= 0.5)
+      // deterministic inverted-index candidates (not MinHash) so the exact
+      // Jaccard result is oracle-checkable end to end
+      Dedup.ngramJaccardDedup(plantedDocs(s, dir), "text", "doc_id",
+          threshold = 0.5, maxDf = 500)
         .orderBy("id_a", "id_b")
     },
 
@@ -143,6 +143,68 @@ object LlmOps {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // Exact n-gram Jaccard re-derived from scratch: same planted corpus,
+    // word 3-shingle sets, shared-shingle candidates (df <= 500), |∩|/|∪|.
+    // Spark hashes shingles (xxhash64) while this uses the strings — set
+    // sizes agree absent 64-bit collisions.
+    "d4_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |         substr(text, 1, greatest(20, CAST(trunc(length(text)*0.9) AS INT))) AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT id, unnest(s) AS sh FROM sets
+        |), oksh AS (
+        |  SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 500
+        |), exf AS (
+        |  SELECT ex.id, ex.sh FROM ex JOIN oksh USING (sh)
+        |), cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM exf a JOIN exf b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        |  FROM cand JOIN sets sa ON cand.id_a = sa.id JOIN sets sb ON cand.id_b = sb.id
+        |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // Brute-force cosine re-derived with double math in the kernel's exact
+    // accumulation order (left fold seeded at 0.0) — bit-identical doubles,
+    // so the 6dp round matches too.
+    "s1_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+        |      (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+        |         (a,b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+        |           (a,b) -> a + b))) AS cosine
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
 
     "t2_quality" ->
       """SELECT doc_id, length(text) AS len_chars,

@@ -9,11 +9,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the query set is small and the corpus is huge, so S1
   * broadcasts the queries over a single corpus scan (no shuffle of the
-  * corpus). S2 buckets both sides by a deterministic hyperplane signature so
-  * only same-bucket candidates are scored — the IVF/LSH trade of recall for
-  * a bucket-bounded candidate count.
+  * corpus). S2/D5 bucket by a deterministic hyperplane signature so only
+  * same-bucket candidates are scored — and the bucket count SCALES WITH THE
+  * CORPUS (`bits = 0` auto-sizes to ~log2(n/target)): a fixed bucket count
+  * would make candidate pairs grow ~n²/2^bits, quadratic at any fixed bits.
   */
 object Similarity {
+
+  /** Bucket-bit auto-sizing: enough buckets that the mean bucket holds
+    * ~`targetBucket` vectors, floored at 8 bits and capped at 24 (the int
+    * bucket id). Candidate volume per table ≈ n·targetBucket instead of
+    * n²/2^bits — linear in the corpus. */
+  private[operators] def autoBits(n: Long, targetBucket: Int): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(8, raw))
+  }
 
   /** S1: brute-force cosine top-k — the exact baseline. `queries` and
     * `corpus` need (idCol, vecCol). Returns (query_id, neighbor_id, cosine)
@@ -33,19 +43,24 @@ object Similarity {
   /** S2: LSH-bucketed ANN. Both sides are hashed into 2^bits hyperplane
     * buckets across `tables` independent hash tables; candidates = same
     * bucket in any table. Recall < 1 by design — the spec measures it
-    * against S1.
+    * against S1. `bits = 0` auto-sizes from the corpus (target bucket ≈ 64,
+    * generous to protect recall; queries are broadcast so candidate volume
+    * is |queries|·bucket·tables, not corpus-quadratic).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, bits: Int = 6, tables: Int = 4, dim: Int = 64): DataFrame = {
+      k: Int = 5, bits: Int = 0, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val b = if (bits > 0) bits else autoBits(c.count(), targetBucket = 64)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+      df.select(col(id), col(vec),
         explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"), hyperplaneBucket(col(vecCol), bits, dim, seed = 1000 + t).as("bucket"))): _*)).as("tb"))
+          struct(lit(t).as("table"), hyperplaneBucket(col(vec), b, dim, seed = 1000 + t).as("bucket"))): _*)).as("tb"))
         .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
 
-    val q = bucketed(broadcast(queries), "query_id", "__qv")
-    val c = bucketed(corpus, "neighbor_id", "__cv")
-    val candidates = q.join(c, Seq("table", "bucket"))
+    val q = bucketed(
+      broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+      "query_id", "__qv")
+    val candidates = q.join(bucketed(c, "neighbor_id", "__cv"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -58,20 +73,29 @@ object Similarity {
   /** D5: embedding-cosine near-duplicate pairs above `threshold`, via the
     * same hyperplane bucketing (candidates must collide in some table).
     * Returns (id_a, id_b, cosine), id_a < id_b.
+    *
+    * Scale shape: the bucket join ships only (table, bucket, id) — never the
+    * vectors; candidate pairs are dedup'd on bare ids and only the surviving
+    * pairs re-join their two vectors for the cosine check. `bits = 0`
+    * auto-sizes the bucket count to the corpus (target bucket ≈ 16).
     */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.99, bits: Int = 6, tables: Int = 4, dim: Int = 64): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("table"), hyperplaneBucket(col(vecCol), bits, dim, seed = 2000 + t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      threshold: Double = 0.99, bits: Int = 0, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = hashed.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = hashed.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table", "bucket"))
+    val b = if (bits > 0) bits else autoBits(base.count(), targetBucket = 16)
+    val buckets = base.select(col("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table"), hyperplaneBucket(col("vec"), b, dim, seed = 2000 + t).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val pairs = buckets.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("table"), col("bucket"), col("id").as("id_b")), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
