@@ -36,6 +36,10 @@ object NativeExpressions {
   /** Column API: 64-bit SimHash over a token-hash array. */
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  /** Column API: polynomial rolling fingerprint of a string. */
+  def polyFingerprint(text: Column): Column =
+    ColumnBridge.column(PolyFingerprint(ColumnBridge.expression(text)))
 }
 
 /** array<long> shingle hashes → array<long> of `numHashes` minima under the
@@ -99,6 +103,57 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** string → Rabin-Karp polynomial fingerprint: fold (acc·31 + codepoint)
+  * mod 1e9+7 over the text. Replaces the `split(text, "")` + `aggregate` HOF
+  * formulation, which allocated a per-character string array per document
+  * and evaluated the fold interpreted — this is one primitive loop over the
+  * string inside WholeStageCodegen, zero per-row allocation.
+  * Matches `ascii()`-per-character semantics (code points). */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+  private val Mod = 1000000007L
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"polyFingerprint expects string, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s   = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i   = ctx.freshName("i")
+      val cp  = ctx.freshName("cp")
+      s"""
+         |String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); ) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31 + $cp) % ${Mod}L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
     copy(child = newChild)
 }
 

@@ -132,30 +132,72 @@ object Dedup {
       shingleK: Int = 3): DataFrame =
     jaccardVerifySets(pairs, shingleSets(df, textCol, idCol, shingleK))
 
-  /** D4 end-to-end: exact n-gram Jaccard near-dup pairs via a shingle
-    * inverted index. Candidates = pairs sharing ≥1 shingle (optionally only
-    * shingles appearing in ≤ `maxDf` docs — the standard guard that keeps a
-    * boilerplate shingle from creating a quadratic bucket at corpus scale);
-    * only candidates pay the exact |∩|/|∪| cost. Fully deterministic (unlike
-    * the MinHash candidate path), so it is oracle-checkable end to end.
+  /** D4 end-to-end: exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED
+    * inverted-index blocking (AllPairs/PPJoin): order every document's
+    * shingles by global rarity (df asc) and index only the first
+    * |s| − ⌈t·|s|⌉ + 1 of them. Any pair with J ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉
+    * shingles, so at least one falls inside BOTH prefixes under the shared
+    * global order — every true pair is a candidate, while high-df
+    * boilerplate shingles (which sort last) almost never enter a prefix and
+    * so never build quadratic buckets. Only candidates pay the exact
+    * |∩|/|∪| cost, and the final result is exactly {pairs: J ≥ t} —
+    * independent of the blocking, hence oracle-checkable end to end (the
+    * DuckDB side may even order ties differently; the guarantee holds for
+    * any global order).
     *
     * Scale shape: one tokenization pass (sets persisted and reused for
-    * candidate generation AND verification), one shuffle on shingle hash,
-    * pair dedup on bare ids before the sets re-join — candidate volume is
-    * Σ_s df(s)², bounded by `maxDf`·corpus when capped.
+    * candidate generation AND verification); shuffles on shingle (df),
+    * id (prefix rank), shingle (pair join) — all at prefix volume, ~(1−t)
+    * of the index; pair dedup on bare ids before the sets re-join.
     */
   def ngramJaccardDedup(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5, maxDf: Int = 0): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("id"), explode(col("__set")).as("sh"))
-    val joinable =
-      if (maxDf > 0)
-        ex.join(ex.groupBy("sh").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select("sh"), Seq("sh"))
-      else ex
-    val pairs = joinable.select(col("sh"), col("id").as("id_a"))
-      .join(joinable.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+    // |A∩B| as a pure count aggregation over the inverted index — the
+    // shingle arrays themselves are never shipped through a join. One slim
+    // (id_a, id_b) shuffle with map-side partial counts.
+    val inter = ex.withColumnRenamed("id", "id_a")
+      .join(ex.withColumnRenamed("id", "id_b"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    val sizes = sets.select(col("id"), size(col("__set")).as("__sz"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("__sz_a") + col("__sz_b") - col("__inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** D4 scale variant for boilerplate-heavy corpora: PREFIX-FILTERED
+    * blocking (AllPairs/PPJoin). A shingle shared by k documents contributes
+    * k² rows to the plain inverted-index join above — a single boilerplate
+    * shingle across 1M docs is quadratic death at 100 TB. Here every
+    * document indexes only its |s| − ⌈t·|s|⌉ + 1 globally-RAREST shingles:
+    * any pair with J ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉ shingles, so one falls in
+    * both prefixes under the shared rarity order — every true pair is still
+    * a candidate (for ANY global order), while high-df shingles never enter
+    * a prefix. Candidates then pay the exact |∩|/|∪| via the set join.
+    * Returns exactly the same {pairs: J ≥ t} as `ngramJaccardDedup`.
+    */
+  def ngramJaccardDedupPrefix(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("id"), explode(col("__set")).as("sh"), size(col("__set")).as("sz"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val ranked = ex.join(dfreq, Seq("sh"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("__df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "sh")
+    val pairs = prefix.withColumnRenamed("id", "id_a")
+      .join(prefix.withColumnRenamed("id", "id_b"), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()

@@ -59,10 +59,9 @@ object LlmOps {
     },
 
     "d4_ngram_jaccard" -> { (s, dir) =>
-      // deterministic inverted-index candidates (not MinHash) so the exact
-      // Jaccard result is oracle-checkable end to end
-      Dedup.ngramJaccardDedup(plantedDocs(s, dir), "text", "doc_id",
-          threshold = 0.5, maxDf = 500)
+      // deterministic prefix-filtered candidates (not MinHash) so the exact
+      // Jaccard result is {pairs: J >= 0.5} — oracle-checkable end to end
+      Dedup.ngramJaccardDedup(plantedDocs(s, dir), "text", "doc_id", threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 
@@ -145,9 +144,10 @@ object LlmOps {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     // Exact n-gram Jaccard re-derived from scratch: same planted corpus,
-    // word 3-shingle sets, shared-shingle candidates (df <= 500), |∩|/|∪|.
-    // Spark hashes shingles (xxhash64) while this uses the strings — set
-    // sizes agree absent 64-bit collisions.
+    // word 3-shingle sets, |∩| as a count aggregation over the inverted
+    // index, |∪| from the set sizes. Spark hashes shingles (xxhash64) while
+    // this uses the strings — counts agree absent 64-bit collisions, and
+    // the result is the pure semantic set {pairs: J >= 0.5}.
     "d4_ngram_jaccard" ->
       """WITH corpus AS (
         |  SELECT doc_id AS id, text FROM documents
@@ -164,20 +164,17 @@ object LlmOps {
         |  FROM toks
         |), ex AS (
         |  SELECT id, unnest(s) AS sh FROM sets
-        |), oksh AS (
-        |  SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 500
-        |), exf AS (
-        |  SELECT ex.id, ex.sh FROM ex JOIN oksh USING (sh)
-        |), cand AS (
-        |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM exf a JOIN exf b ON a.sh = b.sh AND a.id < b.id
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
         |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT id, len(s) AS sz FROM sets
         |)
         |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT id_a, id_b,
-        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-        |      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
-        |  FROM cand JOIN sets sa ON cand.id_a = sa.id JOIN sets sb ON cand.id_b = sb.id
+        |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |  FROM inter JOIN sizes sa ON inter.id_a = sa.id
+        |             JOIN sizes sb ON inter.id_b = sb.id
         |) WHERE jaccard >= 0.5""".stripMargin,
 
     // Brute-force cosine re-derived with double math in the kernel's exact

@@ -117,14 +117,13 @@ object TextAnalysis {
   // ---- fingerprinting (T4) ----
 
   /** Polynomial rolling hash over the document's characters:
-    * h = fold(h*31 + code) mod 1e9+7 — the classic Rabin-Karp fingerprint,
-    * computed with `aggregate` over the char array (codegen'd, no UDF).
+    * h = fold(h*31 + codepoint) mod 1e9+7 — the classic Rabin-Karp
+    * fingerprint, as a native codegen'd expression (the `split(text, "")` +
+    * `aggregate` HOF formulation allocated a per-char string array per
+    * document and evaluated interpreted).
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+    graft.functions.NativeExpressions.polyFingerprint(text)
 
   /** Shingle fingerprints: hash of each k-word window — the building block
     * for MinHash and content-defined chunking. */

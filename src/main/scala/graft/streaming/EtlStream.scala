@@ -23,9 +23,9 @@ object EtlStream {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val tables = WikidataEtl.run(batch.toDF())
-        tables.byName.foreach { case (name, df) =>
+        try tables.byName.foreach { case (name, df) =>
           df.write.mode("append").parquet(s"$outDir/$name")
-        }
+        } finally tables.unpersist() // bounded memory across micro-batches
       }
       .start()
   }

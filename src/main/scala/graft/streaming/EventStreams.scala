@@ -27,6 +27,14 @@ object EventStreams {
     * hence top-level). Money held as cents to stay exact in state. */
   case class Acc(seq: Long, n: Long, startUs: Long, endUs: Long, cents: Long)
 
+  /** Per-user streaming state: open sessions plus the last-used session
+    * sequence number. `lastSeq` survives even when every session closes —
+    * removing the state entirely would restart the next session at seq 1,
+    * emitting duplicate (user_id, session_seq) keys over the stream's
+    * lifetime and breaking batch/stream equivalence (batch numbering is
+    * cumulative). */
+  case class SessState(lastSeq: Long, open: List[Acc])
+
   private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
   /** X1: tumbling-window counts/sums per event type. Works on batch frames
@@ -107,13 +115,14 @@ object EventStreams {
         col("value").cast("double").as("value"))
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Acc], Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, events, state: GroupState[List[Acc]]) =>
+        case (userId, events, state: GroupState[SessState]) =>
           // Accumulate; sessions that the watermark has passed are emitted.
           // In-order processing per micro-batch; late events beyond the open
           // head session would need a merge pass (bounded by the watermark).
-          var accs = state.getOption.getOrElse(Nil)
+          val prev = state.getOption.getOrElse(SessState(0L, Nil))
+          var accs = prev.open
           def usOf(e: Event): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
           val sorted = events.toSeq.sortBy(e => (usOf(e), e.event_id))
           for (e <- sorted) {
@@ -124,16 +133,16 @@ object EventStreams {
                 head.copy(n = head.n + 1, endUs = math.max(head.endUs, us),
                   cents = head.cents + cents) :: tail
               case _ =>
-                Acc(accs.headOption.map(_.seq + 1).getOrElse(1L), 1, us, us, cents) :: accs
+                Acc(accs.headOption.map(_.seq + 1).getOrElse(prev.lastSeq + 1), 1, us, us, cents) :: accs
             }
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (closed, open) = accs.partition(a => wmUs > 0 && a.endUs + gapUs < wmUs)
-          if (open.isEmpty && closed.nonEmpty) state.remove()
-          else {
-            state.update(open)
-            if (open.nonEmpty) state.setTimeoutTimestamp(open.head.endUs / 1000 + gapUs / 1000)
-          }
+          // the counter outlives closed sessions: state is kept (never
+          // removed) so a user's next session continues the numbering
+          val lastSeq = accs.headOption.map(_.seq).getOrElse(prev.lastSeq)
+          state.update(SessState(lastSeq, open))
+          if (open.nonEmpty) state.setTimeoutTimestamp(open.head.endUs / 1000 + gapUs / 1000)
           closed.reverseIterator.map(a => toSession(userId, a))
       }
   }

@@ -9,6 +9,24 @@ import graft.GraftSession
   *
   * Usage: EtlMain <dump.json or directory of shards> <output dir> [partitions]
   */
+/** Throttled cumulative input-row progress off task metrics. */
+final class ProgressListener(t0: Long)
+    extends org.apache.spark.scheduler.SparkListener {
+  private val rows = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var lastPrint = 0L
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val metrics = e.taskMetrics
+    if (metrics != null) {
+      val n   = rows.addAndGet(metrics.inputMetrics.recordsRead)
+      val now = System.nanoTime()
+      if (now - lastPrint > 1000000000L) {
+        lastPrint = now
+        println(f"  [${(now - t0) / 1e9}%7.1f s] ...$n%,d input rows read")
+      }
+    }
+  }
+}
+
 object EtlMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -26,9 +44,16 @@ object EtlMain {
     val t0    = System.nanoTime()
     def mark(label: String): Unit =
       println(f"  [${(System.nanoTime() - t0) / 1e9}%7.1f s] $label")
+    // per-entity progress (reference prints every N entities,
+    // src/main.rs:108-118): task input-record counts via a listener — free,
+    // no per-row instrumentation in the job itself
+    val progress = new ProgressListener(t0)
+    spark.sparkContext.addSparkListener(progress)
     val tables = WikidataEtl.run(DumpReader.read(spark, dumpPath))
     mark("plan built")
     tables.writeParquet(outDir, partitions)
+    tables.unpersist()
+    spark.sparkContext.removeSparkListener(progress)
     mark("tables written")
     val counts = tables.byName.map { case (n, _) =>
       n -> spark.read.parquet(s"$outDir/$n").count()

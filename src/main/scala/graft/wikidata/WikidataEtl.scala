@@ -13,12 +13,19 @@ final case class WikidataTables(
     quantity: DataFrame,
     time: DataFrame,
     none: DataFrame,
-    unknown: DataFrame) {
+    unknown: DataFrame,
+    /** the shared cached claim core, when `run(cache = true)` built one —
+      * call `unpersist()` once the sinks are done */
+    core: Option[DataFrame] = None) {
 
   def byName: Map[String, DataFrame] = Map(
     "meta" -> meta, "string" -> string, "entity" -> entity,
     "coordinates" -> coordinates, "quantity" -> quantity, "time" -> time,
     "none" -> none, "unknown" -> unknown)
+
+  /** Release the cached claim core (bounded-memory long-running callers —
+    * streaming micro-batches — must pair every `run` with this). */
+  def unpersist(): Unit = core.foreach(_.unpersist(false))
 
   /** Write all tables as parquet under `dir`, one subdirectory each.
     *
@@ -28,16 +35,36 @@ final case class WikidataTables(
     * (property_id, id) so parquet row-group min/max stats prune both claim
     * lookups by property and id probes — the two index shapes the reference
     * builds.
+    *
+    * The eight writes are submitted CONCURRENTLY: they all read the one
+    * cached claim core, and each is small relative to the parse, so serial
+    * submission leaves the cluster idle between write jobs (~8×
+    * job-scheduling + sink latency on the critical path). Spark's scheduler
+    * runs concurrent jobs from separate submitting threads.
     */
-  def writeParquet(dir: String, partitions: Int = 0): Unit =
-    byName.foreach { case (name, df) =>
-      val sized = if (partitions > 0) df.repartition(partitions, col("id")) else df
-      val sorted =
-        if (df.columns.contains("property_id"))
-          sized.sortWithinPartitions("property_id", "id")
-        else sized.sortWithinPartitions("id")
-      sorted.write.mode("overwrite").parquet(s"$dir/$name")
-    }
+  def writeParquet(dir: String, partitions: Int = 0): Unit = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // materialize the shared cache once, sequentially, before fanning out —
+    // otherwise all eight jobs race to compute the same uncached partitions
+    core.foreach(_.count())
+    val pool = Executors.newFixedThreadPool(byName.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val jobs = byName.toSeq.map { case (name, df) =>
+        Future {
+          val sized = if (partitions > 0) df.repartition(partitions, col("id")) else df
+          val sorted =
+            if (df.columns.contains("property_id"))
+              sized.sortWithinPartitions("property_id", "id")
+            else sized.sortWithinPartitions("id")
+          sorted.write.mode("overwrite").parquet(s"$dir/$name")
+        }
+      }
+      Await.result(Future.sequence(jobs), Duration.Inf)
+    } finally pool.shutdown()
+  }
 }
 
 /** Wikidata JSON dump → normalized typed tables, the wd2sql pipeline
@@ -218,13 +245,17 @@ object WikidataEtl {
       quantity = quantityTable(core),
       time = timeTable(core),
       none = noneTable(core),
-      unknown = unknownTable(core))
+      unknown = unknownTable(core),
+      core = if (cache) Some(core) else None)
   }
 
-  /** End-to-end: dump path → parquet tables at `outDir`. */
+  /** End-to-end: dump path → parquet tables at `outDir`. The cached claim
+    * core is released after the writes (callers re-reading the tables should
+    * read the written parquet, not the returned frames). */
   def runFile(spark: SparkSession, dumpPath: String, outDir: String, partitions: Int = 0): WikidataTables = {
     val tables = run(DumpReader.read(spark, dumpPath))
     tables.writeParquet(outDir, partitions)
+    tables.unpersist()
     tables
   }
 }

@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpec {
     math.abs(est((1L, 3L)) - verified((1L, 3L))) should be < 0.25 // 64 hashes → ±1.96/√64 ≈ 0.25
   }
 
+  test("ngramJaccardDedup finds exactly the J>=t pairs via prefix filtering (D4)") {
+    val pairs = Dedup.ngramJaccardDedup(corpus, "text", "id", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.keySet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+    pairs((1L, 2L)) shouldBe 1.0
+    pairs((1L, 3L)) should be > 0.6
+    // blocking-independence: the result equals brute-force exact Jaccard,
+    // and the prefix-filtered scale variant returns the identical set
+    val ids   = corpus.select("id").as[Long].collect()
+    val brute = Dedup.jaccardVerify(
+      ids.combinations(2).map(p => (p.min, p.max)).toSeq.toDF("id_a", "id_b"),
+      corpus, "text", "id").filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs.keySet shouldBe brute
+    val viaPrefix = Dedup.ngramJaccardDedupPrefix(corpus, "text", "id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    viaPrefix shouldBe brute
+  }
+
   test("simhash: identical text → distance 0, near text → small, unrelated → large (D3)") {
     val sigs = corpus.select(col("id"), Dedup.simhash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -71,6 +71,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session numbering continues after all sessions close (X2 counter)") {
+    val input = MemoryStream[EventStreams.Event](spark)
+    val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("x2_seq_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(EventStreams.Event(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      // other-user event pushes the watermark; user 7's session closes via
+      // TIMEOUT (no user-7 events in flight), which used to drop the counter
+      input.addData(EventStreams.Event(2, ts(600), 9, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(3, ts(1200), 7, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(4, ts(2000), 9, "click", 0.0))
+      q.processAllAvailable()
+      val seqs = spark.table("x2_seq_stream")
+        .filter(col("user_id") === 7).select("session_seq")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      seqs shouldBe Seq(1L, 2L) // cumulative, matching batch numbering
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch sessionization (X2)") {
     val input = MemoryStream[EventStreams.Event](spark)
     val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
