@@ -40,6 +40,104 @@ object NativeExpressions {
   /** Column API: polynomial rolling fingerprint of a string. */
   def polyFingerprint(text: Column): Column =
     ColumnBridge.column(PolyFingerprint(ColumnBridge.expression(text)))
+
+  /** Column API: k-word shingle hashes over a token array. */
+  def wordShingleHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(tokens), k))
+}
+
+/** array<string> tokens → array<long> k-shingle hashes: xxhash64 each token
+  * once, then combine each k-window with an FNV-style mix. Replaces the
+  * `transform(sequence(...), i -> xxhash64(concat_ws(slice(...))))` HOF
+  * formulation, which evaluated interpreted and built a concatenated STRING
+  * per shingle per row — this is two primitive loops, no string allocation.
+  * Fewer than k tokens → one hash of the whole token list (same convention
+  * as the HOF version: every document gets ≥1 shingle).
+  * Hash VALUES differ from the old formulation by design — every consumer
+  * (MinHash, Jaccard counts, dedup) only needs set semantics, not specific
+  * hash values. */
+case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wordShingleHashes expects array<string>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n   = arr.numElements()
+    val tok = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      tok(i) = if (s == null) 0L
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          s, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    if (n < k) {
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < n) { h = (h ^ tok(j)) * 1099511628211L; j += 1 }
+      new GenericArrayData(Array(h))
+    } else {
+      val out = new Array[Long](n - k + 1)
+      var w = 0
+      while (w <= n - k) {
+        var h = -3750763034362895579L
+        var j = 0
+        while (j < k) { h = (h ^ tok(w + j)) * 1099511628211L; j += 1 }
+        out(w) = h
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n   = ctx.freshName("n")
+      val tok = ctx.freshName("tok")
+      val i   = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val w   = ctx.freshName("w")
+      val j   = ctx.freshName("j")
+      val h   = ctx.freshName("h")
+      val s   = ctx.freshName("s")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $tok = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+         |  $tok[$i] = ($s == null) ? 0L
+         |    : org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+         |        $s, org.apache.spark.sql.types.DataTypes.StringType, 42L);
+         |}
+         |long[] $out;
+         |if ($n < $k) {
+         |  long $h = -3750763034362895579L;
+         |  for (int $j = 0; $j < $n; $j++) { $h = ($h ^ $tok[$j]) * 1099511628211L; }
+         |  $out = new long[] { $h };
+         |} else {
+         |  $out = new long[$n - $k + 1];
+         |  for (int $w = 0; $w <= $n - $k; $w++) {
+         |    long $h = -3750763034362895579L;
+         |    for (int $j = 0; $j < $k; $j++) { $h = ($h ^ $tok[$w + $j]) * 1099511628211L; }
+         |    $out[$w] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
 }
 
 /** array<long> shingle hashes → array<long> of `numHashes` minima under the

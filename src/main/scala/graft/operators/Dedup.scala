@@ -30,21 +30,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Stage word-shingle hashes as a materialized `__sh` column. Catalyst
-    * lambda bodies re-evaluate captured subtrees per element, so feeding the
-    * raw shingle *expression* into 64 hash loops would re-run the regex
-    * tokenizer 64× per row (measured: minutes instead of seconds at sf0.1).
-    * Two chained projections force one evaluation; downstream loops see a
-    * cheap attribute. CollapseProject keeps the split, because the tokenize
-    * expression is non-trivial and referenced more than once.
+  /** Word-shingle hashes as a `__sh` column via the native
+    * `WordShingleHashes` kernel: one tokenize, one primitive two-loop pass
+    * (per-token xxhash64 + k-window mix). The earlier HOF formulation
+    * (`transform(sequence, i -> xxhash64(concat_ws(slice(...))))`) evaluated
+    * interpreted and allocated a concatenated string per shingle per row —
+    * the dominant cost of every shingle operator at sf0.1.
     */
   private def withShingleHashes(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
-      .withColumn("__sh",
-        when(size(col("__toks")) < k, array(xxhash64(concat_ws(" ", col("__toks")))))
-          .otherwise(transform(sequence(lit(0), size(col("__toks")) - k),
-            i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
-      .drop("__toks")
+    df.withColumn("__sh",
+      graft.functions.NativeExpressions.wordShingleHashes(
+        split(lower(trim(col(textCol))), "\\s+"), k))
 
   /** Distinct word-shingle hash sets per document: (id, __set). The shared
     * staging frame for every shingle-based operator — compute once, persist,
@@ -92,9 +88,13 @@ object Dedup {
     // The band join ships only (band, band_hash, id) — NOT the 64-long
     // signature (~16 KB/row×bands of shuffle it doesn't need). Pairs are
     // dedup'd on bare ids first; signatures re-join once per surviving pair.
+    // Band hash = xxhash64 over the band's raw signature longs (an earlier
+    // to_json(slice(...)) formulation allocated a JSON string per band per
+    // row — pure long hashing stays codegen'd and allocation-free).
+    def bandHash(b: Int): Column =
+      xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit("band"), lit(b), to_json(slice(col("sig"), b * rows + 1, rows)))): _*)))
+      posexplode(array((0 until bands).map(bandHash): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
       .select("band", "band_hash", "id")
 
@@ -205,10 +205,13 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature — token hashes vote ±1 per bit, sign of each
-    * bit-sum becomes the bit. Near-dups have small hamming distance. */
+    * bit-sum becomes the bit. Near-dups have small hamming distance.
+    * Token hashing via the native shingle kernel (k=1): the
+    * `transform(..., t -> xxhash64(t))` HOF evaluated interpreted. */
   def simhash(text: Column): Column =
     graft.functions.NativeExpressions.simhash64(
-      transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
+      graft.functions.NativeExpressions.wordShingleHashes(
+        split(lower(trim(text)), "\\s+"), 1))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
