@@ -137,8 +137,67 @@ object LlmOps {
     }
   )
 
+  /** T1 oracle, generated from the SAME marker table the operator uses
+    * (TextAnalysis.LangMarkers) so the two can never drift: per-language
+    * marker-hit counts over the padded lowercase text, best (score, lang)
+    * struct via list_max — DuckDB struct ordering = field order = exactly
+    * Spark's greatest(struct(score, lang)) tie-break — and 'und' at zero. */
+  private def t1OracleSql: String = {
+    val langs = TextAnalysis.LangMarkers.keys.toSeq.sorted
+    def esc(m: String) = m.replace("'", "''")
+    val scored = langs.map { l =>
+      val hits = TextAnalysis.LangMarkers(l)
+        .map(m => s"CAST(contains(padded, '${esc(m)}') AS INT)").mkString(" + ")
+      s"{'s': $hits, 'l': '$l'}"
+    }
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents
+       |), best AS (
+       |  SELECT doc_id, lang, list_max([${scored.mkString(", ")}]) AS b FROM p
+       |)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  CASE WHEN b['s'] = 0 THEN 'und' ELSE b['l'] END AS detected_lang
+       |FROM best""".stripMargin
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   def oracleSql: Map[String, String] = Map(
+    "t1_langid" -> t1OracleSql,
+
+    // The M1 feature extraction re-derived byte-by-byte: payload = utf-8
+    // bytes (hex-decomposed), checksum = fold(c*31 + byte) with signed
+    // 64-bit WRAPAROUND emulated in HUGEINT (DuckDB BIGINT overflow throws,
+    // JVM long arithmetic wraps), hist_0 = count of bytes ≡ 0 (mod 16).
+    // Verifies the mapPartitions plumbing end to end — only the codec body
+    // itself is the declared stub.
+    "m1_multimodal" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    encode(text) AS payload
+        |  FROM documents
+        |), hx AS (
+        |  SELECT media_id, modality, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m
+        |), bytes AS (
+        |  SELECT media_id, modality, n_bytes,
+        |    list_transform(range(0, CAST(n_bytes AS INT)),
+        |      i -> (instr('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+        |         + (instr('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)) AS bs
+        |  FROM hx
+        |), feat AS (
+        |  SELECT media_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |    list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS c_unsigned,
+        |    CAST(len(list_filter(bs, b -> b % 16 = 0)) AS BIGINT) AS hist_0
+        |  FROM bytes
+        |)
+        |SELECT media_id, modality, n_bytes,
+        |  CAST(CASE WHEN c_unsigned >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN c_unsigned - CAST('18446744073709551616' AS HUGEINT)
+        |       ELSE c_unsigned END AS BIGINT) AS checksum,
+        |  hist_0
+        |FROM feat""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -176,6 +235,16 @@ object LlmOps {
         |  FROM inter JOIN sizes sa ON inter.id_a = sa.id
         |             JOIN sizes sb ON inter.id_b = sb.id
         |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // The planted ground truth, derived independently: every vector pairs
+    // with exactly its 1.01-scaled copy (same direction → identical
+    // hyperplane signs in EVERY table, so LSH recall is structurally 1;
+    // float perturbation keeps cosine within 1e-14 of 1.0, far inside the
+    // 6dp round). Gates recall AND precision: a missed planted pair or any
+    // false positive above 0.999 breaks the hash.
+    "d5_embed_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine
+        |FROM embeddings""".stripMargin,
 
     // Brute-force cosine re-derived with double math in the kernel's exact
     // accumulation order (left fold seeded at 0.0) — bit-identical doubles,

@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Bucket-bit auto-sizing: enough buckets that the mean bucket holds
-    * ~`targetBucket` vectors, floored at 8 bits and capped at 24 (the int
-    * bucket id). Candidate volume per table ≈ n·targetBucket instead of
-    * n²/2^bits — linear in the corpus. */
-  private[operators] def autoBits(n: Long, targetBucket: Int): Int = {
+    * ~`targetBucket` vectors, capped at 24 bits (the int bucket id).
+    * Candidate volume per table ≈ n·targetBucket instead of n²/2^bits —
+    * linear in the corpus. `minBits` floors the count: dedup (high
+    * threshold, recall structural) can afford many bits; top-k search needs
+    * populated buckets for recall, so its floor is low. */
+  private[operators] def autoBits(n: Long, targetBucket: Int, minBits: Int): Int = {
     val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
-    math.min(24, math.max(8, raw))
+    math.min(24, math.max(minBits, raw))
   }
 
   /** S1: brute-force cosine top-k — the exact baseline. `queries` and
@@ -50,7 +52,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, bits: Int = 0, tables: Int = 4, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val b = if (bits > 0) bits else autoBits(c.count(), targetBucket = 64)
+    val b = if (bits > 0) bits else autoBits(c.count(), targetBucket = 64, minBits = 4)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), col(vec),
         explode(array((0 until tables).map(t =>
@@ -83,7 +85,7 @@ object Similarity {
       threshold: Double = 0.99, bits: Int = 0, tables: Int = 4, dim: Int = 64): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = if (bits > 0) bits else autoBits(base.count(), targetBucket = 16)
+    val b = if (bits > 0) bits else autoBits(base.count(), targetBucket = 16, minBits = 8)
     val buckets = base.select(col("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"), hyperplaneBucket(col("vec"), b, dim, seed = 2000 + t).as("bucket"))): _*)).as("tb"))
