@@ -22,6 +22,18 @@ object StreamingGates {
     "x2_sessionize" -> { (s, dir) =>
       EventStreams.sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
         .withColumn("total_value", col("total_value").cast("double"))
+    },
+    // X4 batch equivalent: deterministic first-occurrence per event_id (the
+    // streaming form keeps the first arrival; batch pins "first" with a
+    // total order so both engines agree).
+    "x4_dedup_batch" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id")
+        .orderBy("ts", "user_id", "event_type", "value")
+      Tables(s, dir).events
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
     }
   )
 
@@ -50,6 +62,14 @@ object StreamingGates {
         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+
+    "x4_dedup_batch" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY ts, user_id, event_type, value) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin
   )
 }
