@@ -237,6 +237,9 @@ object Dedup {
       b2 <- (b1 + 1) until blocks
     } yield struct(lit(b1 * blocks + b2).as("pk"),
       (blockVal(b1) * (1L << width) + blockVal(b2)).as("pv"))
+    // unlike the MinHash band join (64-long signature arrays), the simhash
+    // signature is ONE long — carrying it through the pair-key explode is 8
+    // bytes/row, cheaper than a dedup + two re-joins would be
     val blocked = sigs.select(col("id"), col("sig"), explode(array(pairKeys: _*)).as("t"))
       .select(col("id"), col("sig"), col("t.pk").as("block"), col("t.pv").as("block_val"))
     val a = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sig").as("sig_a"))

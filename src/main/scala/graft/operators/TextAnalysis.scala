@@ -109,9 +109,13 @@ object TextAnalysis {
     val toks = df.select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
-    val n    = df.count()
+    // corpus size as a broadcast 1-row aggregate INSIDE the plan — a
+    // driver-side df.count() here would be a whole extra corpus pass per call
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
     tf.join(dfreq, "term")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
+      .drop("__n")
   }
 
   // ---- fingerprinting (T4) ----
