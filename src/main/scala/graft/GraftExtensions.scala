@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension wiring (`spark.sql.extensions=graft.GraftExtensions`
+  * or `.withExtensions(new GraftExtensions)`): registers the native SQL
+  * functions and the TopKPerGroup planning strategy on every new session —
+  * the packaging a deployed library uses instead of per-session attach
+  * calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    graft.functions.GraftFunctions.definitions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
+}

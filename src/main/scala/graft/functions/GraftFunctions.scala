@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the native kernels — the reference serves its users
+  * a SQL database, so the Spark-side parity surface includes plain SQL:
+  *
+  * {{{
+  *   GraftFunctions.register(spark)   // existing session
+  *   spark.sql("SELECT cosine_sim(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * or, for new sessions, the proper extension wiring:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new graft.GraftExtensions).…
+  * }}}
+  *
+  * Every function resolves to a codegen'd Catalyst `Expression` — no UDF
+  * boundary, identical performance to the Column API.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case v       => throw new IllegalArgumentException(
+          s"$fn: argument $pos must be a literal integer, got $v")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a literal integer")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.GraftFunctions", name, usage)
+
+  /** (identifier, info, builder) triples — the shape both
+    * `FunctionRegistry.registerFunction` and
+    * `SparkSessionExtensions.injectFunction` accept. */
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+
+    (FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket",
+        "hyperplane_bucket(vec, bits, dim, seed) - random-hyperplane LSH bucket id"),
+      (args: Seq[Expression]) => HyperplaneBucket(args(0),
+        intArg(args(1), "hyperplane_bucket", 2),
+        intArg(args(2), "hyperplane_bucket", 3),
+        intArg(args(3), "hyperplane_bucket", 4))),
+
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(shingle_hashes, num_hashes) - MinHash signature array"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        intArg(args(1), "minhash_signature", 2))),
+
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(token_hashes) - 64-bit SimHash signature"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(tokens, k) - k-word shingle hashes over a token array"),
+      (args: Seq[Expression]) => WordShingleHashes(args(0),
+        intArg(args(1), "word_shingles", 2))),
+
+    (FunctionIdentifier("poly_fingerprint"),
+      info("poly_fingerprint",
+        "poly_fingerprint(text) - Rabin-Karp polynomial fingerprint mod 1e9+7"),
+      (args: Seq[Expression]) => PolyFingerprint(args(0)))
+  )
+
+  /** Register every graft SQL function on a live session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (id, fnInfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
+    }
+}

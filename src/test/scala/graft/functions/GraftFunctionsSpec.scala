@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL-surface parity: every native kernel is callable from plain SQL and
+  * agrees with its Column API form. */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "an entirely different sentence about query engines")
+  ).toDF("id", "text")
+
+  test("registered SQL functions match the Column API") {
+    docs.createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  poly_fingerprint(text) AS fp,
+        |  simhash64(word_shingles(split(lower(trim(text)), '\\s+'), 1)) AS sh,
+        |  minhash_signature(word_shingles(split(lower(trim(text)), '\\s+'), 3), 16) AS mh
+        |FROM fn_docs""".stripMargin).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSet
+
+    val viaCols = docs.select(col("id"),
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.operators.Dedup.simhash(col("text")).as("sh"),
+      NativeExpressions.minhashSignature(
+        NativeExpressions.wordShingleHashes(split(lower(trim(col("text"))), "\\s+"), 3), 16).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSet
+
+    viaSql shouldBe viaCols
+  }
+
+  test("cosine_sim and hyperplane_bucket work in SQL with literal params") {
+    val row = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  hyperplane_bucket(array(1.0D, 0.0D), 4, 2, 42) AS b""".stripMargin).collect().head
+    row.getDouble(0) shouldBe 1.0 +- 1e-12
+    row.getInt(1) should (be >= 0 and be < 16)
+  }
+
+  test("non-literal int parameter is rejected with a clear error") {
+    docs.createOrReplaceTempView("fn_docs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(word_shingles(split(text, ' '), 3), id) FROM fn_docs")
+        .collect()
+    }
+    e.getMessage should include("literal integer")
+  }
+}
