@@ -21,27 +21,38 @@ object LlmOps {
   private def parallelism(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
-    // documents.parquet is a single small file → 1 scan partition; the
-    // signature computation is CPU-bound, so spread it across the cluster
-    // before the heavy projection (at real scale the scan already has
-    // thousands of partitions and this repartition is a no-op to remove)
-    val docs = Tables(s, dir).documents.select("doc_id", "text")
-      .repartition(parallelism(s))
-    docs.unionAll(
-      docs.select((col("doc_id") + CopyOffset).as("doc_id"),
-        expr("substring(text, 1, greatest(20, int(length(text) * 0.9)))").as("text")))
-  }
+  /** The planted corpora are shared by several gate queries in one Verify /
+    * Bench session — memoize the persisted frame per (session, dir) so
+    * d2/d3/d4 reuse one materialization instead of re-tokenizing the union
+    * each. Gate-harness code, not library surface. */
+  private val plantedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    plantedCache.computeIfAbsent((s, dir, "docs"), _ => {
+      // documents.parquet is a single small file → 1 scan partition; the
+      // signature computation is CPU-bound, so spread it across the cluster
+      // before the heavy projection (at real scale the scan already has
+      // thousands of partitions and this repartition is a no-op to remove)
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+        .repartition(parallelism(s))
+      docs.unionAll(
+        docs.select((col("doc_id") + CopyOffset).as("doc_id"),
+          expr("substring(text, 1, greatest(20, int(length(text) * 0.9)))").as("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** embeddings ∪ slightly-perturbed copies. */
-  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables(s, dir).embeddings.select("vec_id", "embedding")
-      .repartition(parallelism(s))
-    vecs.unionAll(
-      vecs.select((col("vec_id") + CopyOffset).as("vec_id"),
-        VectorFunctions.add(col("embedding"),
-          VectorFunctions.scale(col("embedding"), lit(0.01))).as("embedding")))
-  }
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame =
+    plantedCache.computeIfAbsent((s, dir, "vecs"), _ => {
+      val vecs = Tables(s, dir).embeddings.select("vec_id", "embedding")
+        .repartition(parallelism(s))
+      vecs.unionAll(
+        vecs.select((col("vec_id") + CopyOffset).as("vec_id"),
+          VectorFunctions.add(col("embedding"),
+            VectorFunctions.scale(col("embedding"), lit(0.01))).as("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> { (s, dir) =>
