@@ -70,4 +70,51 @@ object Multimodal {
   def filterByMeta(media: DataFrame, modality: String, minWidth: Int): DataFrame =
     media.filter(col("meta.modality") === modality && col("meta.width") >= minWidth)
       .select("media_id", "meta.width", "meta.height")
+
+  case class Thumbnail(media_id: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Resize-to-thumbnail stage — same per-partition batched shape as
+    * `extractFeatures`. STUB decode: a real image lib replaces
+    * `FakeCodec`-style byte sampling with actual pixel scaling; the
+    * partition flow, output schema and size math are the real part.
+    * Output is `targetW×targetH` bytes sampled evenly from the payload
+    * (deterministic), so downstream schema/partitioning is exercised with
+    * honest data volumes. */
+  def resizeThumbnails(spark: SparkSession, media: DataFrame,
+      targetW: Int = 8, targetH: Int = 8): Dataset[Thumbnail] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(rows => rows.map { r =>
+      val n   = targetW * targetH
+      val src = r.payload
+      val px  = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        px(i) = if (src.isEmpty) 0 else src(((i.toLong * src.length) / n).toInt)
+        i += 1
+      }
+      Thumbnail(r.media_id, targetW, targetH, px)
+    })
+  }
+
+  case class Frame(media_id: Long, frame_no: Int, offset_ms: Long, payload: Array[Byte])
+
+  /** Frame-sampling stage for video/audio rows: emit one row per sampled
+    * frame at `everyMs` spacing over the metadata duration — a flatMap
+    * (1→N) per-partition stage, the shape a real decoder (ffmpeg pipe)
+    * drops into. STUB decode: each frame's payload is the byte window at
+    * the proportional offset. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      everyMs: Long = 1000L, frameBytes: Int = 32): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(rows => rows.flatMap { r =>
+      val dur = math.max(0L, r.meta.durationMs)
+      val n   = (dur / math.max(1L, everyMs)).toInt + 1
+      (0 until n).iterator.map { f =>
+        val offMs = f * everyMs
+        val start = if (dur == 0) 0 else ((offMs.toDouble / math.max(1L, dur)) * r.payload.length).toInt
+        val end   = math.min(r.payload.length, start + frameBytes)
+        Frame(r.media_id, f, offMs, java.util.Arrays.copyOfRange(r.payload, math.min(start, end), end))
+      }
+    })
+  }
 }

@@ -34,6 +34,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("thumbnail resize: fixed-size deterministic output per row (M1)") {
+    val media = Multimodal.asMediaCorpus(docs, "doc_id", "text").repartition(2)
+    val thumbs = Multimodal.resizeThumbnails(spark, media, targetW = 4, targetH = 4)
+      .collect().sortBy(_.media_id)
+    thumbs.length shouldBe 3
+    thumbs.foreach { t =>
+      t.width shouldBe 4
+      t.height shouldBe 4
+      t.pixels.length shouldBe 16
+    }
+    val again = Multimodal.resizeThumbnails(spark, media, 4, 4).collect().sortBy(_.media_id)
+    thumbs.map(_.pixels.toSeq).toSeq shouldBe again.map(_.pixels.toSeq).toSeq
+  }
+
+  test("frame sampling: one row per everyMs over the metadata duration (M1)") {
+    val media  = Multimodal.asMediaCorpus(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, media, everyMs = 200L, frameBytes = 8)
+      .collect().groupBy(_.media_id)
+    val durations = media.select("media_id", "meta.durationMs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, fs) <- frames) {
+      fs.length shouldBe (durations(id) / 200L).toInt + 1
+      fs.map(_.frame_no).sorted.toSeq shouldBe (0 until fs.length)
+      fs.foreach(_.payload.length should be <= 8)
+    }
+  }
+
   test("metadata-only filter prunes the payload column from the scan (M1)") {
     val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
     val plan = Multimodal.filterByMeta(media, "image", 0).queryExecution.executedPlan.toString
