@@ -195,6 +195,36 @@ object Relational {
         .withColumn("rev", emit(col("rev")))
     },
 
+    "r16_salted_join" -> { (s, dir) =>
+      // salted skew join must produce exactly the rows of the plain join —
+      // the salt spreads hot keys across reducers without changing results
+      val t = Tables(s, dir)
+      SkewJoin.saltedJoin(
+          t.lineitem.select("l_orderkey", "l_suppkey", "l_quantity"),
+          t.supplier.select("s_suppkey", "s_name").withColumnRenamed("s_suppkey", "l_suppkey"),
+          "l_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), emit(sum(money(col("l_quantity")))).as("qty"))
+    },
+
+    "r17_bucketed_join" -> { (s, dir) =>
+      // bucketed managed tables: one write-time shuffle, then co-located
+      // joins (the no-Exchange property is spec-asserted; this gates the
+      // RESULT against a plain-join oracle)
+      val t = Tables(s, dir)
+      Bucketing.writeBucketed(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "gate_orders_b", "o_custkey", 8)
+      Bucketing.writeBucketed(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        "gate_customer_b", "c_custkey", 8)
+      Bucketing.table(s, "gate_orders_b")
+        .join(Bucketing.table(s, "gate_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), emit(sum(money(col("o_totalprice")))).as("total"))
+    },
+
     // ---- wd2sql surface (reference: README.md:103-156, src/id.rs:6-24) ----
 
     "w1_id_encode" -> { (s, dir) =>
@@ -368,6 +398,18 @@ object Relational {
         |    FROM lineitem JOIN part ON l_partkey = p_partkey
         |    GROUP BY p_brand, p_partkey)
         |) WHERE rn <= 3""".stripMargin,
+
+    "r16_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
+
+    "r17_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "w1_id_encode" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS raw_id,
