@@ -19,4 +19,19 @@ object Bucketing {
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** `writeBucketed` that first clears both the catalog entry AND any stale
+    * warehouse location a previous session left behind (a managed table's
+    * directory survives `spark.stop()`, and `saveAsTable` refuses to reuse
+    * it even in overwrite mode when the table is absent from this session's
+    * catalog). */
+  def writeBucketedFresh(spark: SparkSession, df: DataFrame, table: String,
+      key: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val p  = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    writeBucketed(df, table, key, buckets)
+  }
 }

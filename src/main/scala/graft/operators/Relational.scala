@@ -212,10 +212,10 @@ object Relational {
       // joins (the no-Exchange property is spec-asserted; this gates the
       // RESULT against a plain-join oracle)
       val t = Tables(s, dir)
-      Bucketing.writeBucketed(
+      Bucketing.writeBucketedFresh(s,
         t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
         "gate_orders_b", "o_custkey", 8)
-      Bucketing.writeBucketed(
+      Bucketing.writeBucketedFresh(s,
         t.customer.select("c_custkey", "c_mktsegment"),
         "gate_customer_b", "c_custkey", 8)
       Bucketing.table(s, "gate_orders_b")

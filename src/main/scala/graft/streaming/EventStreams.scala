@@ -118,32 +118,43 @@ object EventStreams {
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, events, state: GroupState[SessState]) =>
-          // Accumulate; sessions that the watermark has passed are emitted.
-          // In-order processing per micro-batch; late events beyond the open
-          // head session would need a merge pass (bounded by the watermark).
+          // Open sessions are kept ASCENDING by start time. Every event is
+          // inserted as a singleton session at its sorted position and a
+          // merge pass combines adjacent sessions whose gap closed — so
+          // out-of-order events WITHIN the watermark extend (or bridge!)
+          // earlier open sessions exactly as the batch form would, not just
+          // the latest one. Sessions are disjoint by > gap, so sorted-by-
+          // start is also sorted-by-end and the closable set is a prefix.
           val prev = state.getOption.getOrElse(SessState(0L, Nil))
-          var accs = prev.open
           def usOf(e: Event): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
-          val sorted = events.toSeq.sortBy(e => (usOf(e), e.event_id))
-          for (e <- sorted) {
-            val us    = usOf(e)
-            val cents = math.round(e.value * 100)
-            accs = accs match {
-              case head :: tail if us - head.endUs <= gapUs =>
-                head.copy(n = head.n + 1, endUs = math.max(head.endUs, us),
-                  cents = head.cents + cents) :: tail
-              case _ =>
-                Acc(accs.headOption.map(_.seq + 1).getOrElse(prev.lastSeq + 1), 1, us, us, cents) :: accs
+          // iterative (a recursive nested def would compile to a method on
+          // the enclosing object and make this closure non-serializable)
+          def merged(list: List[Acc]): List[Acc] = {
+            val buf = scala.collection.mutable.ListBuffer.empty[Acc]
+            for (a <- list) {
+              if (buf.nonEmpty && a.startUs - buf.last.endUs <= gapUs)
+                buf(buf.size - 1) = Acc(0L, buf.last.n + a.n, buf.last.startUs,
+                  math.max(buf.last.endUs, a.endUs), buf.last.cents + a.cents)
+              else buf += a
             }
+            buf.toList
+          }
+          var accs = prev.open
+          for (e <- events.toSeq.sortBy(e => (usOf(e), e.event_id))) {
+            val us = usOf(e)
+            val (before, after) = accs.partition(_.startUs <= us)
+            accs = merged((before :+ Acc(0L, 1L, us, us, math.round(e.value * 100))) ++ after)
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (closed, open) = accs.partition(a => wmUs > 0 && a.endUs + gapUs < wmUs)
-          // the counter outlives closed sessions: state is kept (never
-          // removed) so a user's next session continues the numbering
-          val lastSeq = accs.headOption.map(_.seq).getOrElse(prev.lastSeq)
-          state.update(SessState(lastSeq, open))
+          // sequence numbers are assigned at EMIT time: closes happen in
+          // event-time order under the watermark, so cumulative numbering
+          // matches the batch form even when late events reorder the opens.
+          // State is kept (never removed) so the counter survives closure.
+          val emitted = closed.zipWithIndex.map { case (a, i) => a.copy(seq = prev.lastSeq + i + 1) }
+          state.update(SessState(prev.lastSeq + closed.size, open))
           if (open.nonEmpty) state.setTimeoutTimestamp(open.head.endUs / 1000 + gapUs / 1000)
-          closed.reverseIterator.map(a => toSession(userId, a))
+          emitted.iterator.map(a => toSession(userId, a))
       }
   }
 }

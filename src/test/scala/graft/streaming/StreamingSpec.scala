@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order events within the watermark extend and bridge open sessions (X2)") {
+    val input = MemoryStream[EventStreams.Event](spark)
+    val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("x2_ooo_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(EventStreams.Event(1, ts(50), 42, "click", 1.0))
+      q.processAllAvailable()
+      // late (but in-watermark) event BEFORE the open session: > gap away,
+      // so it opens an earlier session
+      input.addData(EventStreams.Event(2, ts(10), 42, "click", 2.0))
+      q.processAllAvailable()
+      // bridging event: within gap of both 10 and 50 — everything merges
+      input.addData(EventStreams.Event(3, ts(30), 42, "click", 4.0))
+      q.processAllAvailable()
+      // far-future other-user event closes user 42's merged session
+      input.addData(EventStreams.Event(9, ts(600), 9, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(10, ts(1200), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("x2_ooo_stream").filter(col("user_id") === 42).collect()
+      rows.length shouldBe 1 // one merged session, not three
+      rows.head.getLong(1) shouldBe 1L            // session_seq
+      rows.head.getLong(2) shouldBe 3L            // n_events
+      rows.head.getTimestamp(3) shouldBe ts(10)   // session_start
+      rows.head.getTimestamp(4) shouldBe ts(50)   // session_end
+      rows.head.getDecimal(5).doubleValue() shouldBe 7.0 // total_value
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch sessionization (X2)") {
     val input = MemoryStream[EventStreams.Event](spark)
     val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
