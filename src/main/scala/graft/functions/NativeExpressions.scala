@@ -44,6 +44,61 @@ object NativeExpressions {
   /** Column API: k-word shingle hashes over a token array. */
   def wordShingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(tokens), k))
+
+  /** Column API: fraction of positions where two long arrays agree. */
+  def arrayAgreement(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Fraction of equal positions between two array<long> columns (the MinHash
+  * Jaccard estimator). The `zip_with` + `aggregate` HOF formulation
+  * evaluated interpreted per candidate pair; this is one primitive loop. */
+case class ArrayAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes() = {
+    def ok(dt: DataType) = dt == ArrayType(LongType, false) || dt == ArrayType(LongType, true)
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"arrayAgreement expects array<bigint>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) 0.0
+    else {
+      var eq = 0
+      var i = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) eq += 1
+        i += 1
+      }
+      eq.toDouble / n
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n  = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      val i  = ctx.freshName("i")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAgreement =
+    copy(left = l, right = r)
 }
 
 /** array<string> tokens → array<long> k-shingle hashes: xxhash64 each token

@@ -63,10 +63,10 @@ object Dedup {
   def minhashSignature(text: Column, shingleK: Int = 3, numHashes: Int = 64): Column =
     minhashSignatureOver(TextAnalysis.wordShingles(text, shingleK), numHashes)
 
-  /** Estimated Jaccard from two MinHash signatures. */
+  /** Estimated Jaccard from two MinHash signatures — native agreement
+    * kernel (the zip_with/aggregate HOF evaluated interpreted per pair). */
   def estJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, m) => acc + m).cast("double") / size(sigA)
+    graft.functions.NativeExpressions.arrayAgreement(sigA, sigB)
 
   /** D2: MinHash-LSH candidate pairs. Signatures are banded; rows sharing any
     * band hash meet in a bucket; each bucket emits its pairs. The only
