@@ -225,6 +225,18 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), emit(sum(money(col("o_totalprice")))).as("total"))
     },
 
+    "r18_asof_join" -> { (s, dir) =>
+      // point-in-time join: each purchase picks up the user's latest click
+      // at-or-before it (NULL when none) — DuckDB's native ASOF JOIN is the
+      // oracle for the union-window formulation
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+      AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_ts"))
+    },
+
     // ---- wd2sql surface (reference: README.md:103-156, src/id.rs:6-24) ----
 
     "w1_id_encode" -> { (s, dir) =>
@@ -410,6 +422,12 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "r18_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "w1_id_encode" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS raw_id,
