@@ -140,6 +140,11 @@ object LlmOps {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     },
 
+    "t6_hash_split" -> { (s, dir) =>
+      Sampling.assignSplits(Tables(s, dir).documents, "doc_id", SplitSpec)
+        .select("doc_id", "split")
+    },
+
     "m1_multimodal" -> { (s, dir) =>
       val media = Multimodal.asMediaCorpus(Tables(s, dir).documents, "doc_id", "text")
       Multimodal.extractFeatures(s, media).toDF()
@@ -147,6 +152,24 @@ object LlmOps {
           element_at(col("histogram"), 1).as("hist_0"))
     }
   )
+
+  private val SplitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** T6 oracle, thresholds generated by the SAME cumulative arithmetic the
+    * operator uses; md5 hex agrees across engines, so split membership is a
+    * pure cross-engine function of doc_id. */
+  private def t6OracleSql: String = {
+    val th = Sampling.cumulativeThresholds(SplitSpec)
+    val cases = th.init.map { case (n, up) => s"WHEN u < ${up}" + s" THEN '$n'" }
+      .mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE '${th.last._1}' END AS split FROM (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 9),
+       |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+       |      (a, b) -> a * 16 + b) AS u
+       |  FROM documents)""".stripMargin
+  }
 
   /** T1 oracle, generated from the SAME marker table the operator uses
     * (TextAnalysis.LangMarkers) so the two can never drift: per-language
@@ -174,6 +197,7 @@ object LlmOps {
   /** DuckDB oracles for the SQL-expressible subset. */
   def oracleSql: Map[String, String] = Map(
     "t1_langid" -> t1OracleSql,
+    "t6_hash_split" -> t6OracleSql,
 
     // The M1 feature extraction re-derived byte-by-byte: payload = utf-8
     // bytes (hex-decomposed), checksum = fold(c*31 + byte) with signed

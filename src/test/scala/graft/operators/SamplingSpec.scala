@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 10000L).toDF("id")
+
+  test("hash split is deterministic, disjoint, and ~proportional (T6)") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplits(ids, "id", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplits(ids.repartition(7), "id", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a shouldBe b // partitioning-independent — no RNG state anywhere
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    counts("train").toDouble / 10000 shouldBe 0.8 +- 0.02
+    counts("val").toDouble / 10000 shouldBe 0.1 +- 0.02
+    counts("test").toDouble / 10000 shouldBe 0.1 +- 0.02
+  }
+
+  test("hashSample keeps a stable ~fraction and is a subset relation (T6)") {
+    val s10 = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
+    val s20 = Sampling.hashSample(ids, "id", 0.2).as[Long].collect().toSet
+    s10.size.toDouble / 10000 shouldBe 0.1 +- 0.02
+    // threshold sampling is monotone: the 10% sample is inside the 20%
+    s10.subsetOf(s20) shouldBe true
+    // re-evaluation returns the identical subset
+    Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet shouldBe s10
+  }
+}
