@@ -116,6 +116,9 @@ object LlmOps {
         length(col("text")).as("len_chars"),
         TextAnalysis.wsTokens(col("text")).as("n_tokens"),
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
         TextAnalysis.isQuality(col("text")).as("is_quality"))
     },
 
@@ -154,6 +157,28 @@ object LlmOps {
   )
 
   private val SplitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** T2 oracle — the stopword list is spliced from the SAME
+    * TextAnalysis.Stopwords the operator uses, so they cannot drift. All
+    * ratios are int/int divisions cast to double (exact in both engines). */
+  private def t2OracleSql: String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, length(text) AS len_chars,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ($stops))) AS DOUBLE)
+       |    / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stopword_ratio,
+       |  1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+       |    / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS repetition_ratio,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_token_len,
+       |  (length(text) >= 100 AND
+       |   CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END < 0.1)
+       |    AS is_quality
+       |FROM documents""".stripMargin
+  }
 
   /** T6 oracle, thresholds generated by the SAME cumulative arithmetic the
     * operator uses; md5 hex agrees across engines, so split membership is a
@@ -307,16 +332,7 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin,
 
-    "t2_quality" ->
-      """SELECT doc_id, length(text) AS len_chars,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |  CASE WHEN length(text) = 0 THEN 0.0
-        |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
-        |  (length(text) >= 100 AND
-        |   CASE WHEN length(text) = 0 THEN 0.0
-        |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END < 0.1)
-        |    AS is_quality
-        |FROM documents""".stripMargin,
+    "t2_quality" -> t2OracleSql,
 
     "t3_tokens" ->
       """SELECT doc_id,

@@ -225,6 +225,14 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), emit(sum(money(col("o_totalprice")))).as("total"))
     },
 
+    "r19_rollup" -> { (s, dir) =>
+      // OLAP super-aggregates: ROLLUP emits per-group, per-returnflag and
+      // grand-total rows in one pass (Expand + single shuffle in Spark)
+      Tables(s, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), emit(sum(money(col("l_quantity")))).as("qty"))
+    },
+
     "r18_asof_join" -> { (s, dir) =>
       // point-in-time join: each purchase picks up the user's latest click
       // at-or-before it (NULL when none) — DuckDB's native ASOF JOIN is the
@@ -422,6 +430,11 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "r19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "r18_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts
