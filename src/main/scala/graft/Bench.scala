@@ -29,7 +29,15 @@ object Bench {
         case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release every operator-internal cache OUTSIDE the timed window: each
+      // query pays its own staging cost, and leaked storage blocks must not
+      // squeeze later queries' execution memory (the round-2 p1/d3
+      // regressions were exactly this accumulation across 51 queries)
+      graft.operators.LlmOps.clearPlanted()
+      graft.operators.Caches.releaseAll()
+      spark.catalog.clearCache()
+      (name, dt, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

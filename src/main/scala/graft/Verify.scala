@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // own every operator-internal persist: release between queries so a
+      // 50-query session never accumulates un-owned storage blocks
+      graft.operators.LlmOps.clearPlanted()
+      graft.operators.Caches.releaseAll()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -28,14 +28,21 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       timeCol: String, asofCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // ALL asof columns ride in ONE non-null struct per right row (struct()
+    // of null fields is still non-null). Carrying columns individually with
+    // last(ignoreNulls) would skip a matched row's genuine NULL (an older
+    // row's value leaks in) and could stitch values from DIFFERENT right
+    // rows; the single-struct carry preserves exactly one matched row,
+    // NULLs included.
+    val rStruct = org.apache.spark.sql.types.StructType(
+      asofCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     // tagged union: right rows (side=0) sort before left rows (side=1) at
     // equal event time, making the match inclusive ("at or before")
-    val taggedLeft = asofCols.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    val taggedLeft = left.withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStruct))
     val taggedRight = {
-      val base = right.select(keyCols.map(col) ++ Seq(col(timeCol)) ++
-        asofCols.map(c => col(c).as(s"__r_$c")): _*)
+      val base = right.select(keyCols.map(col) ++ Seq(col(timeCol)) :+
+        struct(asofCols.map(col): _*).as("__r"): _*)
       val withNulls = leftCols.filterNot(keyCols.contains).filterNot(_ == timeCol)
         .foldLeft(base.withColumn("__side", lit(0))) {
           (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -45,10 +52,10 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = asofCols.foldLeft(taggedLeft.unionAll(taggedRight)) {
-      (df, c) => df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = taggedLeft.unionAll(taggedRight)
+      .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ asofCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        asofCols.map(c => col("__rlast").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -27,6 +27,12 @@ object Bucketing {
     * catalog). */
   def writeBucketedFresh(spark: SparkSession, df: DataFrame, table: String,
       key: String, buckets: Int): Unit = {
+    // the stale-location path below assumes <warehouse>/<table> — only true
+    // for unqualified names in the default database (db.table lives at
+    // <warehouse>/<db>.db/<table>, and deleting the wrong path would not fix
+    // the stale directory saveAsTable trips on)
+    require(!table.contains("."),
+      s"writeBucketedFresh requires an unqualified default-database table name, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     val p  = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)

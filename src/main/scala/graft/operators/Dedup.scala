@@ -79,11 +79,11 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    // persisted: the banded self-join reads this from both sides, and the
-    // signature computation is the expensive part of the whole operator
-    val sigs = withShingleHashes(df, textCol, shingleK)
-      .select(col(idCol).as("id"), minhashSignatureOver(col("__sh"), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (Caches-owned): the banded self-join reads this from both
+    // sides, and the signature computation is the expensive part of the
+    // whole operator; the consumer releases it via Caches.releaseAll()
+    val sigs = Caches.owned(withShingleHashes(df, textCol, shingleK)
+      .select(col(idCol).as("id"), minhashSignatureOver(col("__sh"), numHashes).as("sig")))
 
     // The band join ships only (band, band_hash, id) — NOT the 64-long
     // signature (~16 KB/row×bands of shuffle it doesn't need). Pairs are
@@ -152,41 +152,7 @@ object Dedup {
     */
   def ngramJaccardDedup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sets.select(col("id"), explode(col("__set")).as("sh"))
-    // |A∩B| as a pure count aggregation over the inverted index — the
-    // shingle arrays themselves are never shipped through a join. One slim
-    // (id_a, id_b) shuffle with map-side partial counts.
-    val inter = ex.withColumnRenamed("id", "id_a")
-      .join(ex.withColumnRenamed("id", "id_b"), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    val sizes = sets.select(col("id"), size(col("__set")).as("__sz"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("__inter").cast("double") /
-          (col("__sz_a") + col("__sz_b") - col("__inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
-
-  /** D4 scale variant for boilerplate-heavy corpora: PREFIX-FILTERED
-    * blocking (AllPairs/PPJoin). A shingle shared by k documents contributes
-    * k² rows to the plain inverted-index join above — a single boilerplate
-    * shingle across 1M docs is quadratic death at 100 TB. Here every
-    * document indexes only its |s| − ⌈t·|s|⌉ + 1 globally-RAREST shingles:
-    * any pair with J ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉ shingles, so one falls in
-    * both prefixes under the shared rarity order — every true pair is still
-    * a candidate (for ANY global order), while high-df shingles never enter
-    * a prefix. Candidates then pay the exact |∩|/|∪| via the set join.
-    * Returns exactly the same {pairs: J ≥ t} as `ngramJaccardDedup`.
-    */
-  def ngramJaccardDedupPrefix(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = Caches.owned(shingleSets(df, textCol, idCol, shingleK))
     val ex = sets.select(col("id"), explode(col("__set")).as("sh"), size(col("__set")).as("sz"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
     val ranked = ex.join(dfreq, Seq("sh"))
@@ -202,6 +168,31 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     jaccardVerifySets(pairs, sets).filter(col("jaccard") >= threshold)
+  }
+
+  /** Plain inverted-index variant of `ngramJaccardDedup` — indexes EVERY
+    * shingle and computes |∩| as a count aggregation over the full index.
+    * A shingle shared by k documents contributes k² join rows, so this is
+    * quadratic on boilerplate-heavy corpora — kept only as the differential
+    * baseline the specs compare the prefix-filtered path against (both
+    * return exactly {pairs: J ≥ t}). Do NOT use at corpus scale.
+    */
+  def ngramJaccardDedupBasic(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = Caches.owned(shingleSets(df, textCol, idCol, shingleK))
+    val ex = sets.select(col("id"), explode(col("__set")).as("sh"))
+    val inter = ex.withColumnRenamed("id", "id_a")
+      .join(ex.withColumnRenamed("id", "id_b"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    val sizes = sets.select(col("id"), size(col("__set")).as("__sz"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("__sz_a") + col("__sz_b") - col("__inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 64-bit signature — token hashes vote ±1 per bit, sign of each
@@ -228,8 +219,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 2
     val width  = 64 / blocks
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = Caches.owned(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
     def blockVal(b: Int): Column =
       shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
     val pairKeys = for {

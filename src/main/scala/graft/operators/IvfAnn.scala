@@ -78,7 +78,8 @@ object IvfAnn {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorExpressions.cosineNative(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+    // bounded-heap finish (map-side partial top-k, then one slim shuffle) —
+    // the window formulation sent every candidate of a query to one partition
+    Similarity.topKFinish(scored, k)
   }
 }

@@ -24,12 +24,51 @@ object LlmOps {
   /** The planted corpora are shared by several gate queries in one Verify /
     * Bench session — memoize the persisted frame per (session, dir) so
     * d2/d3/d4 reuse one materialization instead of re-tokenizing the union
-    * each. Gate-harness code, not library surface. */
+    * each. Gate-harness code, not library surface. Owned via `clearPlanted`:
+    * Bench releases between timed queries (each query pays its own staging,
+    * and leaked blocks must not squeeze later queries' execution memory),
+    * Verify/tests release at teardown. */
   private val plantedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Unpersist and forget the memoized planted corpora. Without this the
+    * map strongly references persisted frames (and through them their
+    * SparkSessions) for the JVM lifetime. */
+  def clearPlanted(): Unit = {
+    val it = plantedCache.values().iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(false)
+      catch { case _: Throwable => () } // session already stopped
+    }
+    plantedCache.clear()
+  }
+
   private def plantedDocs(s: SparkSession, dir: String): DataFrame =
-    plantedCache.computeIfAbsent((s, dir, "docs"), _ => {
+    plantedDocsVariant(s, dir, "docs",
+      expr("substring(text, 1, greatest(20, int(length(text) * 0.9)))"))
+
+  /** d2's corpus: EXACT text copies. MinHash recall on an identical set is
+    * structural (est_jaccard ≡ 1, every band collides), so the oracle's
+    * "every planted pair recovered" is deterministic at any SF — the same
+    * reasoning d5 uses (perturbation provably preserves the signature).
+    * A 10%-truncated copy does NOT give that guarantee: measured at sf0.01,
+    * 1 of 500 planted pairs dips below est 0.5 — near-dup tolerance is the
+    * spec's job (DedupSpec), recall of the machinery is this gate's. */
+  private def plantedDocsExact(s: SparkSession, dir: String): DataFrame =
+    plantedDocsVariant(s, dir, "docs_exact", col("text"))
+
+  /** d3's corpus: token-REVERSED copies. SimHash is a bag-of-token-hashes
+    * function, so reversing token order provably preserves the 64-bit
+    * signature (hamming = 0) while the copy's text genuinely differs —
+    * recall through the block-pair index is structural, like d5. Truncated
+    * copies flip > maxHamming bits for ~12% of docs (measured). */
+  private def plantedDocsPermuted(s: SparkSession, dir: String): DataFrame =
+    plantedDocsVariant(s, dir, "docs_perm",
+      array_join(reverse(split(lower(trim(col("text"))), "\\s+")), " "))
+
+  private def plantedDocsVariant(s: SparkSession, dir: String, key: String,
+      copyText: org.apache.spark.sql.Column): DataFrame =
+    plantedCache.computeIfAbsent((s, dir, key), _ => {
       // documents.parquet is a single small file → 1 scan partition; the
       // signature computation is CPU-bound, so spread it across the cluster
       // before the heavy projection (at real scale the scan already has
@@ -37,8 +76,7 @@ object LlmOps {
       val docs = Tables(s, dir).documents.select("doc_id", "text")
         .repartition(parallelism(s))
       docs.unionAll(
-        docs.select((col("doc_id") + CopyOffset).as("doc_id"),
-          expr("substring(text, 1, greatest(20, int(length(text) * 0.9)))").as("text")))
+        docs.select((col("doc_id") + CopyOffset).as("doc_id"), copyText.as("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -60,24 +98,42 @@ object LlmOps {
     },
 
     "d2_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLsh(plantedDocs(s, dir), "text", "doc_id", threshold = 0.5)
-        .orderBy("id_a", "id_b")
+      // planted-pair RECALL gate (mirrors d5): every (id, id+1e6) planted
+      // pair must be re-found — ids only, SQL-expressible even though the
+      // est_jaccard hash family is not. An id difference of exactly 1e6 can
+      // only be an original and its own copy, so the filter selects planted
+      // pairs and nothing else. Near-dup tolerance + estimate accuracy stay
+      // spec-gated (DedupSpec).
+      Dedup.minhashLsh(plantedDocsExact(s, dir), "text", "doc_id", threshold = 0.5)
+        .filter(col("id_b") === col("id_a") + CopyOffset)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
     },
 
     "d3_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(plantedDocs(s, dir), "text", "doc_id", maxHamming = 7)
-        .orderBy("id_a", "id_b")
+      // same recall construction over the token-reversed corpus (signature
+      // provably preserved, text different)
+      Dedup.simhashPairs(plantedDocsPermuted(s, dir), "text", "doc_id", maxHamming = 7)
+        .filter(col("id_b") === col("id_a") + CopyOffset)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
     },
 
     "d4_ngram_jaccard" -> { (s, dir) =>
-      // deterministic prefix-filtered candidates (not MinHash) so the exact
-      // Jaccard result is {pairs: J >= 0.5} — oracle-checkable end to end
+      // prefix-filtered (AllPairs) candidates + exact verification: the
+      // result is {pairs: J >= 0.5} independent of the blocking, so the
+      // DuckDB re-derivation is a full end-to-end oracle
       Dedup.ngramJaccardDedup(plantedDocs(s, dir), "text", "doc_id", threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 
     "d5_embed_dedup" -> { (s, dir) =>
-      Similarity.embeddingDedup(plantedVecs(s, dir), "vec_id", "embedding", threshold = 0.999, dim = 64)
+      // knownN: bucket sizing from a footer-only count of the base parquet
+      // (2× for the planted copies) instead of an extra pass over the
+      // assembled corpus
+      val n = 2 * graft.Tables(s, dir).embeddings.count()
+      Similarity.embeddingDedup(plantedVecs(s, dir), "vec_id", "embedding",
+          threshold = 0.999, dim = 64, knownN = n)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     },
@@ -91,7 +147,11 @@ object LlmOps {
 
     "s2_lsh_ann" -> { (s, dir) =>
       val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
-      Similarity.lshTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5, dim = 64)
+      // knownN from the base parquet footers — no extra pass over the
+      // repartitioned corpus just to size the buckets
+      val n = Tables(s, dir).embeddings.count()
+      Similarity.lshTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding",
+          k = 5, dim = 64, knownN = n)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
     },
@@ -223,6 +283,19 @@ object LlmOps {
   def oracleSql: Map[String, String] = Map(
     "t1_langid" -> t1OracleSql,
     "t6_hash_split" -> t6OracleSql,
+
+    // d2/d3 planted-pair recall: the gates return exactly the recovered
+    // planted pairs, the oracle is the full planted set — a missed pair (or
+    // a phantom exactly-offset pair) breaks the hash. Recall is structural,
+    // not statistical: d2's copies are textually identical (est_jaccard ≡ 1,
+    // every band collides) and d3's are token-reversed (simhash is a bag
+    // function — identical signature, hamming 0), so the full pipeline
+    // (signatures → blocking → bucket join → dedup → threshold) must emit
+    // exactly these pairs at any scale factor.
+    "d2_minhash_lsh" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+    "d3_simhash" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
 
     // The M1 feature extraction re-derived byte-by-byte: payload = utf-8
     // bytes (hex-decomposed), checksum = fold(c*31 + byte) with signed

@@ -130,6 +130,22 @@ object Relational {
           count(lit(1)).as("n_rows"))
     },
 
+    "r9_approx" -> { (s, dir) =>
+      // R9's approx half, driver-visible: approx_count_distinct (HLL++) has
+      // no cross-engine-stable value, so the gate hashes the exact count
+      // plus an in-plan boolean asserting the sketch landed within 5%
+      // relative error — the oracle emits `true` unconditionally, so an
+      // out-of-bounds estimate flips the hash red.
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey")).as("__approx"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("__approx") - col("n_parts")).cast("double") <=
+            col("n_parts") * lit(0.05)).as("approx_ok"))
+    },
+
     "r10_setops" -> { (s, dir) =>
       val t    = Tables(s, dir)
       val cust = t.customer.select(col("c_nationkey").as("nk"))
@@ -369,6 +385,10 @@ object Relational {
     "r9_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "r9_approx" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "r10_setops" ->

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2.3 S1/S2/D5).
@@ -27,6 +26,17 @@ object Similarity {
     math.min(24, math.max(minBits, raw))
   }
 
+  /** Top-k finish shared by S1/S2/S3: (cosine desc, neighbor_id asc) per
+    * query via the native bounded-heap plan node. The earlier
+    * `row_number().over(Window.partitionBy("query_id"))` finish funneled
+    * every scored candidate of a query onto ONE partition — at 100 TB each
+    * query's partition held the whole corpus. The TopK node keeps a k-row
+    * heap per group per partition (map-side), then merges the ≤ partitions×k
+    * survivors after one slim shuffle. */
+  private[operators] def topKFinish(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perGroupOrdered(scored, Seq("query_id"),
+      Seq("cosine" -> false, "neighbor_id" -> true), k)
+
   /** S1: brute-force cosine top-k — the exact baseline. `queries` and
     * `corpus` need (idCol, vecCol). Returns (query_id, neighbor_id, cosine)
     * with k rows per query, self-matches excluded.
@@ -38,8 +48,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+    topKFinish(scored, k)
   }
 
   /** S2: LSH-bucketed ANN. Both sides are hashed into 2^bits hyperplane
@@ -48,11 +57,19 @@ object Similarity {
     * against S1. `bits = 0` auto-sizes from the corpus (target bucket ≈ 64,
     * generous to protect recall; queries are broadcast so candidate volume
     * is |queries|·bucket·tables, not corpus-quadratic).
+    *
+    * `knownN`: corpus row count for the auto-sizing. When absent (< 0) the
+    * operator pays ONE extra corpus action (`count()`) just to size the
+    * buckets — at 100 TB that is an extra pass, so callers at scale should
+    * supply it (from catalog stats, a footer-only count of the base table,
+    * or pass `bits` explicitly).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, bits: Int = 0, tables: Int = 4, dim: Int = 64): DataFrame = {
+      k: Int = 5, bits: Int = 0, tables: Int = 4, dim: Int = 64,
+      knownN: Long = -1L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val b = if (bits > 0) bits else autoBits(c.count(), targetBucket = 64, minBits = 4)
+    val b = if (bits > 0) bits
+      else autoBits(if (knownN >= 0) knownN else c.count(), targetBucket = 64, minBits = 4)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), col(vec),
         explode(array((0 until tables).map(t =>
@@ -68,8 +85,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
       .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+    topKFinish(scored, k)
   }
 
   /** D5: embedding-cosine near-duplicate pairs above `threshold`, via the
@@ -79,13 +95,18 @@ object Similarity {
     * Scale shape: the bucket join ships only (table, bucket, id) — never the
     * vectors; candidate pairs are dedup'd on bare ids and only the surviving
     * pairs re-join their two vectors for the cosine check. `bits = 0`
-    * auto-sizes the bucket count to the corpus (target bucket ≈ 16).
+    * auto-sizes the bucket count to the corpus (target bucket ≈ 16);
+    * `knownN` supplies the row count for that sizing — when absent the
+    * operator pays one extra corpus `count()` action (avoid at scale, see
+    * `lshTopK`). The persisted staging frame is Caches-owned: consumers
+    * release it with `Caches.releaseAll()` after materializing the result.
     */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.99, bits: Int = 0, tables: Int = 4, dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = if (bits > 0) bits else autoBits(base.count(), targetBucket = 16, minBits = 8)
+      threshold: Double = 0.99, bits: Int = 0, tables: Int = 4, dim: Int = 64,
+      knownN: Long = -1L): DataFrame = {
+    val base = Caches.owned(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val b = if (bits > 0) bits
+      else autoBits(if (knownN >= 0) knownN else base.count(), targetBucket = 16, minBits = 8)
     val buckets = base.select(col("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"), hyperplaneBucket(col("vec"), b, dim, seed = 2000 + t).as("bucket"))): _*)).as("tb"))

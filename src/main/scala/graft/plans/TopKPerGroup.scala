@@ -3,21 +3,26 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** Whole-operator extension demo (SURVEY.md §4 route (c)): top-k rows per
   * group as a first-class plan node.
   *
-  * The DataFrame formulation (window rank + filter) must sort every
-  * partition fully before discarding all but k rows. This operator keeps a
-  * bounded heap per group instead: one shuffle on the group keys, O(n log k)
-  * per partition, O(groups × k) memory — the shape that survives a 100 TB
-  * fact table with millions of groups.
+  * The DataFrame formulation (window rank + filter) must co-locate every row
+  * of a group on one partition and sort it fully before discarding all but k
+  * rows. This operator executes in TWO phases, mirroring partial/final
+  * aggregation: a map-side pass keeps a bounded k-row heap per group per
+  * input partition (no shuffle), then one hash shuffle on the group keys
+  * moves only the ≤ partitions×k survivors per group to a final merging
+  * pass. O(n log k) work, O(groups × k) memory, and shuffle volume bounded
+  * by groups×k×partitions instead of n — the shape that survives a 100 TB
+  * fact table with millions of groups, or one group holding the whole
+  * corpus (the ANN top-k-per-query finish).
   */
 object TopK {
 
@@ -25,7 +30,17 @@ object TopK {
     * semantics: exactly k rows per group when available; supply a unique
     * tiebreaker column for determinism).
     */
-  def perGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame = {
+  def perGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame =
+    perGroupOrdered(df, groupCols, orderCols.map(_ -> false), k)
+
+  /** Top `k` rows per group under a per-column ordering spec:
+    * `(column, ascending)` — `("cosine", false)` ranks high cosine first,
+    * `("neighbor_id", true)` breaks ties on the smaller id. The ordering
+    * must be total within a group (include a unique tiebreaker) for the
+    * result to be deterministic.
+    */
+  def perGroupOrdered(df: DataFrame, groupCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     // experimental strategies attach to any session — no extension jar
@@ -35,8 +50,9 @@ object TopK {
         spark.experimental.extraStrategies :+ TopKStrategy
     val child  = ColumnBridge.logicalPlan(df)
     val groups = groupCols.map(n => ColumnBridge.expression(df(n)))
-    val orders = orderCols.map(n => SortOrder(ColumnBridge.expression(df(n)),
-      org.apache.spark.sql.catalyst.expressions.Descending))
+    val orders = orderSpec.map { case (n, asc) =>
+      SortOrder(ColumnBridge.expression(df(n)), if (asc) Ascending else Descending)
+    }
     ColumnBridge.ofRows(spark, TopKPerGroup(groups, orders, k, child))
   }
 }
@@ -54,7 +70,10 @@ case class TopKPerGroup(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(groups, ordering, k, child) =>
-      TopKPerGroupExec(groups, ordering, k, planLater(child)) :: Nil
+      // partial (map-side, no distribution requirement) under final
+      // (clustered) — Spark inserts the one hash shuffle between them
+      TopKPerGroupExec(groups, ordering, k, partial = false,
+        TopKPerGroupExec(groups, ordering, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -63,14 +82,20 @@ case class TopKPerGroupExec(
     groupingExpressions: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each group on one partition; Spark inserts the (single)
-    * hash shuffle — or none, if the child is already clustered right. */
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+
+  /** Final pass co-locates each group on one partition (Spark inserts the
+    * single hash shuffle — or none, if the child is already clustered
+    * right); the partial pass runs wherever the data already is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupingExpressions) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupingExpressions) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = groupingExpressions
@@ -79,6 +104,9 @@ case class TopKPerGroupExec(
     val childOut   = child.output
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupExprs, childOut)
+      // rows may arrive as non-Unsafe InternalRows (e.g. out of a broadcast
+      // nested-loop join) — normalize before copying into the heap
+      val toUnsafe = UnsafeProjection.create(childOut, childOut)
       // codegen'd row comparator for the SortOrder spec
       val cmp = GenerateOrdering.generate(sortOrders, childOut)
       // per-group bounded heap with the WEAKEST kept row at the head (head =
@@ -92,10 +120,13 @@ case class TopKPerGroupExec(
           heap = scala.collection.mutable.PriorityQueue.empty(heapOrd)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < limit) heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
-        else if (cmp.compare(row, heap.head) < 0) { // row sorts before current weakest
+        if (heap.size < limit) {
+          val u = row match { case ur: UnsafeRow => ur; case r => toUnsafe(r) }
+          heap.enqueue(u.copy())
+        } else if (cmp.compare(row, heap.head) < 0) { // row sorts before current weakest
           heap.dequeue()
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+          val u = row match { case ur: UnsafeRow => ur; case r => toUnsafe(r) }
+          heap.enqueue(u.copy())
         }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]

@@ -52,27 +52,32 @@ object EtlStdin {
 
     var shardNo = 0
     var lines   = 0L
-    def flush(buf: StringBuilder): Unit = if (buf.nonEmpty) {
+    // buffer ENCODED bytes, not chars: a StringBuilder cut on char count
+    // would overshoot the byte budget ~3-4× on multi-byte UTF-8 (Wikidata
+    // labels), and doubles peak heap (String + encoded copy at flush)
+    val buf = new java.io.ByteArrayOutputStream(1 << 20)
+    def flush(): Unit = if (buf.size() > 0) {
       // write-then-rename: the file source must never list a partial shard
       val tmp: Path = spoolDir.resolve(f".tmp-shard-$shardNo%05d")
-      Files.write(tmp, buf.toString.getBytes(StandardCharsets.UTF_8))
+      val os = Files.newOutputStream(tmp)
+      try buf.writeTo(os) finally os.close()
       Files.move(tmp, spoolDir.resolve(f"shard-$shardNo%05d.jsonl"),
         StandardCopyOption.ATOMIC_MOVE)
       shardNo += 1
-      buf.clear()
+      buf.reset()
     }
 
     val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-    val buf    = new StringBuilder
     try {
       var line = reader.readLine()
       while (line != null) {
-        buf.append(line).append('\n')
+        buf.write(line.getBytes(StandardCharsets.UTF_8))
+        buf.write('\n')
         lines += 1
-        if (buf.length >= shardBytes) flush(buf)
+        if (buf.size() >= shardBytes) flush()
         line = reader.readLine()
       }
-      flush(buf)
+      flush()
       query.processAllAvailable() // drain every spooled shard
     } finally {
       query.stop()

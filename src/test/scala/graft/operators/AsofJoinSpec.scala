@@ -30,6 +30,23 @@ class AsofJoinSpec extends SparkSpec {
       4L -> None, 5L -> Some(300.0))
   }
 
+  test("as-of join preserves a matched row's genuine NULL and never stitches rows") {
+    // price2 is NULL on the 2nd right row: the match at ts>=20 must yield
+    // (200.0, NULL) from THAT row — not carry price2=111.0 forward from the
+    // older row (the per-column-carry bug this test pins down)
+    val trades = Seq((1L, 1L, ts(25))).toDF("trade_id", "user_id", "ts")
+    val prices = Seq(
+      (1L, ts(5), Some(100.0), Some(111.0)),
+      (1L, ts(20), Some(200.0), None)
+    ).toDF("user_id", "ts", "price", "price2")
+
+    val out = AsofJoin.asofJoin(trades, prices, Seq("user_id"), "ts", Seq("price", "price2"))
+      .select("trade_id", "asof_price", "asof_price2").collect()
+    out.length shouldBe 1
+    out.head.getDouble(1) shouldBe 200.0
+    out.head.isNullAt(2) shouldBe true // genuine NULL from the matched row
+  }
+
   test("as-of join equals the naive range-join formulation on events (R18)") {
     val ev = graft.Tables(spark, "/root/testdata/sf0.001").events
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -53,16 +53,16 @@ class DedupSpec extends SparkSpec {
     pairs((1L, 2L)) shouldBe 1.0
     pairs((1L, 3L)) should be > 0.6
     // blocking-independence: the result equals brute-force exact Jaccard,
-    // and the prefix-filtered scale variant returns the identical set
+    // and the plain inverted-index baseline returns the identical set
     val ids   = corpus.select("id").as[Long].collect()
     val brute = Dedup.jaccardVerify(
       ids.combinations(2).map(p => (p.min, p.max)).toSeq.toDF("id_a", "id_b"),
       corpus, "text", "id").filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs.keySet shouldBe brute
-    val viaPrefix = Dedup.ngramJaccardDedupPrefix(corpus, "text", "id", threshold = 0.5)
+    val viaBasic = Dedup.ngramJaccardDedupBasic(corpus, "text", "id", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    viaPrefix shouldBe brute
+    viaBasic shouldBe brute
   }
 
   test("simhash: identical text → distance 0, near text → small, unrelated → large (D3)") {

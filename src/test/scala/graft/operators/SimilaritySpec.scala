@@ -56,6 +56,19 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("top-k finish is the bounded-heap plan node, not a window (S1/S2 scale shape)") {
+    // the window formulation funnels every scored candidate of a query onto
+    // one partition — the TopK node must appear instead, and no Window node
+    for (df <- Seq(
+        Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 5),
+        Similarity.lshTopK(vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding",
+          k = 5, bits = 4, tables = 6, dim = 16))) {
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("TopKPerGroup")
+      (plan should not).include("Window")
+    }
+  }
+
   test("embeddingDedup finds planted near-identical vectors (D5)") {
     val planted = vecs.unionAll(vecs.select((col("vec_id") + 1000).as("vec_id"),
       VectorFunctions.scale(col("embedding"), lit(1.01)).as("embedding")))

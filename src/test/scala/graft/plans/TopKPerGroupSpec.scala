@@ -24,13 +24,24 @@ class TopKPerGroupSpec extends SparkSpec {
     native.count() shouldBe 37L * 5
   }
 
-  test("physical plan uses TopKPerGroupExec with a single clustering exchange") {
+  test("physical plan is two-phase (partial + final) with a single clustering exchange") {
     val native = TopK.perGroup(df, Seq("grp"), Seq("score"), k = 3)
     val plan = native.queryExecution.executedPlan.toString
-    plan should include("TopKPerGroup") // exec node prints without the Exec suffix
+    plan should include("TopKPerGroup")        // final pass
+    plan should include("TopKPerGroupPartial") // map-side bounded heaps
     plan should not include "Window"
-    // exactly one shuffle: the ClusteredDistribution requirement
+    // exactly one shuffle, between partial and final (the
+    // ClusteredDistribution requirement); the partial pass runs in place
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("perGroupOrdered supports mixed asc/desc ordering (ascending tiebreak)") {
+    val tiny = Seq(("a", 1L, 2.0), ("a", 2L, 2.0), ("a", 3L, 1.0), ("b", 9L, 5.0))
+      .toDF("grp", "id", "score")
+    // score desc, id ASC tiebreak: group a keeps (1,2.0) then (2,2.0)
+    val out = TopK.perGroupOrdered(tiny, Seq("grp"), Seq("score" -> false, "id" -> true), k = 2)
+      .orderBy("grp", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    out.toSeq shouldBe Seq(("a", 1L), ("a", 2L), ("b", 9L))
   }
 
   test("groups smaller than k return all their rows") {
