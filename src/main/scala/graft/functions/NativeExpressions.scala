@@ -48,6 +48,76 @@ object NativeExpressions {
   /** Column API: fraction of positions where two long arrays agree. */
   def arrayAgreement(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: |A ∩ B| of two ASCENDING-SORTED array<long> set columns. */
+  def sortedOverlapCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedOverlapCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Set-intersection size of two ascending-sorted array<long> columns in one
+  * merge walk — no per-pair hash set or intermediate array. The
+  * `array_intersect`/`array_union` formulation of exact-Jaccard verification
+  * built TWO fresh arrays (plus a hash set) per candidate pair; with ~1.4M
+  * candidates at sf0.1 that allocation was the dominant cost of the verify
+  * join. Inputs MUST be sorted ascending and duplicate-free (set semantics)
+  * — `Dedup.shingleSets` stages them exactly so. */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes() = {
+    def ok(dt: DataType) = dt == ArrayType(LongType, false) || dt == ArrayType(LongType, true)
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sortedOverlapCount expects array<bigint>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var ov = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { ov += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    ov
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i  = ctx.freshName("i")
+      val j  = ctx.freshName("j")
+      val ov = ctx.freshName("ov")
+      val x  = ctx.freshName("x")
+      val y  = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $ov = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $ov++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $ov;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlapCount =
+    copy(left = l, right = r)
 }
 
 /** Fraction of equal positions between two array<long> columns (the MinHash

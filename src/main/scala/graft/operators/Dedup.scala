@@ -42,13 +42,16 @@ object Dedup {
       graft.functions.NativeExpressions.wordShingleHashes(
         split(lower(trim(col(textCol))), "\\s+"), k))
 
-  /** Distinct word-shingle hash sets per document: (id, __set). The shared
-    * staging frame for every shingle-based operator — compute once, persist,
-    * and derive candidates + verification from it (one tokenization pass
-    * over the corpus instead of one per stage). */
+  /** Distinct word-shingle hash sets per document: (id, __set), SORTED
+    * ascending — the sorted-merge verification kernel
+    * (`sortedOverlapCount`) requires it, and the sort costs one in-register
+    * pass at staging time instead of a hash set per candidate pair later.
+    * The shared staging frame for every shingle-based operator — compute
+    * once, persist, and derive candidates + verification from it (one
+    * tokenization pass over the corpus instead of one per stage). */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
     withShingleHashes(df, textCol, k)
-      .select(col(idCol).as("id"), array_distinct(col("__sh")).as("__set"))
+      .select(col(idCol).as("id"), sort_array(array_distinct(col("__sh"))).as("__set"))
 
   /** MinHash signature (length `numHashes`) over a pre-staged shingle-hash
     * array column — a native codegen'd expression (one primitive loop per
@@ -114,17 +117,21 @@ object Dedup {
   /** D4: exact n-gram Jaccard verification on candidate pairs — join the
     * shingle sets back and compute |∩|/|∪| precisely. `pairs` must have
     * (id_a, id_b); only candidates pay this cost. `sets` is a pre-staged
-    * `shingleSets` frame so callers share one tokenization pass.
+    * `shingleSets` frame (arrays sorted ascending — required) so callers
+    * share one tokenization pass. |∩| comes from the native sorted-merge
+    * kernel and |∪| = |A| + |B| − |∩|: no per-pair array allocation (the
+    * `array_intersect`/`array_union` formulation built two fresh arrays per
+    * pair and dominated the verify join at ~1.4M candidates).
     */
   def jaccardVerifySets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "__set" -> "set_a")), Seq("id_a"))
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "__set" -> "set_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
-      .drop("set_a", "set_b")
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("__ov",
+        graft.functions.NativeExpressions.sortedOverlapCount(col("set_a"), col("set_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("__ov").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("__ov"))).as("jaccard"))
 
   /** Convenience form that stages the sets itself (one extra tokenization —
     * prefer `jaccardVerifySets` when a sets frame already exists). */
@@ -152,6 +159,11 @@ object Dedup {
     */
   def ngramJaccardDedup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // pruning bounds are relaxed by Eps so floating-point roundoff can only
+    // over-admit a candidate (verification is exact), never prune a true
+    // J = threshold boundary pair — e.g. ceil(t/(1+t)·(sa+sb)) computed a
+    // hair above its exact integer value would otherwise drop it
+    val Eps = 1e-9
     val sets = Caches.owned(shingleSets(df, textCol, idCol, shingleK))
     val ex = sets.select(col("id"), explode(col("__set")).as("sh"), size(col("__set")).as("sz"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
@@ -160,11 +172,26 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(col("__df"), col("sh"))))
     val prefix = ranked
-      .filter(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "sh")
-    val pairs = prefix.withColumnRenamed("id", "id_a")
-      .join(prefix.withColumnRenamed("id", "id_b"), Seq("sh"))
+      .filter(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(Eps)) + 1)
+      .select("sh", "id", "sz", "__rn")
+    // PPJoin-style pruning at candidate-generation time, BEFORE the pair
+    // dedup shuffle (measured at sf0.1: 1.44M raw meeting rows → ~40k
+    // candidate pairs). Both filters only reject pairs that provably cannot
+    // reach J ≥ t:
+    //  - length: J ≥ t ⇒ |∩| ≥ t·max(|A|,|B|) ⇒ min ≥ t·max;
+    //  - positional: shared shingles at prefix positions (rn_a, rn_b) under
+    //    the GLOBAL order bound the remaining overlap by
+    //    1 + min(|A|−rn_a, |B|−rn_b); a true pair's first shared prefix
+    //    shingle always satisfies it (all overlap sorts after that shingle
+    //    in both documents), so at least one meeting row survives.
+    val reqOverlap = ceil(lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - lit(Eps))
+    val pa = prefix.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"), col("__rn").as("rn_a"))
+    val pb = prefix.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"), col("__rn").as("rn_b"))
+    val pairs = pa.join(pb, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_a") >= lit(threshold) * col("sz_b") - lit(Eps) &&
+        col("sz_b") >= lit(threshold) * col("sz_a") - lit(Eps))
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >= reqOverlap)
       .select("id_a", "id_b")
       .distinct()
     jaccardVerifySets(pairs, sets).filter(col("jaccard") >= threshold)
