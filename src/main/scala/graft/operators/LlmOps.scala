@@ -213,6 +213,24 @@ object LlmOps {
       Multimodal.extractFeatures(s, media).toDF()
         .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
           element_at(col("histogram"), 1).as("hist_0"))
+    },
+
+    "p2_sql_surface" -> { (s, dir) =>
+      // P2 driver-visible: the SQL function surface. `register` writes the
+      // same FunctionRegistry entries `GraftExtensions.injectFunction` does
+      // (both consume GraftFunctions.definitions), so a hash-green result
+      // here certifies the whole SQL path: parser → registry lookup →
+      // native Expression construction → codegen. Two kernels exercised
+      // purely through SQL text; shingle-hash distinct counts equal
+      // string-shingle distinct counts absent xxhash64 collisions (the d4
+      // argument).
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_p2_documents")
+      s.sql("""SELECT doc_id,
+              |  poly_fingerprint(text) AS fingerprint,
+              |  CAST(size(array_distinct(
+              |    word_shingles(split(lower(trim(text)), '\\s+'), 3))) AS BIGINT) AS n_shingles
+              |FROM graft_p2_documents""".stripMargin)
     }
   )
 
@@ -427,6 +445,25 @@ object LlmOps {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(regexp_extract_all(text, '[\s\S]'), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // P2: fingerprint re-derived as in t4; shingle count re-derived over
+    // STRING shingles (d4's construction) — distinct-hash count equals
+    // distinct-string count absent xxhash64 collisions.
+    "p2_sql_surface" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '[\s\S]'), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+        |  CAST(len(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END)) AS BIGINT) AS n_shingles
+        |FROM toks""".stripMargin
   )
 }
