@@ -28,5 +28,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 125 GiB box: an 8g heap spills/GC-thrashes the join- and
+  // window-heavy gates (32 tasks share ~4.6 GiB of unified memory), and under
+  // host contention that GC pressure amplifies 2-4x. 48g keeps every sf0.1
+  // gate entirely in memory while leaving room for sbt + a concurrent test JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

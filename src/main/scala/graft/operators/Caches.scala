@@ -28,6 +28,7 @@ object Caches {
     df
   }
 
+
   /** Unpersist every registered frame (non-blocking) and clear the registry.
     * Safe to call at any time: results already materialized stay correct
     * (the cache is an optimization, never a semantic dependency). */

@@ -127,6 +127,22 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     },
 
+    "d6_dedup_clusters" -> { (s, dir) =>
+      // the full fuzzy-dedup pipeline: exact-Jaccard near-dup PAIRS (d4's
+      // operator) chained into CLUSTERS by connected components, one
+      // canonical doc (min id) per cluster. Pairwise dedup alone over-keeps
+      // on chains (A~B, B~C but A!~C); the component view is what a real
+      // 100 TB pipeline drops rows by. Result is blocking- and
+      // iteration-order-independent (component minima are unique), so the
+      // DuckDB recursive-CTE re-derivation is a full end-to-end oracle.
+      val corpus = plantedDocs(s, dir)
+      val pairs = Dedup.ngramJaccardDedup(corpus, "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b")
+      ConnectedComponents.labels(corpus.select(col("doc_id")), pairs)
+        .withColumn("is_canonical", col("id") === col("component"))
+        .orderBy("id")
+    },
+
     "d5_embed_dedup" -> { (s, dir) =>
       // knownN: bucket sizing from a footer-only count of the base parquet
       // (2× for the planted copies) instead of an extra pass over the
@@ -206,6 +222,18 @@ object LlmOps {
     "t6_hash_split" -> { (s, dir) =>
       Sampling.assignSplits(Tables(s, dir).documents, "doc_id", SplitSpec)
         .select("doc_id", "split")
+    },
+
+    "t7_stratified_sample" -> { (s, dir) =>
+      // deterministic per-language quota (the "balance by language/source"
+      // op): 5 docs per lang chosen by md5(id) order — pure function of the
+      // data, so DuckDB's row_number re-derivation is an exact oracle. Runs
+      // through the bounded-heap TopK plan node (P1), giving that custom
+      // operator a second driver-visible consumer on a different schema.
+      Sampling.stratifiedSample(
+          Tables(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id", n = 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
     },
 
     "m1_multimodal" -> { (s, dir) =>
@@ -386,6 +414,63 @@ object LlmOps {
         |  FROM inter JOIN sizes sa ON inter.id_a = sa.id
         |             JOIN sizes sb ON inter.id_b = sb.id
         |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // D6: the d4 pair derivation (same CTEs) extended by a recursive-CTE
+    // transitive closure: comp(id) = min id reachable in the undirected pair
+    // graph; singletons label themselves. Component minima are unique, so
+    // the result is independent of how either engine orders the traversal.
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |         substr(text, 1, greatest(20, CAST(trunc(length(text)*0.9) AS INT))) AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT id, unnest(s) AS sh FROM sets
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT id, len(s) AS sz FROM sets
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |    FROM inter JOIN sizes sa ON inter.id_a = sa.id
+        |               JOIN sizes sb ON inter.id_b = sb.id
+        |  ) WHERE jaccard >= 0.5
+        |), und AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON reach.r = und.u
+        |), comp AS (
+        |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+        |)
+        |SELECT c.id, coalesce(p.component, c.id) AS component,
+        |       coalesce(p.component, c.id) = c.id AS is_canonical
+        |FROM corpus c LEFT JOIN comp p ON c.id = p.id""".stripMargin,
+
+    // T7: membership is a pure function of (lang, md5(doc_id)) — both
+    // engines compute the same lowercase-hex md5 over the same decimal
+    // rendering of doc_id, so the quota sample is re-derivable exactly.
+    "t7_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
 
     // The planted ground truth, derived independently: every vector pairs
     // with exactly its 1.01-scaled copy (same direction → identical

@@ -199,6 +199,24 @@ object Relational {
           expr("percentile(l_extendedprice, 0.5)").as("median_price"))
     },
 
+    "r20_approx_quantile" -> { (s, dir) =>
+      // R15's approx half (same construction as r9_approx): the KLL/GK-style
+      // approx_percentile sketch has no cross-engine-stable value, so the
+      // gate hashes the exact median plus an in-plan boolean asserting the
+      // sketch landed within 1% relative error — the oracle emits `true`
+      // unconditionally, so an out-of-bounds estimate flips the hash red.
+      // At 100 TB the sketch is the only viable path (exact percentiles
+      // sort each group); this gate keeps it honest against the exact value.
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__apx"))
+        .select(col("l_returnflag"), col("median_price"),
+          (abs(col("__apx") - col("median_price")) <=
+            greatest(abs(col("median_price")) * lit(0.01), lit(1e-6))).as("approx_ok"))
+    },
+
     "p1_topk_native" -> { (s, dir) =>
       // custom LogicalPlan/Strategy/Exec path (SURVEY §2 P1): bounded
       // per-group heaps instead of full sort + rank
@@ -426,6 +444,11 @@ object Relational {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.95) AS p95_qty,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "r20_approx_quantile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "p1_topk_native" ->

@@ -40,6 +40,22 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic stratified sample: exactly `n` rows per stratum (fewer if
+    * the stratum is smaller), chosen by md5(id) order — the training-data
+    * "balance by language/source" operation. Membership is a pure function of
+    * (stratum, id) like the splits above: same rows on any cluster, any rerun,
+    * any engine. The per-stratum selection runs through the bounded-heap
+    * `TopK` plan node (SURVEY §2.2 P1) — O(n) state per stratum per partition
+    * and shuffle volume ≤ strata × n × partitions, where a window row_number
+    * would sort each stratum's full contents on a single partition (a
+    * boilerplate-language stratum at 100 TB is most of the corpus).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame =
+    graft.plans.TopK.perGroupOrdered(
+        df.withColumn("__u", md5(col(idCol).cast("string"))),
+        Seq(strataCol), Seq("__u" -> true, idCol -> true), n)
+      .drop("__u")
+
   /** (name, exclusive upper bound in [0, 2^32]) per split, cumulative. */
   def cumulativeThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     var acc = 0.0

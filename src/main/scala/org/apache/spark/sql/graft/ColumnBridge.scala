@@ -20,4 +20,17 @@ object ColumnBridge {
 
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
+
+  /** Release the storage blocks behind a `localCheckpoint(eager = true)`'d
+    * frame. `Dataset.unpersist` only talks to the CacheManager and cannot
+    * reach checkpoint blocks; the RDD handle lives inside the `LogicalRDD`
+    * the checkpoint rewrote the plan to. No-op for non-checkpointed frames.
+    * CAUTION: a checkpointed frame has truncated lineage — after this call
+    * it can never be computed again; only release frames whose consumers
+    * are finished (e.g. superseded rounds of an iterative loop). */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    logicalPlan(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

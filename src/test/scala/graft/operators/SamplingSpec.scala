@@ -21,6 +21,29 @@ class SamplingSpec extends SparkSpec {
     counts("test").toDouble / 10000 shouldBe 0.1 +- 0.02
   }
 
+  test("stratifiedSample takes exactly n per stratum, deterministically (T7)") {
+    val df = (0L until 1000L).map(i => (i, s"lang${i % 4}")).toDF("id", "lang")
+    val a = Sampling.stratifiedSample(df, "lang", "id", 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    a.groupBy(_._1).values.foreach(_.size shouldBe 10)
+    // partitioning-independent (pure function of the data)
+    val b = Sampling.stratifiedSample(df.repartition(13), "lang", "id", 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    b shouldBe a
+    // matches the window-function reference formulation
+    val ref = df.withColumn("__u", md5(col("id").cast("string")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("__u"), col("id"))))
+      .filter(col("rk") <= 10)
+      .select("lang", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    a shouldBe ref
+    // small strata yield all their rows
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "lang")
+    Sampling.stratifiedSample(tiny, "lang", "id", 10).count() shouldBe 3
+  }
+
   test("hashSample keeps a stable ~fraction and is a subset relation (T6)") {
     val s10 = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
     val s20 = Sampling.hashSample(ids, "id", 0.2).as[Long].collect().toSet
