@@ -28,9 +28,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] on a 125 GiB box: an 8g heap spills/GC-thrashes the join- and
-  // window-heavy gates (32 tasks share ~4.6 GiB of unified memory), and under
-  // host contention that GC pressure amplifies 2-4x. 48g keeps every sf0.1
-  // gate entirely in memory while leaving room for sbt + a concurrent test JVM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Measured A/B on this host (212 MB ETL, local[32]): -Xmx48g → 151 s with
+  // ~45 MINUTES of kernel CPU (huge-heap page management storm under
+  // madvise-THP); -Xmx8g → 39 s. The sf0.1 gates all fit comfortably in 8g
+  // with MEMORY_AND_DISK staging, so the small heap is strictly better here.
+  // Raise via SPARK_DRIVER_MEM only for genuinely larger local inputs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

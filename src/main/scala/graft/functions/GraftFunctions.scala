@@ -74,7 +74,13 @@ object GraftFunctions {
     (FunctionIdentifier("poly_fingerprint"),
       info("poly_fingerprint",
         "poly_fingerprint(text) - Rabin-Karp polynomial fingerprint mod 1e9+7"),
-      (args: Seq[Expression]) => PolyFingerprint(args(0)))
+      (args: Seq[Expression]) => PolyFingerprint(args(0))),
+
+    (FunctionIdentifier("band_hashes"),
+      info("band_hashes",
+        "band_hashes(signature, bands) - LSH band hashes over a minhash signature"),
+      (args: Seq[Expression]) => BandHashes(args(0),
+        intArg(args(1), "band_hashes", 2)))
   )
 
   /** Register every graft SQL function on a live session. Idempotent. */

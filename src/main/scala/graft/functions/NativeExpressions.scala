@@ -52,6 +52,72 @@ object NativeExpressions {
   /** Column API: |A ∩ B| of two ASCENDING-SORTED array<long> set columns. */
   def sortedOverlapCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedOverlapCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: LSH band hashes (length `bands`) over a minhash signature. */
+  def bandHashes(sig: Column, bands: Int): Column =
+    ColumnBridge.column(BandHashes(ColumnBridge.expression(sig), bands))
+}
+
+/** array<long> minhash signature → array<long> of `bands` band hashes: the
+  * signature is cut into `bands` contiguous slices and each slice is mixed
+  * (FNV-1a seeded with the band index) into one long. Semantically any
+  * deterministic function of the slice works — two rows share a band bucket
+  * iff the slice VALUES are equal (modulo a 2^-64 mix collision) — so this
+  * replaces the previous 16-column `xxhash64(element_at...)` projection,
+  * whose unrolled generated code was a measurable share of the operator's
+  * one-time janino compile cost, with one short loop. */
+case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == ArrayType(LongType, false) || child.dataType == ArrayType(LongType, true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bandHashes expects array<bigint>, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr  = input.asInstanceOf[ArrayData]
+    val rows = arr.numElements() / bands
+    val out  = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = -3750763034362895579L ^ b // FNV-1a offset basis, band-seeded
+      var j = 0
+      while (j < rows) {
+        h = (h ^ arr.getLong(b * rows + j)) * 1099511628211L
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val rows = ctx.freshName("rows")
+      val out  = ctx.freshName("out")
+      val b    = ctx.freshName("b")
+      val j    = ctx.freshName("j")
+      val h    = ctx.freshName("h")
+      s"""
+         |int $rows = $c.numElements() / $bands;
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = -3750763034362895579L ^ $b;
+         |  for (int $j = 0; $j < $rows; $j++) {
+         |    $h = ($h ^ $c.getLong($b * $rows + $j)) * 1099511628211L;
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
 }
 
 /** Set-intersection size of two ascending-sorted array<long> columns in one

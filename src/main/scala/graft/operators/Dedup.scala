@@ -81,7 +81,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     // persisted (Caches-owned): the banded self-join reads this from both
     // sides, and the signature computation is the expensive part of the
     // whole operator; the consumer releases it via Caches.releaseAll()
@@ -91,13 +91,13 @@ object Dedup {
     // The band join ships only (band, band_hash, id) — NOT the 64-long
     // signature (~16 KB/row×bands of shuffle it doesn't need). Pairs are
     // dedup'd on bare ids first; signatures re-join once per surviving pair.
-    // Band hash = xxhash64 over the band's raw signature longs (an earlier
-    // to_json(slice(...)) formulation allocated a JSON string per band per
-    // row — pure long hashing stays codegen'd and allocation-free).
-    def bandHash(b: Int): Column =
-      xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+    // Band hashing is the native BandHashes kernel (band-seeded FNV mix of
+    // each slice): two rows collide iff their slice values are equal, same
+    // as any hash — but ONE short generated loop instead of `bands`
+    // unrolled xxhash64(element_at...) columns, which were a measurable
+    // share of the operator's one-time janino compile cost.
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(bandHash): _*)))
+      posexplode(graft.functions.NativeExpressions.bandHashes(col("sig"), bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
       .select("band", "band_hash", "id")
 

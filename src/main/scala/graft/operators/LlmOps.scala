@@ -236,6 +236,42 @@ object LlmOps {
         .orderBy("lang", "doc_id")
     },
 
+    "x5_neardedup_batch" -> { (s, dir) =>
+      // batch equivalent of EventStreams.nearDedupStream (X5): keep-first
+      // per SimHash signature, "first" pinned by doc_id order. Over the
+      // token-reversed planted corpus every copy's signature provably equals
+      // its original's (simhash is a bag function) and every original sorts
+      // first (id < id + 1e6), so the planted subset of the DROPPED rows is
+      // exactly the copy set — even when an original itself collides with an
+      // earlier original, its copy still collides transitively. Organic
+      // original-vs-original collisions are real near-dups, not
+      // SQL-derivable — precision stays spec-gated (StreamingSpec asserts
+      // stream ≡ this batch form on a shared input).
+      val corpus = plantedDocsPermuted(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__sig").orderBy("doc_id")
+      corpus.withColumn("__sig", Dedup.simhash(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1 && col("doc_id") >= CopyOffset)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    "p3_prep_pipeline" -> { (s, dir) =>
+      // the composed prep flow a training pipeline actually runs — quality
+      // filter (T2) → exact dedup, min-id winner (D1) → deterministic split
+      // assignment (T6) — as ONE lazy plan: filter and hash are projections,
+      // dedup is the single shuffle, splits are a projection again. Gates
+      // that the operators compose (column contracts line up) and that the
+      // composition stays oracle-exact end to end.
+      val docs = Tables(s, dir).documents
+      val quality = docs.filter(TextAnalysis.isQuality(col("text")))
+      val deduped = Dedup.exactDedup(quality, "text", "doc_id")
+      Sampling.assignSplits(deduped, "doc_id", SplitSpec)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
     "m1_multimodal" -> { (s, dir) =>
       val media = Multimodal.asMediaCorpus(Tables(s, dir).documents, "doc_id", "text")
       Multimodal.extractFeatures(s, media).toDF()
@@ -325,10 +361,40 @@ object LlmOps {
        |FROM best""".stripMargin
   }
 
+  /** P3 oracle — the composed pipeline re-derived: T2's quality predicate
+    * (spliced verbatim from the t2 oracle), D1's min-id-per-content-hash
+    * winner, T6's md5-threshold split (thresholds generated by the SAME
+    * cumulative arithmetic the operator uses). */
+  private def p3OracleSql: String = {
+    val th = Sampling.cumulativeThresholds(SplitSpec)
+    val cases = th.init.map { case (n, up) => s"WHEN u < $up THEN '$n'" }.mkString(" ")
+    s"""WITH q AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE length(text) >= 100 AND
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END < 0.1
+       |), d AS (
+       |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+       |)
+       |SELECT doc_id, CASE $cases ELSE '${th.last._1}' END AS split FROM (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 9),
+       |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+       |      (a, b) -> a * 16 + b) AS u
+       |  FROM d)""".stripMargin
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   def oracleSql: Map[String, String] = Map(
     "t1_langid" -> t1OracleSql,
     "t6_hash_split" -> t6OracleSql,
+    "p3_prep_pipeline" -> p3OracleSql,
+
+    // X5 batch equivalent: the planted subset of keep-first-per-simhash
+    // drops is structurally the full copy set (see the gate comment).
+    "x5_neardedup_batch" ->
+      "SELECT doc_id + 1000000 AS doc_id FROM documents",
 
     // d2/d3 planted-pair recall: the gates return exactly the recovered
     // planted pairs, the oracle is the full planted set — a missed pair (or

@@ -68,6 +68,20 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** X5: streaming NEAR-dup dedup — the streaming face of SimHash dedup
+    * (D3): each document's 64-bit SimHash becomes the dedup key, so
+    * reordered/boilerplate-variant re-ingests (which exact-id dedup misses)
+    * are dropped in-flight with state bounded by the watermark window. The
+    * signature is the native codegen'd kernel, computed per-row before the
+    * stateful operator — the state store holds 8-byte keys, not text.
+    * `docs` needs (textCol, tsCol); rows whose signature was already seen
+    * within the watermark are dropped. */
+  def nearDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__sig", graft.operators.Dedup.simhash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+
   /** X2 batch: gap-based sessionization with window functions. A session
     * breaks when the gap to the previous event of the same user exceeds
     * `gapMinutes`. Shuffles once on user_id; everything else is per-partition

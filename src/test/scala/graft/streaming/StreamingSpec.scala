@@ -71,6 +71,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup drops signature-equal docs, keeps first (X5)") {
+    import StreamingSpec.Doc
+    val docs = Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog", ts(0)),
+      Doc(2, "an entirely different document about spark", ts(1)),
+      // token permutation of doc 1 — identical SimHash (bag function),
+      // different text: exact-id dedup would keep it, near-dedup drops it
+      Doc(3, "dog lazy the over jumps fox brown quick the", ts(2)),
+      Doc(4, "the quick brown fox jumps over the lazy dog", ts(3)), // exact re-ingest
+      Doc(5, "yet another unrelated piece of text entirely", ts(4)))
+    val input = MemoryStream[Doc](spark)
+    val q = EventStreams.nearDedupStream(input.toDF(), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("x5_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3))
+      q.processAllAvailable()
+      val kept = spark.table("x5_stream").collect().map(_.getLong(0)).toSet
+      kept shouldBe Set(1L, 2L, 5L)
+      // equals the batch keep-first-per-signature form (the x5 gate's shape)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__sig").orderBy("doc_id")
+      val batchKept = docs.toDF()
+        .withColumn("__sig", graft.operators.Dedup.simhash(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .collect().map(_.getLong(0)).toSet
+      kept shouldBe batchKept
+    } finally q.stop()
+  }
+
   test("session numbering continues after all sessions close (X2 counter)") {
     val input = MemoryStream[EventStreams.Event](spark)
     val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
@@ -155,4 +188,10 @@ class StreamingSpec extends SparkSpec {
       streamComparable shouldBe batchComparable
     } finally q.stop()
   }
+}
+
+object StreamingSpec {
+  /** Top-level so the derived Encoder is stable (a method-local case class
+    * has no TypeTag usable by MemoryStream). */
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 }
