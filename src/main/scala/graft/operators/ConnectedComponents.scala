@@ -22,10 +22,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: per round, shuffles are groupBy(node) + join-back on node —
   * edge-count volume, no materialized component membership, nothing on the
-  * driver but the O(1) convergence fingerprint. Each round's edge set is
-  * persisted, materialized by the fingerprint action, and the previous
-  * round's is unpersisted (owned); the final frame registers with [[Caches]]
-  * so Bench/Verify release it after consuming the labels.
+  * driver but the O(1) convergence fingerprint. Rounds are localCheckpoint'd
+  * (lineage truncation — see the note in `run`); on a real cluster where an
+  * executor loss mid-algorithm must be survivable, swap `localCheckpoint`
+  * for reliable `checkpoint` with `sparkContext.setCheckpointDir` on the
+  * shared filesystem — same truncation semantics, durable blocks (the
+  * standard trade; local is the right default for speed).
   */
 object ConnectedComponents {
 

@@ -222,6 +222,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** D7: decontamination — train-set documents sharing ANY k-word shingle
+    * with the eval set (the train/test-overlap scrub every LLM pipeline runs
+    * before training). Returns the contaminated train ids (one column `id`).
+    *
+    * Scale shape: the eval side collapses to a DISTINCT shingle-hash set —
+    * tiny next to the train corpus (eval sets are thousands of docs, train
+    * is billions), so Catalyst broadcasts it and the semi-join never
+    * shuffles the train side; ids ship, never text. Real pipelines use
+    * large k (8-13 words): long shingles make incidental overlap vanishingly
+    * rare, which also keeps the broadcast set small. Small k on tiny test
+    * corpora exercises the same plan.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 8): DataFrame = {
+    val t = withShingleHashes(train, textCol, shingleK)
+      .select(col(idCol).as("id"), explode(array_distinct(col("__sh"))).as("sh"))
+    val e = withShingleHashes(eval, textCol, shingleK)
+      .select(explode(array_distinct(col("__sh"))).as("sh"))
+      .distinct()
+    t.join(broadcast(e), Seq("sh"), "left_semi")
+      .select("id")
+      .distinct()
+  }
+
   /** SimHash: 64-bit signature — token hashes vote ±1 per bit, sign of each
     * bit-sum becomes the bit. Near-dups have small hamming distance.
     * Token hashing via the native shingle kernel (k=1): the

@@ -236,6 +236,36 @@ object LlmOps {
         .orderBy("lang", "doc_id")
     },
 
+    "d7_decontaminate" -> { (s, dir) =>
+      // train/eval overlap scrub: train docs sharing ANY k-shingle with the
+      // eval slice. Result is a pure semantic set (shingle-hash semi-join ≡
+      // string-shingle IN-subquery absent xxhash64 collisions — the d4
+      // argument), so DuckDB re-derives it exactly. k=3 on the synthetic
+      // corpus so overlap actually occurs; production uses k=8-13.
+      val docs = Tables(s, dir).documents
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", shingleK = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    "t8_pii_redact" -> { (s, dir) =>
+      // PII planted deterministically per row (the synthetic corpus has
+      // none): one email, one phone, one IPv4 — then the scrub runs and
+      // BOTH the redacted text and the per-kind counts are hash-gated.
+      // The patterns live in the Java∩RE2 regex subset, so DuckDB applies
+      // the literally identical expressions.
+      val planted = Tables(s, dir).documents.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-867-5309 at 10.0.0."),
+          (col("doc_id") % 256).cast("string")).as("text"))
+      val counts = TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+      planted.select(Seq(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted")) ++ counts: _*)
+    },
+
     "x5_neardedup_batch" -> { (s, dir) =>
       // batch equivalent of EventStreams.nearDedupStream (X5): keep-first
       // per SimHash signature, "first" pinned by doc_id order. Over the
@@ -385,6 +415,30 @@ object LlmOps {
        |  FROM d)""".stripMargin
   }
 
+  /** T8 oracle — the regexes are spliced verbatim from the SAME
+    * TextAnalysis constants the operator compiles (they live in the
+    * Java∩RE2 subset, so DuckDB executes them identically; backslashes
+    * pass through DuckDB single-quoted strings unprocessed). */
+  private def t8OracleSql: String = {
+    val (em, ph, ip) = (TextAnalysis.EmailRe, TextAnalysis.PhoneRe, TextAnalysis.Ipv4Re)
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |         || '@example.com or 555-867-5309 at 10.0.0.'
+       |         || CAST(doc_id % 256 AS VARCHAR) AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '<EMAIL>', 'g'),
+       |    '$ph', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS redacted,
+       |  len(regexp_extract_all(text, '$em')) AS n_emails,
+       |  len(regexp_extract_all(text, '$ph')) AS n_phones,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips
+       |FROM p""".stripMargin
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   def oracleSql: Map[String, String] = Map(
     "t1_langid" -> t1OracleSql,
@@ -395,6 +449,24 @@ object LlmOps {
     // drops is structurally the full copy set (see the gate comment).
     "x5_neardedup_batch" ->
       "SELECT doc_id + 1000000 AS doc_id FROM documents",
+
+    // D7 re-derived over STRING shingles (hash-set ≡ string-set counts
+    // absent collisions): train docs whose shingle set intersects the eval
+    // slice's.
+    "d7_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END)) AS sh
+        |  FROM toks
+        |)
+        |SELECT DISTINCT a.doc_id FROM sh a
+        |WHERE a.doc_id >= 20
+        |  AND a.sh IN (SELECT b.sh FROM sh b WHERE b.doc_id < 20)""".stripMargin,
+
+    "t8_pii_redact" -> t8OracleSql,
 
     // d2/d3 planted-pair recall: the gates return exactly the recovered
     // planted pairs, the oracle is the full planted set — a missed pair (or

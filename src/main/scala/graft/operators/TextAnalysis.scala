@@ -51,6 +51,34 @@ object TextAnalysis {
   def isQuality(text: Column, minChars: Int = 100, maxPunct: Double = 0.1): Column =
     length(text) >= minChars && punctRatio(text) < maxPunct
 
+  // ---- PII redaction (T8): compliance scrub before training ----
+
+  /** Conservative PII patterns, deliberately restricted to the regex subset
+    * where Java regex (Spark) and RE2 (DuckDB, and most scale engines) agree
+    * — character classes, bounded repetition, word boundaries; no lookaround,
+    * no backreferences. That keeps the scrub portable AND linear-time (RE2
+    * guarantees no catastrophic backtracking — the property you want when an
+    * adversarial 100 TB corpus meets your regex). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re:  String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace emails / phone numbers / IPv4s with typed placeholder tokens.
+    * Pure codegen'd projection — one pass, no UDF. Order matters: emails
+    * first (an email's domain must not be half-eaten by the IP pattern). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-kind match counts (audit columns for the scrub). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))),
+    "n_ips"    -> size(regexp_extract_all(text, lit(Ipv4Re), lit(0))))
+
   // ---- language ID (T1): char-trigram profiles, pure column algebra ----
 
   /** Tiny built-in char-trigram/stopword profiles per language. Honest

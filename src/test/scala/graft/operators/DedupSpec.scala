@@ -81,4 +81,19 @@ class DedupSpec extends SparkSpec {
     pairs should contain((1L, 3L))
     pairs should not contain ((4L, 5L))
   }
+
+  test("decontaminate flags exactly the train docs sharing a shingle with eval (D7)") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"),    // shares "the quick brown" w/ eval
+      (11L, "completely unrelated training text body"),
+      (12L, "benchmark answer leaked verbatim here now")) // shares a full eval doc
+      .toDF("id", "text")
+    val eval = Seq(
+      (1L, "the quick brown dog"),
+      (2L, "benchmark answer leaked verbatim here now"))
+      .toDF("id", "text")
+    val hits = Dedup.decontaminate(train, eval, "text", "id", shingleK = 3)
+      .as[Long].collect().toSet
+    hits shouldBe Set(10L, 12L)
+  }
 }

@@ -80,4 +80,23 @@ class TextAnalysisSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.size(TextAnalysis.wordShingles(col("text"), 3)).as("n")).as[Int].collect().head
     short shouldBe 1
   }
+
+  test("redactPii scrubs emails, phones and IPs; counts audit them (T8)") {
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "call 555-123-4567 or 555.987.6543 now",
+      "server at 192.168.1.100 responded",
+      "no pii here at all",
+      "combo: a@b.io and 111-222-3333 via 10.0.0.1").toDF("text")
+    val out = df.select(
+      TextAnalysis.redactPii(col("text")).as("r"),
+      TextAnalysis.piiCounts(col("text")).head._2.as("n_emails"))
+      .collect()
+    out(0).getString(0) shouldBe "mail me at <EMAIL> today"
+    out(1).getString(0) shouldBe "call <PHONE> or <PHONE> now"
+    out(2).getString(0) shouldBe "server at <IP> responded"
+    out(3).getString(0) shouldBe "no pii here at all"
+    out(4).getString(0) shouldBe "combo: <EMAIL> and <PHONE> via <IP>"
+    out.map(_.getInt(1)).toSeq shouldBe Seq(1, 0, 0, 0, 1)
+  }
 }
