@@ -217,6 +217,16 @@ object Relational {
             greatest(abs(col("median_price")) * lit(0.01), lit(1e-6))).as("approx_ok"))
     },
 
+    "r21_zorder_roundtrip" -> { (s, dir) =>
+      // z-order clustered write + read-back: the layout must not corrupt,
+      // drop, or duplicate a row (the multi-dimensional pruning property
+      // itself is spec-asserted on per-file stats — ZOrderSpec)
+      val out = java.nio.file.Files.createTempDirectory("graft_r21_z").toString
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      ZOrder.writeClustered(o, Seq("o_custkey", "o_totalprice"), out, partitions = 8)
+      s.read.parquet(out)
+    },
+
     "p1_topk_native" -> { (s, dir) =>
       // custom LogicalPlan/Strategy/Exec path (SURVEY §2 P1): bounded
       // per-group heaps instead of full sort + rank
@@ -450,6 +460,9 @@ object Relational {
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
         |  true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "r21_zorder_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
 
     "p1_topk_native" ->
       """SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS rev FROM (
