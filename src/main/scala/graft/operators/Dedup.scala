@@ -246,6 +246,44 @@ object Dedup {
       .distinct()
   }
 
+  /** D8: Bloom-filter decontamination — D7's sketch path. D7 broadcasts the
+    * exact DISTINCT eval shingle-hash set, whose size is unbounded as the
+    * eval side grows (many benchmarks × thousands of shingles each). A Bloom
+    * filter caps the shipped bits at a FIXED size chosen by (expectedItems,
+    * fpp) regardless of the true set size, and errs only toward
+    * over-scrubbing: false positives drop extra train docs — the safe
+    * direction for decontamination — while false negatives are impossible.
+    *
+    * Spark-first shape: the filter is built by Spark's own mergeable
+    * `BloomFilterAggregate` (map-side partial merges, one pass over the eval
+    * side, no driver-side item loop), lands on the driver as a single binary
+    * scalar (the one collect — same class of driver scalar as IVF's
+    * centroids), and re-enters the plan as a Literal inside
+    * `BloomFilterMightContain` — the identical codegen'd predicate Spark's
+    * runtime join-pruning injects — so the train side is filtered inside
+    * whole-stage codegen, never shuffles, and ships ids only.
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 8,
+      expectedItems: Long = 4L << 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val evalSh = withShingleHashes(eval, textCol, shingleK)
+      .select(explode(col("__sh")).as("sh"))
+    val agg = new BloomFilterAggregate(expression(col("sh")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bf = evalSh.select(column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+    val trainSh = withShingleHashes(train, textCol, shingleK)
+      .select(col(idCol).as("id"), explode(array_distinct(col("__sh"))).as("sh"))
+    trainSh
+      .filter(column(BloomFilterMightContain(
+        Literal(bf, org.apache.spark.sql.types.BinaryType), expression(col("sh")))))
+      .select("id")
+      .distinct()
+  }
+
   /** SimHash: 64-bit signature — token hashes vote ±1 per bit, sign of each
     * bit-sum becomes the bit. Near-dups have small hamming distance.
     * Token hashing via the native shingle kernel (k=1): the

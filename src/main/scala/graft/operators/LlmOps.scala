@@ -250,6 +250,22 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "d8_decontaminate_bloom" -> { (s, dir) =>
+      // D7's Bloom-sketch scale path, gated for ZERO false negatives: every
+      // exact-overlap doc must survive the bloom pre-filter, so semi-joining
+      // the exact result against the bloom result must be the identity —
+      // a doc the bloom filter missed drops a row here and flips the hash.
+      // (The false-POSITIVE rate is statistical and spec-gated — DedupSpec.)
+      val docs = Tables(s, dir).documents
+      val train = docs.filter(col("doc_id") >= 20)
+      val eval  = docs.filter(col("doc_id") < 20)
+      val bloom = Dedup.decontaminateBloom(train, eval, "text", "doc_id", shingleK = 3)
+      Dedup.decontaminate(train, eval, "text", "doc_id", shingleK = 3)
+        .join(bloom, Seq("id"), "left_semi")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     "t8_pii_redact" -> { (s, dir) =>
       // PII planted deterministically per row (the synthetic corpus has
       // none): one email, one phone, one IPv4 — then the scrub runs and
@@ -439,6 +455,24 @@ object LlmOps {
        |FROM p""".stripMargin
   }
 
+  /** D7/D8 oracle — the decontamination set re-derived over STRING shingles
+    * (hash-set ≡ string-set membership absent xxhash64 collisions): train
+    * docs whose k=3 shingle set intersects the eval slice's. Shared by d7
+    * (exact) and d8 (bloom ∩ exact — false negatives impossible, so the
+    * intersection is the same set). */
+  private def decontOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END)) AS sh
+      |  FROM toks
+      |)
+      |SELECT DISTINCT a.doc_id FROM sh a
+      |WHERE a.doc_id >= 20
+      |  AND a.sh IN (SELECT b.sh FROM sh b WHERE b.doc_id < 20)""".stripMargin
+
   /** DuckDB oracles for the SQL-expressible subset. */
   def oracleSql: Map[String, String] = Map(
     "t1_langid" -> t1OracleSql,
@@ -453,18 +487,10 @@ object LlmOps {
     // D7 re-derived over STRING shingles (hash-set ≡ string-set counts
     // absent collisions): train docs whose shingle set intersects the eval
     // slice's.
-    "d7_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END)) AS sh
-        |  FROM toks
-        |)
-        |SELECT DISTINCT a.doc_id FROM sh a
-        |WHERE a.doc_id >= 20
-        |  AND a.sh IN (SELECT b.sh FROM sh b WHERE b.doc_id < 20)""".stripMargin,
+    "d7_decontaminate" -> decontOracleSql,
+    // D8 = the same semantic set: bloom false negatives are impossible, so
+    // exact ∩ bloom must equal exact — the d7 derivation verbatim.
+    "d8_decontaminate_bloom" -> decontOracleSql,
 
     "t8_pii_redact" -> t8OracleSql,
 

@@ -277,6 +277,51 @@ object Relational {
         .agg(count(lit(1)).as("n"), emit(sum(money(col("l_quantity")))).as("qty"))
     },
 
+    "r22_pivot" -> { (s, dir) =>
+      // pivot = conditional aggregation with a column per pivot value. The
+      // value list is EXPLICIT (scale rule: pivot without values runs an
+      // extra distinct pass over the corpus to discover columns — at 100 TB
+      // the schema must be declared, not inferred). One Expand-free
+      // hash-agg pass, same shuffle shape as a plain groupBy.
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(money(col("l_quantity"))))
+        .select(col("l_returnflag"),
+          emit(col("F")).as("qty_f"), emit(col("O")).as("qty_o"))
+    },
+
+    "r23_cube" -> { (s, dir) =>
+      // CUBE = all 2^n grouping-set combinations in one Expand pass +
+      // single shuffle (r19's ROLLUP is the hierarchical subset); the
+      // grouping columns are non-null in this data, so NULL unambiguously
+      // marks the rolled-up dimension.
+      Tables(s, dir).lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), emit(sum(money(col("l_quantity")))).as("qty"))
+    },
+
+    "r24_hll_sketch" -> { (s, dir) =>
+      // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
+      // hll_sketch_agg): per-event_type sketches built in one pass over the
+      // facts are UNIONED into a global estimate — the re-aggregatable form
+      // a 100 TB rollup pipeline needs: sketches are bytes, so per-day /
+      // per-source sketches can be stored and re-unioned across jobs
+      // without rescanning (approx_count_distinct merges map-side inside
+      // ONE query, but its sketch can't be persisted and re-unioned).
+      // Gate construction as r9_approx/r20: exact distinct hash-gated, the
+      // sketch estimate asserted within 5% rel error by an in-plan boolean.
+      val ev = Tables(s, dir).events
+      val merged = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(merged)
+        .select(col("n_users"),
+          (abs(col("__est") - col("n_users")) <=
+            greatest(col("n_users").cast("double") * lit(0.05), lit(1.0))).as("sketch_ok"))
+    },
+
     "r18_asof_join" -> { (s, dir) =>
       // point-in-time join: each purchase picks up the user's latest click
       // at-or-before it (NULL when none) — DuckDB's native ASOF JOIN is the
@@ -491,6 +536,21 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "r22_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "r23_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "r24_hll_sketch" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, true AS sketch_ok
+        |FROM events""".stripMargin,
 
     "r18_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts

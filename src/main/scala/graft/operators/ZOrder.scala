@@ -51,10 +51,21 @@ object ZOrder {
       floor((c.cast("double") - lit(mn)) / lit(mx - mn) * top).cast("long")))
   }
 
-  /** Write `df` as parquet clustered on `cols`: range-partition + sort by
-    * the interleaved z-value, then drop it (projection preserves the sort,
-    * so row-group stats come out tight in every clustered dimension).
-    * `knownStats` = (min, max) per column to skip the stats pass. */
+  /** Shared write tail: interleave the ranks, one range shuffle on the
+    * z-value, per-partition sort, drop the key (projection preserves the
+    * sort, so row-group stats come out tight in every clustered dim). */
+  private def writeByRanks(df: DataFrame, ranks: Seq[Column], out: String,
+      partitions: Int, bitsPerCol: Int): Unit =
+    df.withColumn("__z", zvalue(ranks, bitsPerCol))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(out)
+
+  /** Write `df` as parquet clustered on `cols` with UNIFORM min/max bucket
+    * ranks — right for roughly-uniform keys; heavily skewed columns want
+    * `writeClusteredQuantile`. `knownStats` = (min, max) per column to skip
+    * the stats pass. */
   def writeClustered(df: DataFrame, cols: Seq[String], out: String,
       partitions: Int, bitsPerCol: Int = 12,
       knownStats: Option[Seq[(Double, Double)]] = None): Unit = {
@@ -67,10 +78,31 @@ object ZOrder {
     val ranks = cols.zip(stats).map { case (c, (mn, mx)) =>
       bucketRank(col(c), mn, mx, bitsPerCol)
     }
-    df.withColumn("__z", zvalue(ranks, bitsPerCol))
-      .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(out)
+    writeByRanks(df, ranks, out, partitions, bitsPerCol)
+  }
+
+  /** Skew-resistant variant: bucket ranks from approx-quantile boundaries
+    * instead of uniform min/max quantization. On a long-tailed column
+    * (zipfian ids, prices with outliers) uniform quantization collapses —
+    * one far outlier stretches the range so virtually every row lands in
+    * bucket 0 and the layout stops separating the dense region; quantile
+    * boundaries give ~equal-mass buckets by construction, so files stay
+    * tight exactly where the data is dense. Boundary lookup compiles to a
+    * codegen'd comparison chain (rank = #boundaries ≤ value — no UDF);
+    * 2^bits−1 boundaries per column, so keep bits small (default 6 = 64
+    * equal-mass buckets, plenty for file-level pruning: files ≫ buckets is
+    * never the binding constraint at scale). The quantile sketch is one
+    * extra pass over the clustered columns (same class of stats pass as
+    * `writeClustered`'s min/max; at scale feed it from table stats). */
+  def writeClusteredQuantile(df: DataFrame, cols: Seq[String], out: String,
+      partitions: Int, bitsPerCol: Int = 6): Unit = {
+    val nb = 1 << bitsPerCol
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 1.0 / (8 * nb))
+    val ranks = cols.zip(bounds).map { case (c, bs) =>
+      bs.distinct.sorted.map(b => when(col(c).cast("double") >= b, 1L).otherwise(0L))
+        .reduce(_ + _)
+    }
+    writeByRanks(df, ranks, out, partitions, bitsPerCol)
   }
 }

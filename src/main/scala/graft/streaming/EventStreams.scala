@@ -82,6 +82,20 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
 
+  /** X6: stream-static enrichment — each streamed event picks up its
+    * dimension row (user profile, document source metadata). The static side
+    * is a plain batch frame: Spark re-reads and re-plans it every
+    * micro-batch, and the explicit broadcast keeps the stream side from ever
+    * shuffling — the standard pattern for joining a firehose against
+    * slowly-changing dims at scale (dims refresh between batches by
+    * re-reading the table; no stream restart, no state store). Stateless:
+    * stream-static left/inner joins need no watermark. Works identically on
+    * a batch `events` frame — the x6 gate runs this exact function in batch
+    * and the StreamingSpec asserts stream ≡ batch on a shared input. */
+  def enrichStream(events: DataFrame, dims: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dims), col(eventKey) === col(dimKey), "left")
+
   /** X2 batch: gap-based sessionization with window functions. A session
     * breaks when the gap to the previous event of the same user exceeds
     * `gapMinutes`. Shuffles once on user_id; everything else is per-partition

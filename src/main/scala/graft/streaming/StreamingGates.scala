@@ -23,6 +23,17 @@ object StreamingGates {
       EventStreams.sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
         .withColumn("total_value", col("total_value").cast("double"))
     },
+    // X6: stream-static broadcast enrichment — the gate runs the operator's
+    // exact code path on the batch events frame (the function is
+    // source-agnostic; stream ≡ batch is spec-asserted in StreamingSpec).
+    "x6_stream_enrich" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      EventStreams.enrichStream(t.events,
+          t.customer.select("c_custkey", "c_mktsegment", "c_name"),
+          "user_id", "c_custkey")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "c_mktsegment", "c_name")
+    },
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -63,6 +74,10 @@ object StreamingGates {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+
+    "x6_stream_enrich" ->
+      """SELECT event_id, ts, user_id, event_type, value, c_mktsegment, c_name
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
 
     "x4_dedup_batch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

@@ -96,4 +96,28 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     hits shouldBe Set(10L, 12L)
   }
+
+  test("decontaminateBloom never misses an exact hit; clean corpus stays clean (D8)") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"),
+      (11L, "completely unrelated training text body"),
+      (12L, "benchmark answer leaked verbatim here now"),
+      (13L, "another clean doc with private words only"),
+      (14L, "yet more disjoint vocabulary nothing shared"))
+      .toDF("id", "text")
+    val eval = Seq(
+      (1L, "the quick brown dog"),
+      (2L, "benchmark answer leaked verbatim here now"))
+      .toDF("id", "text")
+    val exact = Dedup.decontaminate(train, eval, "text", "id", shingleK = 3)
+      .as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(train, eval, "text", "id", shingleK = 3,
+      expectedItems = 1024, fpp = 0.001)
+      .as[Long].collect().toSet
+    // no false negatives, ever: bloom ⊇ exact
+    (exact -- bloom) shouldBe empty
+    // at fpp=0.1% over a handful of shingles, false positives are
+    // overwhelmingly unlikely — the clean docs stay clean
+    bloom shouldBe exact
+  }
 }

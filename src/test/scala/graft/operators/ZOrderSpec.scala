@@ -59,4 +59,41 @@ class ZOrderSpec extends SparkSpec {
     // skip most files (16 files ≈ 4x4 grid → ~4 hit; allow slack to 8)
     zHit should be <= (zBoxes.length / 2)
   }
+
+  test("quantile ranks keep pruning under skew where uniform ranks collapse (R21)") {
+    // x: 95% dense in [0, 100), a few outliers at ~1e9 — uniform min/max
+    // quantization maps the whole dense region to bucket 0, so the layout
+    // stops separating it; quantile buckets are equal-mass and stay tight.
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(20000) {
+      val x = if (rng.nextInt(20) == 0) 1000000000L + rng.nextInt(1000)
+              else rng.nextInt(100).toLong
+      (x, rng.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("x", "y")
+
+    val uniDir = java.nio.file.Files.createTempDirectory("zspec_uni").toString
+    val qDir   = java.nio.file.Files.createTempDirectory("zspec_q").toString
+    ZOrder.writeClustered(df, Seq("x", "y"), uniDir, partitions = 16)
+    ZOrder.writeClusteredQuantile(df, Seq("x", "y"), qDir, partitions = 16)
+
+    // round trip exact
+    val back = spark.read.parquet(qDir).as[(Long, Long)].collect().sorted
+    back shouldBe rows.sorted.toArray
+
+    // an x-range query inside the dense region
+    val (loX, hiX) = (40.0, 60.0)
+    def hits(path: String) = fileBoxes(path).count {
+      case (mnX, mxX, _, _) => mxX >= loX && mnX <= hiX }
+    val uniHit = hits(uniDir)
+    val qHit   = hits(qDir)
+    // uniform: every dense row is in x-bucket 0 → z orders by y only → all
+    // (or nearly all) files span the dense x range
+    uniHit should be >= (fileBoxes(uniDir).length - 1)
+    // quantile: the 20%-mass slice straddles the top-bit rank boundary, so
+    // it can touch 2 of the 4 x-quadrants plus range-partition edge files —
+    // still a strict improvement where uniform prunes nothing
+    qHit should be < uniHit
+    qHit should be <= (fileBoxes(qDir).length * 3 / 4)
+  }
 }

@@ -71,6 +71,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join on the same events (X6)") {
+    val dims = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("d_user", "segment")
+    val input = MemoryStream[EventStreams.Event](spark)
+    val enriched = EventStreams.enrichStream(input.toDF(), dims, "user_id", "d_user")
+      .select("event_id", "user_id", "segment")
+    val q = enriched.writeStream.format("memory").queryName("x6_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture.take(4))
+      q.processAllAvailable()
+      input.addData(fixture.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("x6_stream").collect().toSet
+      val batch = EventStreams.enrichStream(fixture.toDF(), dims, "user_id", "d_user")
+        .select("event_id", "user_id", "segment").collect().toSet
+      streamed should not be empty
+      streamed shouldBe batch
+      // left semantics: user 3 has no dim row and still comes through
+      streamed.find(_.getLong(0) == 8L).get.isNullAt(2) shouldBe true
+    } finally q.stop()
+  }
+
   test("streaming near-dedup drops signature-equal docs, keeps first (X5)") {
     import StreamingSpec.Doc
     val docs = Seq(
