@@ -250,6 +250,14 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "t9_top_ngrams" -> { (s, dir) =>
+      // corpus n-gram statistics through the bounded-heap TopK node (P1's
+      // third driver-visible consumer): top-5 bigrams per language,
+      // count-desc with lexicographic tiebreak — fully re-derivable in SQL.
+      TextAnalysis.topNgrams(Tables(s, dir).documents, "text", "lang", n = 2, k = 5)
+        .orderBy("lang", "ngram")
+    },
+
     "d8_decontaminate_bloom" -> { (s, dir) =>
       // D7's Bloom-sketch scale path, gated for ZERO false negatives: every
       // exact-overlap doc must survive the bloom pre-filter, so semi-joining
@@ -493,6 +501,21 @@ object LlmOps {
     "d8_decontaminate_bloom" -> decontOracleSql,
 
     "t8_pii_redact" -> t8OracleSql,
+
+    "t9_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+        |), bi AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM toks WHERE len(t) >= 2
+        |), c AS (
+        |  SELECT lang, ngram, count(*) AS n FROM bi GROUP BY lang, ngram
+        |)
+        |SELECT lang, ngram, n FROM (
+        |  SELECT lang, ngram, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
+        |  FROM c
+        |) WHERE rn <= 5""".stripMargin,
 
     // d2/d3 planted-pair recall: the gates return exactly the recovered
     // planted pairs, the oracle is the full planted set — a missed pair (or

@@ -301,6 +301,52 @@ object Relational {
         .agg(count(lit(1)).as("n"), emit(sum(money(col("l_quantity")))).as("qty"))
     },
 
+    "r25_upsert" -> { (s, dir) =>
+      // CDC apply: a changeset synthesized deterministically from the
+      // snapshot itself (keys ≡0 mod 7 deleted, ≡1 updated, ≡2 re-inserted
+      // under offset keys), merged via one anti-join + union — the oracle
+      // re-derives the merge relationally.
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      val changes =
+        o.filter(col("o_orderkey") % 7 === 0).withColumn("op", lit("D"))
+          .unionByName(o.filter(col("o_orderkey") % 7 === 1)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000)
+            .withColumn("op", lit("U")))
+          .unionByName(o.filter(col("o_orderkey") % 7 === 2)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+            .withColumn("o_totalprice", col("o_totalprice") + 5)
+            .withColumn("op", lit("I")))
+      Upsert.applyChanges(o, changes, Seq("o_orderkey"))
+    },
+
+    "r26_compaction" -> { (s, dir) =>
+      // small-file compaction round-trip: fragment orders into 64 tiny
+      // files, compact via scan-side bin-packing (no shuffle), read back —
+      // the rewrite must not corrupt, drop, or duplicate a row. The
+      // file-count reduction itself is spec-asserted (CompactionSpec).
+      val frag = java.nio.file.Files.createTempDirectory("graft_r26_frag").toString
+      val out  = java.nio.file.Files.createTempDirectory("graft_r26_out").toString
+      Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      Compaction.compact(s, frag, out, targetBytes = 512L * 1024 * 1024)
+      s.read.parquet(out)
+    },
+
+    "r27_rolling_window" -> { (s, dir) =>
+      // time-RANGE rolling aggregate (r8's running agg is row-framed): each
+      // event's trailing 1-hour sum/count per user. Range frames are
+      // tie-insensitive — equal timestamps are peers and always share a
+      // frame, so the result is deterministic without a tiebreaker column
+      // (rows-frames need one; that asymmetry is the point of the gate).
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, 0)
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          emit(sum(money(col("value"))).over(w)).as("sum_1h"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -547,6 +593,32 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "r25_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op FROM snap WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000, 'U' FROM snap WHERE o_orderkey % 7 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice + 5, 'I' FROM snap WHERE o_orderkey % 7 = 2
+        |)
+        |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM snap s
+        |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM changes WHERE op <> 'D'""".stripMargin,
+
+    "r26_compaction" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    "r27_rolling_window" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "r24_hll_sketch" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, true AS sketch_ok

@@ -166,4 +166,27 @@ object TextAnalysis {
         sequence(lit(0), size(toks) - k),
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
+
+  /** T9: top-k n-grams per group — the corpus-statistics op behind stopword
+    * lists, contamination fingerprints and domain-drift dashboards. Shape:
+    * explode n-grams (strings, not hashes — the output is human-facing),
+    * one partial-aggregated count shuffle, then the bounded-heap TopK plan
+    * node (P1) for the per-group cut: at 100 TB the count table still holds
+    * billions of (group, ngram) rows, and the window-rank formulation would
+    * sort each group's full vocabulary on one partition — the heap keeps
+    * groups × k rows. Ties break lexicographically for determinism. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, n: Int = 2, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = df
+      .select(col(groupCol), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(groupCol), explode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as("ngram"))
+    val counts = grams.groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perGroupOrdered(counts, Seq(groupCol),
+      Seq(("n", false), ("ngram", true)), k)
+  }
 }
