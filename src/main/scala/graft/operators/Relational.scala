@@ -347,6 +347,20 @@ object Relational {
           emit(sum(money(col("value"))).over(w)).as("sum_1h"))
     },
 
+    "r28_partitioned_write" -> { (s, dir) =>
+      // hive-style partition layout: documents written partitionBy(lang) —
+      // the coarse-pruning layer ABOVE row-group stats (a lang='en' query
+      // never lists, opens, or reads any other language's files; at 100 TB
+      // partition pruning is the first and cheapest filter). Round-trip
+      // must restore the partition column from directory names exactly;
+      // the pruning itself (PartitionFilters + selected file subset) is
+      // spec-asserted in PartitionedWriteSpec.
+      val out = java.nio.file.Files.createTempDirectory("graft_r28_pw").toString
+      Tables(s, dir).documents
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars")
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -619,6 +633,9 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "r28_partitioned_write" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "r24_hll_sketch" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, true AS sketch_ok

@@ -96,6 +96,33 @@ object EventStreams {
       eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dims), col(eventKey) === col(dimKey), "left")
 
+  /** X7: stream-stream interval join — every (purchase, click) pair of the
+    * same user with the click inside the `lookback` window before the
+    * purchase: N:M attribution, where the as-of join (R18) keeps only the
+    * latest match. In streaming, BOTH sides carry watermarks and the join
+    * condition carries the time interval, so each side's state store
+    * retains only rows newer than (watermark − lookback): state stays
+    * bounded no matter how long the streams run — the property that makes
+    * stream-stream joins viable at all on an unbounded firehose. The join
+    * shuffles both streams on the key, the same shape as the batch join.
+    * Pass `None` watermarks to run the identical code on batch frames (the
+    * x7 gate); stream ≡ batch is spec-asserted in StreamingSpec. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "1 hour",
+      purchaseWatermark: Option[String] = None,
+      clickWatermark: Option[String] = None): DataFrame = {
+    val p0 = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"))
+    val c0 = clicks.select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+      col("ts").as("click_ts"))
+    val p = purchaseWatermark.fold(p0)(w => p0.withWatermark("purchase_ts", w))
+    val c = clickWatermark.fold(c0)(w => c0.withWatermark("click_ts", w))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"interval $lookback") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+  }
+
   /** X2 batch: gap-based sessionization with window functions. A session
     * breaks when the gap to the previous event of the same user exceeds
     * `gapMinutes`. Shuffles once on user_id; everything else is per-partition

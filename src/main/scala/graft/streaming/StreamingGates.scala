@@ -34,6 +34,14 @@ object StreamingGates {
         .select("event_id", "ts", "user_id", "event_type", "value",
           "c_mktsegment", "c_name")
     },
+    // X7: stream-stream interval join (batch form of the same code path;
+    // the result is a pure pair set, deterministic at any parallelism).
+    "x7_interval_join" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      EventStreams.attributionJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+    },
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -74,6 +82,14 @@ object StreamingGates {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+
+    "x7_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
 
     "x6_stream_enrich" ->
       """SELECT event_id, ts, user_id, event_type, value, c_mktsegment, c_name

@@ -84,12 +84,50 @@ class StreamingSpec extends SparkSpec {
       input.addData(fixture.drop(4))
       q.processAllAvailable()
       val streamed = spark.table("x6_stream").collect().toSet
-      val batch = EventStreams.enrichStream(fixture.toDF(), dims, "user_id", "d_user")
-        .select("event_id", "user_id", "segment").collect().toSet
+      val batchDf = EventStreams.enrichStream(fixture.toDF(), dims, "user_id", "d_user")
+        .select("event_id", "user_id", "segment")
+      // the dim side broadcasts: the event side never shuffles
+      batchDf.queryExecution.executedPlan.toString should include ("BroadcastHashJoin")
+      val batch = batchDf.collect().toSet
       streamed should not be empty
       streamed shouldBe batch
       // left semantics: user 3 has no dim row and still comes through
       streamed.find(_.getLong(0) == 8L).get.isNullAt(2) shouldBe true
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch join on the same events (X7)") {
+    val purchases = MemoryStream[EventStreams.Event](spark)
+    val clicks = MemoryStream[EventStreams.Event](spark)
+    val joined = EventStreams.attributionJoin(
+      purchases.toDF(), clicks.toDF(), lookback = "1 hour",
+      purchaseWatermark = Some("2 hours"), clickWatermark = Some("2 hours"))
+    val q = joined.writeStream.format("memory").queryName("x7_stream")
+      .outputMode("append").start()
+    val pFix = Seq(EventStreams.Event(10, ts(65), 1, "purchase", 10.0),
+      EventStreams.Event(11, ts(200), 1, "purchase", 20.0),
+      EventStreams.Event(12, ts(70), 2, "purchase", 30.0))
+    val cFix = Seq(EventStreams.Event(1, ts(10), 1, "click", 0.0),  // in 10's window
+      EventStreams.Event(2, ts(64), 1, "click", 0.0),               // in 10's window
+      EventStreams.Event(3, ts(150), 1, "click", 0.0),              // in 11's window
+      EventStreams.Event(4, ts(300), 1, "click", 0.0),              // after everything
+      EventStreams.Event(5, ts(30), 2, "click", 0.0))               // in 12's window
+    try {
+      // batches respect event-time order: batch 1 tops out at ts(70), so the
+      // global watermark stays at 0 and nothing in batch 2 arrives late (a
+      // late-beyond-watermark click would be dropped — correct streaming
+      // semantics, but not what this equivalence fixture exercises)
+      purchases.addData(Seq(pFix(0), pFix(2)))
+      clicks.addData(Seq(cFix(0), cFix(1), cFix(4)))
+      q.processAllAvailable()
+      purchases.addData(Seq(pFix(1))); clicks.addData(Seq(cFix(2), cFix(3)))
+      q.processAllAvailable()
+      val streamed = spark.table("x7_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.attributionJoin(pFix.toDF(), cFix.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed shouldBe batch
+      streamed shouldBe Set((10L, 1L), (10L, 2L), (11L, 3L), (12L, 5L))
     } finally q.stop()
   }
 
