@@ -92,6 +92,22 @@ object LlmOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** s2/s3's corpus: embeddings ∪ EXACT copies (id + 1e6). An identical
+    * vector has the identical hyperplane signature in every LSH table and
+    * the identical nearest-centroid cell, so "each planted query's top-1
+    * neighbor is its exact copy at cosine 1" is structural — the same
+    * planted-ground-truth construction d5 uses, applied to search instead
+    * of dedup. (Full top-k recall on the natural corpus stays statistical
+    * and is spec-gated against S1.) */
+  private def plantedVecsExact(s: SparkSession, dir: String): DataFrame =
+    plantedCache.computeIfAbsent((s, dir, "vecsx"), _ => {
+      val vecs = Tables(s, dir).embeddings.select("vec_id", "embedding")
+        .repartition(parallelism(s))
+      vecs.unionAll(
+        vecs.select((col("vec_id") + CopyOffset).as("vec_id"), col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> { (s, dir) =>
       Dedup.dupStats(Tables(s, dir).documents, "text", "doc_id")
@@ -161,22 +177,34 @@ object LlmOps {
         .orderBy("query_id", "neighbor_id")
     },
 
+    // Structural oracle (was rows-only through round 4): corpus = embeddings
+    // ∪ exact copies; every query vector's copy shares its bucket in EVERY
+    // hash table, so the top-1 neighbor is the copy at cosine 1 regardless
+    // of how the statistical tail of the top-k shakes out. Gates the full
+    // path — signature kernel, band join, candidate dedup, scoring, bounded-
+    // heap finish. Top-k recall on the natural corpus is spec-gated vs S1.
     "s2_lsh_ann" -> { (s, dir) =>
-      val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val vecs = plantedVecsExact(s, dir)
       // knownN from the base parquet footers — no extra pass over the
       // repartitioned corpus just to size the buckets
-      val n = Tables(s, dir).embeddings.count()
-      Similarity.lshTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding",
-          k = 5, dim = 64, knownN = n)
+      val n = 2 * Tables(s, dir).embeddings.count()
+      Similarity.lshTopK(vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
+          k = 1, dim = 64, knownN = n)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
     },
 
+    // Same structural construction for IVF: the quantizer is trained on the
+    // BASE corpus (distinct vectors → distinct deterministic seeds), then
+    // the planted corpus is searched. A query and its exact copy get the
+    // identical nearest-centroid assignment, so the copy always sits in the
+    // rank-1 probed cell and wins top-1 at cosine 1.
     "s3_ivf_ann" -> { (s, dir) =>
-      val vecs  = Tables(s, dir).embeddings.repartition(parallelism(s))
-      val cents = IvfAnn.trainCentroids(vecs, "embedding", k = 8, iters = 3)
-      IvfAnn.topK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding",
-          cents, k = 5, nprobe = 3)
+      val base  = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val vecs  = plantedVecsExact(s, dir)
+      val cents = IvfAnn.trainCentroids(base, "embedding", k = 8, iters = 3)
+      IvfAnn.topK(vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
+          cents, k = 1, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
     },
@@ -694,6 +722,18 @@ object LlmOps {
         |  SELECT query_id, neighbor_id, cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin,
+
+    // Structural: each query's top-1 over the exact-copy planted corpus is
+    // its copy (vec_id + 1e6) at cosine 1 — identical vectors share every
+    // hyperplane bucket (s2) and the nearest-centroid cell (s3), and the
+    // kernel's cosine(v,v) is 1 to within 1 ulp, far inside the 6dp round.
+    "s2_lsh_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    "s3_ivf_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     "t2_quality" -> t2OracleSql,
 
