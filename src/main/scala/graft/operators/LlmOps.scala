@@ -264,6 +264,17 @@ object LlmOps {
         .orderBy("lang", "doc_id")
     },
 
+    "t11_temperature_mix" -> { (s, dir) =>
+      // α=0.5 temperature rebalancing across sources: quotas from integer
+      // square-root weights (exact on any engine), membership by md5 order
+      // — the data-mixing step of a multi-source training corpus.
+      Sampling.temperatureResample(
+          Tables(s, dir).documents.select("doc_id", "source"), "source", "doc_id",
+          targetTotal = 200)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     "d7_decontaminate" -> { (s, dir) =>
       // train/eval overlap scrub: train docs sharing ANY k-shingle with the
       // eval slice. Result is a pure semantic set (shingle-hash semi-join ≡
@@ -284,6 +295,15 @@ object LlmOps {
       // count-desc with lexicographic tiebreak — fully re-derivable in SQL.
       TextAnalysis.topNgrams(Tables(s, dir).documents, "text", "lang", n = 2, k = 5)
         .orderBy("lang", "ngram")
+    },
+
+    "t10_chunk" -> { (s, dir) =>
+      // sliding-window chunking: 64-token windows, 16-token overlap — the
+      // training-sequence prep step; chunk boundaries are pure integer
+      // arithmetic so DuckDB re-derives every chunk text byte-for-byte.
+      TextAnalysis.chunkDocs(Tables(s, dir).documents, "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
     },
 
     "d8_decontaminate_bloom" -> { (s, dir) =>
@@ -545,6 +565,21 @@ object LlmOps {
         |  FROM c
         |) WHERE rn <= 5""".stripMargin,
 
+    // T10: chunk count is integer ceil arithmetic and chunk text re-joins
+    // the token window with single spaces — both fully re-derivable.
+    "t10_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 64 THEN 1 ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS nc
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, i*48+1, i*48+64), ' ') AS chunk_text,
+        |  CAST(least(64, n - i*48) AS BIGINT) AS n_tokens
+        |FROM d, unnest(range(nc)) AS u(i)""".stripMargin,
+
     // d2/d3 planted-pair recall: the gates return exactly the recovered
     // planted pairs, the oracle is the full planted set — a missed pair (or
     // a phantom exactly-offset pair) breaks the hash. Recall is structural,
@@ -686,6 +721,26 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+
+    // T11: quotas are integer arithmetic end-to-end — floor(sqrt(n)) is
+    // exact for any realistic stratum count, Σw and M·w div Σw are BIGINT —
+    // and membership is md5(id) order per stratum, so the rebalanced corpus
+    // is re-derivable row-for-row.
+    "t11_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c
+        |), q AS (
+        |  SELECT source, (200 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w) AS quota FROM w
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE r.rk <= q.quota""".stripMargin,
 
     // The planted ground truth, derived independently: every vector pairs
     // with exactly its 1.01-scaled copy (same direction → identical

@@ -56,6 +56,48 @@ object Sampling {
         Seq(strataCol), Seq("__u" -> true, idCol -> true), n)
       .drop("__u")
 
+  /** T11: temperature-based source rebalancing — materialize a ~`targetTotal`-row
+    * corpus whose per-stratum share follows n_s^(1/2) instead of n_s (the
+    * "temperature sampling" data-mixing step of multilingual/multi-source
+    * training, α = 0.5): big sources are down-weighted, small sources kept.
+    *
+    * Determinism rules: weights are INTEGER square roots (w_s = floor(√n_s) is
+    * exact in IEEE double for any stratum count below ~2^44) and quotas are
+    * integer division (M·w_s div Σw_s), so every engine computes identical
+    * quotas; membership is md5(id) order per stratum, the same pure-function
+    * selection as `hashSample`/`stratifiedSample` — same rows on any cluster,
+    * any partitioning, any engine.
+    *
+    * Scale shape: per-stratum counts and quotas are a strata-sized frame (two
+    * tiny driver actions to learn max quota — the only driver data, like
+    * IvfAnn's centroids); candidate ranking runs through the bounded-heap
+    * TopK plan node, so state is O(maxQuota) per stratum per partition and
+    * the row_number tiebreak below it only ever sees the ≤ strata × maxQuota
+    * heap survivors, never the corpus. The final semi-join broadcasts ≤
+    * targetTotal picked ids. */
+  def temperatureResample(df: DataFrame, strataCol: String, idCol: String,
+      targetTotal: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val quotas = counts
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+      .withColumn("__z", sum("__w").over(Window.partitionBy()))
+      .withColumn("__quota", expr(s"($targetTotal * __w) div __z"))
+      .select(col(strataCol), col("__quota"))
+    val maxQuota = quotas.agg(max("__quota")).head().getLong(0).toInt
+    val ranked = graft.plans.TopK.perGroupOrdered(
+      df.select(col(strataCol), col(idCol))
+        .withColumn("__u", md5(col(idCol).cast("string"))),
+      Seq(strataCol), Seq("__u" -> true, idCol -> true), maxQuota)
+    val picked = ranked
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(strataCol).orderBy(col("__u"), col(idCol))))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("__rk") <= col("__quota"))
+      .select(col(idCol))
+    df.join(broadcast(picked), Seq(idCol), "left_semi")
+  }
+
   /** (name, exclusive upper bound in [0, 2^32]) per split, cumulative. */
   def cumulativeThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     var acc = 0.0

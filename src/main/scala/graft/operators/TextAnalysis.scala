@@ -189,4 +189,40 @@ object TextAnalysis {
     graft.plans.TopK.perGroupOrdered(counts, Seq(groupCol),
       Seq(("n", false), ("ngram", true)), k)
   }
+
+  /** T10: sliding-window document chunking — split each document into
+    * token windows of `chunkTokens` with `overlap` tokens shared between
+    * consecutive chunks (the training-sequence prep step between curation
+    * and tokenization). Emits (idCol, chunk_id, chunk_text, n_tokens); the
+    * last chunk may be shorter than `chunkTokens`, never empty, and a doc
+    * of ≤ `chunkTokens` tokens yields exactly one chunk.
+    *
+    * Scale shape: one narrow codegen'd projection + explode — no shuffle,
+    * no UDF; output rows ≈ n_tokens/stride per doc. The token array is
+    * staged once per row (not re-split per chunk), and chunk count is
+    * integer arithmetic (`div`), so the same chunks come out on any engine
+    * and any partitioning.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // integer ceil((n - chunk)/stride) + 1; `div` keeps it exact on both
+      // engines (Spark `/` on ints is double division)
+      .withColumn("__nc",
+        when(col("__n") <= chunkTokens, 1).otherwise(
+          expr(s"((__n - $chunkTokens + ${stride - 1}) div $stride) + 1")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("__p", "chunk_id")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"))
+  }
 }

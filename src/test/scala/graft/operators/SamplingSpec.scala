@@ -44,6 +44,35 @@ class SamplingSpec extends SparkSpec {
     Sampling.stratifiedSample(tiny, "lang", "id", 10).count() shouldBe 3
   }
 
+  test("temperatureResample rebalances by sqrt weights, deterministically (T11)") {
+    // sources of very different sizes: 6400 / 1600 / 400 rows → integer
+    // sqrt weights 80 / 40 / 20 → quotas 140·(4/7, 2/7, 1/7) = 80/40/20,
+    // flattening the 16:4:1 corpus ratio to 4:2:1
+    val df = ((0L until 6400L).map((_, "big")) ++
+      (6400L until 8000L).map((_, "mid")) ++
+      (8000L until 8400L).map((_, "small"))).toDF("id", "src")
+    val out = Sampling.temperatureResample(df, "src", "id", targetTotal = 140)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    bySrc shouldBe Map("big" -> 80, "mid" -> 40, "small" -> 20)
+    // pure function of the data — partitioning cannot change the selection
+    val again = Sampling.temperatureResample(df.repartition(11), "src", "id", 140)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    again.toSet shouldBe out.toSet
+    // selection within a stratum is md5-order: the picked set matches the
+    // window reference formulation
+    val ref = df.withColumn("__u", md5(col("id").cast("string")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("__u"), col("id"))))
+      .filter((col("src") === "big" && col("rk") <= 80) ||
+        (col("src") === "mid" && col("rk") <= 40) ||
+        (col("src") === "small" && col("rk") <= 20))
+      .select("id", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    out.toSet shouldBe ref
+  }
+
   test("hashSample keeps a stable ~fraction and is a subset relation (T6)") {
     val s10 = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
     val s20 = Sampling.hashSample(ids, "id", 0.2).as[Long].collect().toSet

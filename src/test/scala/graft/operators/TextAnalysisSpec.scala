@@ -99,4 +99,23 @@ class TextAnalysisSpec extends SparkSpec {
     out(4).getString(0) shouldBe "combo: <EMAIL> and <PHONE> via <IP>"
     out.map(_.getInt(1)).toSeq shouldBe Seq(1, 0, 0, 0, 1)
   }
+
+  test("chunkDocs windows with overlap; short docs yield one chunk (T10)") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: 10 tokens, stride 3 → starts 0,3,6 (start 6 reaches the end,
+    // so no redundant tail chunk is emitted)
+    val c1 = out.filter(_.getLong(0) == 1L)
+    c1.map(_.getString(2)).toSeq shouldBe Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10")
+    c1.map(_.getLong(3)).toSeq shouldBe Seq(4L, 4L, 4L)
+    // consecutive chunks share exactly `overlap` boundary tokens
+    c1.sliding(2).foreach { case Array(a, b) =>
+      a.getString(2).split(" ").last shouldBe b.getString(2).split(" ").head
+    }
+    // doc 2: 3 ≤ chunkTokens → exactly one chunk, intact
+    out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq shouldBe Seq("a b c")
+  }
 }
