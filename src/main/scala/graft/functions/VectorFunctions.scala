@@ -41,4 +41,28 @@ object VectorFunctions {
     */
   def hyperplaneBucket(v: Column, bits: Int, dim: Int, seed: Int = 42): Column =
     VectorExpressions.hyperplaneBucketNative(v, bits, dim, seed)
+
+  // ---- S4: symmetric int8 scalar quantization ----
+  // The embedding-store compression step of an ANN index: 4× less memory /
+  // shuffle / page-cache per vector than float32, with reconstruction error
+  // bounded by scale/2 per element. All element-wise IEEE ops (cast, /, *,
+  // floor, abs, max) are correctly rounded and applied in the same order on
+  // any engine, so quantized codes, scales and reconstruction errors are
+  // BIT-IDENTICAL cross-engine — the s4 gate hash-checks all three.
+
+  /** Per-vector scale: amax/127 (symmetric, zero-preserving). */
+  def int8Scale(v: Column): Column =
+    array_max(transform(d(v), x => abs(x))) / lit(127.0)
+
+  /** Quantize to int codes in [-127, 127]. Half-up via floor(x+0.5) — Spark
+    * `round` (HALF_UP) and DuckDB `round` (half away from zero) disagree on
+    * negative .5 boundaries; floor(+0.5) is one portable rule. A zero vector
+    * quantizes to zeros rather than dividing by zero. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    when(scale === lit(0.0), transform(d(v), _ => lit(0)))
+      .otherwise(transform(d(v), x => floor(x / scale + lit(0.5)).cast("int")))
+
+  /** Reconstruct doubles from codes + scale. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -209,6 +209,25 @@ object LlmOps {
         .orderBy("query_id", "neighbor_id")
     },
 
+    "s4_quantize_int8" -> { (s, dir) =>
+      // int8 scalar quantization of the embedding store: codes, scale and
+      // max reconstruction error are all order-independent element-wise
+      // double math, so DuckDB re-derives every value bit-for-bit — no
+      // rounding slack anywhere in this gate.
+      val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
+        .withColumn("__scale", VectorFunctions.int8Scale(col("embedding")))
+        .withColumn("__q", VectorFunctions.quantizeInt8(col("embedding"), col("__scale")))
+      vecs.select(
+          col("vec_id"),
+          col("__scale").as("scale"),
+          md5(array_join(col("__q"), ",")).as("q_hash"),
+          array_max(zip_with(
+            transform(col("embedding"), x => x.cast("double")),
+            VectorFunctions.dequantizeInt8(col("__q"), col("__scale")),
+            (v, r) => abs(v - r))).as("max_err"))
+        .orderBy("vec_id")
+    },
+
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.withDetectedLang(Tables(s, dir).documents, "text")
         .select(col("doc_id"), col("lang").as("labeled_lang"), col("detected_lang"))
@@ -751,6 +770,29 @@ object LlmOps {
     "d5_embed_dedup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine
         |FROM embeddings""".stripMargin,
+
+    // S4: every op here (float→double cast, /, *, floor, abs, max) is
+    // correctly rounded and order-independent (max) or applied in the same
+    // order — codes, scales and errors are bit-identical cross-engine.
+    "s4_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |), z AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0.0
+        |      THEN list_transform(embedding, x -> CAST(0 AS INTEGER))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+        |    END AS q
+        |  FROM s
+        |)
+        |SELECT vec_id, scale,
+        |  md5(array_to_string(q, ',')) AS q_hash,
+        |  list_max(list_transform(range(1, len(q)+1),
+        |    i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale))) AS max_err
+        |FROM z""".stripMargin,
 
     // Brute-force cosine re-derived with double math in the kernel's exact
     // accumulation order (left fold seeded at 0.0) — bit-identical doubles,

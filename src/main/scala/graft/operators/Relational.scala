@@ -361,6 +361,24 @@ object Relational {
       s.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars")
     },
 
+    "r29_schema_evolution" -> { (s, dir) =>
+      // schema evolution on a growing dataset: batch 1 wrote (key, cust),
+      // batch 2 added a column. mergeSchema reconciles parquet footers at
+      // read time and null-fills the old files — the at-scale alternative
+      // to rewriting 100 TB whenever a column lands. Hive-style batch=N
+      // dirs double as the partition-discovery path.
+      val out = java.nio.file.Files.createTempDirectory("graft_r29_se").toString
+      val o = Tables(s, dir).orders
+      o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("batch").cast("long").as("batch"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -640,6 +658,16 @@ object Relational {
     "r24_hll_sketch" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, true AS sketch_ok
         |FROM events""".stripMargin,
+
+    // R29: the merged read = old rows null-extended ∪ new rows, with the
+    // partition column restored from directory names.
+    "r29_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+        |  CAST(1 AS BIGINT) AS batch
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, CAST(2 AS BIGINT) AS batch
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
 
     "r18_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts

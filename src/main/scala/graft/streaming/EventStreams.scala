@@ -212,4 +212,54 @@ object EventStreams {
           emitted.iterator.map(a => toSession(userId, a))
       }
   }
+
+  // ---- X8: streaming CDC apply (incremental MERGE INTO) ----
+
+  /** Merge one batch of change images into the CDC state: keep the max-`seqCol`
+    * image per key across state ∪ batch — last-writer-wins by SEQUENCE, not by
+    * arrival, so the final state is identical under any batch split or file
+    * arrival order (delete tombstones stay in state for the same reason: a
+    * late out-of-order update must lose to a newer delete it never saw).
+    * Runs through the bounded-heap TopK plan node: one clustering shuffle,
+    * O(1) state per key per partition — at 100 TB the state table never
+    * sorts per key. */
+  def cdcMerge(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      seqCol: String): DataFrame =
+    graft.plans.TopK.perGroupOrdered(state.unionByName(batch), keyCols,
+      Seq(seqCol -> false), 1)
+
+  /** X8: drain a change stream (rows carry `opCol` ∈ I/U/D and a monotone
+    * per-key `seqCol`) into versioned parquet state via `foreachBatch` — the
+    * streaming form of R25's upsert: each micro-batch folds into the
+    * current snapshot with `cdcMerge`, written copy-on-write to
+    * `stateDir/v<batchId>` (never overwriting the version being read).
+    * Returns the running query; read the live table with [[cdcCurrent]]. */
+  def cdcApplyStream(spark: SparkSession, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val merged = currentVersion(spark, stateDir) match {
+          case Some(prev) => cdcMerge(spark.read.parquet(prev), batch.toDF(), keyCols, seqCol)
+          case None       => cdcMerge(batch.toDF().limit(0), batch.toDF(), keyCols, seqCol)
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$id")
+      }
+      .option("checkpointLocation", s"$stateDir/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The live CDC table: latest version, tombstones filtered out. */
+  def cdcCurrent(spark: SparkSession, stateDir: String, opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val dir = currentVersion(spark, stateDir)
+      .getOrElse(sys.error(s"no CDC state under $stateDir"))
+    spark.read.parquet(dir).filter(col(opCol) =!= "D").drop(opCol, seqCol)
+  }
+
+  private def currentVersion(spark: SparkSession, stateDir: String): Option[String] =
+    Option(new java.io.File(stateDir).listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v")))
+      .filter(_.nonEmpty)
+      .map(_.maxBy(f => f.getName.drop(1).toLong).getAbsolutePath)
 }

@@ -42,6 +42,35 @@ object StreamingGates {
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "click"))
     },
+    // X8: streaming CDC apply, driver-visible end to end — three change
+    // shards (inserts seq 1, updates seq 2, deletes seq 3) dropped into a
+    // watched dir, drained one file per micro-batch through foreachBatch
+    // copy-on-write merges, final state read back. Last-writer-wins is by
+    // SEQ, not arrival, so the result is identical under any file order or
+    // batch split — which is exactly what makes it oracle-checkable.
+    "x8_cdc_stream" -> { (s, dir) =>
+      import java.nio.file.Files
+      val watch = Files.createTempDirectory("graft_x8_in").toString
+      val state = Files.createTempDirectory("graft_x8_state").toString
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      val base = o.withColumn("op", org.apache.spark.sql.functions.lit("I"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(2L))
+      val del = o.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("op", org.apache.spark.sql.functions.lit("D"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(3L))
+      base.coalesce(1).write.mode("append").parquet(watch)
+      upd.coalesce(1).write.mode("append").parquet(watch)
+      del.coalesce(1).write.mode("append").parquet(watch)
+      val src = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      val q = EventStreams.cdcApplyStream(s, src, Seq("o_orderkey"), "seq", state)
+      q.awaitTermination()
+      EventStreams.cdcCurrent(s, state).orderBy("o_orderkey")
+    },
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -94,6 +123,14 @@ object StreamingGates {
     "x6_stream_enrich" ->
       """SELECT event_id, ts, user_id, event_type, value, c_mktsegment, c_name
         |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
+
+    // X8: the final CDC state is a pure function of the change set (LWW by
+    // seq) — updates land on keys ≡0 mod 3, deletes remove keys ≡0 mod 9.
+    "x8_cdc_stream" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 9 <> 0""".stripMargin,
 
     "x4_dedup_batch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

@@ -69,6 +69,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization bounds error by scale/2 and preserves direction (S4)") {
+    val out = vecs
+      .withColumn("s", VectorFunctions.int8Scale(col("embedding")))
+      .withColumn("q", VectorFunctions.quantizeInt8(col("embedding"), col("s")))
+      .select(
+        col("s"),
+        array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"),
+        array_max(zip_with(
+          transform(col("embedding"), x => x.cast("double")),
+          VectorFunctions.dequantizeInt8(col("q"), col("s")),
+          (v, r) => abs(v - r))).as("max_err"),
+        VectorFunctions.cosine(col("embedding"),
+          VectorFunctions.dequantizeInt8(col("q"), col("s"))).as("recon_cos"))
+      .collect()
+    out.foreach { r =>
+      r.getInt(1) should be >= -127
+      r.getInt(2) should be <= 127
+      // half-up rounding: per-element error strictly bounded by scale/2
+      r.getDouble(3) should be <= r.getDouble(0) / 2 + 1e-12
+      // direction essentially preserved at 8 bits
+      r.getDouble(4) should be >= 0.999
+    }
+    // zero vector: scale 0, all-zero codes, no division blowup
+    val z = Seq((0L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+      .withColumn("s", VectorFunctions.int8Scale(col("embedding")))
+      .select(VectorFunctions.quantizeInt8(col("embedding"), col("s")).as("q"))
+      .collect()
+    z.head.getSeq[Int](0).toSeq shouldBe Seq(0, 0, 0, 0)
+  }
+
   test("embeddingDedup finds planted near-identical vectors (D5)") {
     val planted = vecs.unionAll(vecs.select((col("vec_id") + 1000).as("vec_id"),
       VectorFunctions.scale(col("embedding"), lit(1.01)).as("embedding")))

@@ -164,6 +164,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcMerge is last-writer-wins by seq, independent of batch split/order (X8)") {
+    val empty = Seq.empty[(Long, Double, String, Long)]
+      .toDF("k", "price", "op", "seq")
+    val b1 = Seq((1L, 10.0, "I", 1L), (2L, 20.0, "I", 1L), (3L, 30.0, "I", 1L))
+      .toDF("k", "price", "op", "seq")
+    val b2 = Seq((1L, 11.0, "U", 2L), (3L, 0.0, "D", 2L)).toDF("k", "price", "op", "seq")
+    val b3 = Seq((2L, 22.0, "U", 3L), (3L, 33.0, "U", 1L)) // stale seq-1 update for deleted key
+      .toDF("k", "price", "op", "seq")
+    def collectState(batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val st = batches.foldLeft(empty)((acc, b) =>
+        EventStreams.cdcMerge(acc, b, Seq("k"), "seq"))
+      st.filter(col("op") =!= "D").select("k", "price")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    }
+    val inOrder = collectState(Seq(b1, b2, b3))
+    // key 3's seq-1 update arrives AFTER its seq-2 delete and must lose
+    inOrder shouldBe Set((1L, 11.0), (2L, 22.0))
+    // any batch order or split yields the same state
+    collectState(Seq(b3, b1, b2)) shouldBe inOrder
+    collectState(Seq(b1.unionByName(b2).unionByName(b3))) shouldBe inOrder
+  }
+
   test("session numbering continues after all sessions close (X2 counter)") {
     val input = MemoryStream[EventStreams.Event](spark)
     val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
