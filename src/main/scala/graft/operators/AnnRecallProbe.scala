@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure LSH-ANN recall vs the exact S1 scan on the natural
+  * embeddings corpus per SF dir, across (tables, targetBucket) settings —
+  * the evidence behind the s2_recall gate's threshold. */
+object AnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (dir <- dirs) {
+      val base = graft.Tables(spark, dir).embeddings
+      val n = base.count()
+      val vecs = base.repartition(32)
+      val queries = vecs.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (tables <- Seq(4, 8, 12)) {
+        val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 10,
+            tables = tables, knownN = n)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exact intersect approx).size.toDouble / exact.size
+        println(f"[annrecall] $dir n=$n tables=$tables recall=$recall%.4f")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

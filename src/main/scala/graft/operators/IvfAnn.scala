@@ -29,11 +29,30 @@ object IvfAnn {
 
   /** Lloyd's k-means over an embedding column. Deterministic: seeds from the
     * first `k` rows by a hash ordering; distances are cosine. Only centroids
-    * (k×dim doubles) are collected — assignments never leave the executors. */
-  def trainCentroids(df: DataFrame, vecCol: String, k: Int, iters: Int = 5): Seq[Array[Double]] = {
+    * (k×dim doubles) are collected — assignments never leave the executors.
+    *
+    * The quantizer does NOT need every row: above `sampleCap` rows training
+    * runs on a deterministic hash sample of ~`sampleCap` vectors (membership
+    * a pure function of the vector, the T6 rule — same sample on any
+    * cluster/partitioning), so the per-iteration aggregations and the
+    * persisted staging frame are O(sampleCap), not O(corpus). At 100 TB the
+    * full-corpus Lloyd loop was the training-path scale-killer; centroid
+    * quality needs a representative sample, not the population. `knownN`
+    * supplies the corpus row count for the sampling decision (catalog stats
+    * / parquet footers); when absent one count() pass determines it. */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+      sampleCap: Long = 200000, knownN: Long = -1L): Seq[Array[Double]] = {
+    val all = df.select(col(vecCol).as("v"))
+    val n = if (knownN >= 0) knownN else all.count()
+    val sampled = if (n <= sampleCap) all else {
+      // uniform in [0, 2^32) from the vector itself (no id column needed);
+      // threshold sampling as Sampling.hashUnit
+      val u = pmod(xxhash64(to_json(col("v"))), lit(4294967296L))
+      all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
+    }
     // persisted across Lloyd iterations: seeding + every iteration is an
-    // action over this frame — unpersisted, each would re-scan the corpus
-    val vecs = df.select(col(vecCol).as("v"))
+    // action over this frame — unpersisted, each would re-scan the sample
+    val vecs = sampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[Array[Double]] = vecs
       .withColumn("__h", xxhash64(to_json(col("v"))))

@@ -103,6 +103,18 @@ object LlmOps {
     plantedCache.computeIfAbsent((s, dir, "vecsx"), _ => {
       val vecs = Tables(s, dir).embeddings.select("vec_id", "embedding")
         .repartition(parallelism(s))
+      // The structural oracle's top-1 tiebreak (unrounded cosine, then
+      // neighbor_id asc) assumes no TWO BASE VECTORS are bitwise identical —
+      // an exact natural duplicate with a smaller id would outrank a query's
+      // own planted copy on a correct engine. The corpus is synthetic random
+      // floats so this never fires in practice; assert it loudly (once per
+      // memoized build) rather than let a future corpus change surface as a
+      // baffling hash mismatch.
+      val Array(n, distinct) = vecs
+        .agg(count(lit(1)), countDistinct(md5(to_json(col("embedding")))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == distinct,
+        s"s2/s3 structural oracle needs distinct base vectors ($dir: $n rows, $distinct distinct)")
       vecs.unionAll(
         vecs.select((col("vec_id") + CopyOffset).as("vec_id"), col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -188,10 +200,38 @@ object LlmOps {
       // knownN from the base parquet footers — no extra pass over the
       // repartitioned corpus just to size the buckets
       val n = 2 * Tables(s, dir).embeddings.count()
+      // probes = 0: the structural gate needs no multi-probe (the exact copy
+      // shares the query's own bucket in every table); search QUALITY with
+      // the default multi-probe path is what s2_recall gates
       Similarity.lshTopK(vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
-          k = 1, dim = 64, knownN = n)
+          k = 1, dim = 64, knownN = n, probes = 0)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
+    },
+
+    // Driver-visible recall bound for LSH ANN on the NATURAL corpus — the
+    // structural planted gate (s2) proves the machinery end to end; this one
+    // bounds search QUALITY where ground truth is the exact S1 scan. Both
+    // rankings are deterministic (fixed hyperplane seeds, exact cosine), so
+    // "LSH top-10 recovers >= 90% of the exact top-10 pairs" is a pure
+    // function of the data, asserted in-plan as a boolean (the r9_approx
+    // construction — the hash family itself is not SQL-expressible, the
+    // bound is).
+    "s2_recall" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+      val vecs = base.repartition(parallelism(s))
+      val n = base.count() // footer-only count of the base parquet
+      val queries = vecs.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 10,
+          knownN = n)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= 0.9)
+            .as("recall_ok"))
     },
 
     // Same structural construction for IVF: the quantizer is trained on the
@@ -202,7 +242,8 @@ object LlmOps {
     "s3_ivf_ann" -> { (s, dir) =>
       val base  = Tables(s, dir).embeddings.repartition(parallelism(s))
       val vecs  = plantedVecsExact(s, dir)
-      val cents = IvfAnn.trainCentroids(base, "embedding", k = 8, iters = 3)
+      val cents = IvfAnn.trainCentroids(base, "embedding", k = 8, iters = 3,
+        knownN = Tables(s, dir).embeddings.count())
       IvfAnn.topK(vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
           cents, k = 1, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
@@ -826,6 +867,13 @@ object LlmOps {
     // kernel's cosine(v,v) is 1 to within 1 ulp, far inside the 6dp round.
     "s2_lsh_ann" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s2_recall: the recall bound is asserted in-plan (the r9_approx
+    // construction) — an LSH run recovering < 90% of the exact top-10 flips
+    // the boolean and breaks the hash.
+    "s2_recall" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     "s3_ivf_ann" ->

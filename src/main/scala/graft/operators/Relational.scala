@@ -221,7 +221,7 @@ object Relational {
       // z-order clustered write + read-back: the layout must not corrupt,
       // drop, or duplicate a row (the multi-dimensional pruning property
       // itself is spec-asserted on per-file stats — ZOrderSpec)
-      val out = java.nio.file.Files.createTempDirectory("graft_r21_z").toString
+      val out = graft.Scratch.fresh("r21_z")
       val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
       ZOrder.writeClustered(o, Seq("o_custkey", "o_totalprice"), out, partitions = 8)
       s.read.parquet(out)
@@ -324,8 +324,8 @@ object Relational {
       // files, compact via scan-side bin-packing (no shuffle), read back —
       // the rewrite must not corrupt, drop, or duplicate a row. The
       // file-count reduction itself is spec-asserted (CompactionSpec).
-      val frag = java.nio.file.Files.createTempDirectory("graft_r26_frag").toString
-      val out  = java.nio.file.Files.createTempDirectory("graft_r26_out").toString
+      val frag = graft.Scratch.fresh("r26_frag")
+      val out  = graft.Scratch.fresh("r26_out")
       Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .repartition(64).write.mode("overwrite").parquet(frag)
       Compaction.compact(s, frag, out, targetBytes = 512L * 1024 * 1024)
@@ -355,7 +355,7 @@ object Relational {
       // must restore the partition column from directory names exactly;
       // the pruning itself (PartitionFilters + selected file subset) is
       // spec-asserted in PartitionedWriteSpec.
-      val out = java.nio.file.Files.createTempDirectory("graft_r28_pw").toString
+      val out = graft.Scratch.fresh("r28_pw")
       Tables(s, dir).documents
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars")
@@ -367,7 +367,7 @@ object Relational {
       // read time and null-fills the old files — the at-scale alternative
       // to rewriting 100 TB whenever a column lands. Hive-style batch=N
       // dirs double as the partition-discovery path.
-      val out = java.nio.file.Files.createTempDirectory("graft_r29_se").toString
+      val out = graft.Scratch.fresh("r29_se")
       val o = Tables(s, dir).orders
       o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_custkey")
         .write.mode("overwrite").parquet(s"$out/batch=1")

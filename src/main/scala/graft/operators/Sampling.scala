@@ -68,13 +68,17 @@ object Sampling {
     * selection as `hashSample`/`stratifiedSample` — same rows on any cluster,
     * any partitioning, any engine.
     *
-    * Scale shape: per-stratum counts and quotas are a strata-sized frame (two
-    * tiny driver actions to learn max quota — the only driver data, like
+    * Scale shape: per-stratum counts and quotas are a strata-sized frame (one
+    * tiny driver action to learn max quota — the only driver data, like
     * IvfAnn's centroids); candidate ranking runs through the bounded-heap
     * TopK plan node, so state is O(maxQuota) per stratum per partition and
     * the row_number tiebreak below it only ever sees the ≤ strata × maxQuota
-    * heap survivors, never the corpus. The final semi-join broadcasts ≤
-    * targetTotal picked ids. */
+    * heap survivors, never the corpus. The final semi-join carries NO
+    * broadcast hint: a real resample of a 100 TB corpus picks billions of
+    * ids (targetTotal-sized, far past any broadcast threshold), so the
+    * planner/AQE must stay free to shuffle it — at gate scale AQE broadcasts
+    * the small side on its own. The semi-join keys on (stratum, id) so ids
+    * only unique WITHIN a stratum cannot pull rows across strata. */
   def temperatureResample(df: DataFrame, strataCol: String, idCol: String,
       targetTotal: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -84,7 +88,11 @@ object Sampling {
       .withColumn("__z", sum("__w").over(Window.partitionBy()))
       .withColumn("__quota", expr(s"($targetTotal * __w) div __z"))
       .select(col(strataCol), col("__quota"))
-    val maxQuota = quotas.agg(max("__quota")).head().getLong(0).toInt
+    // null on an empty input; 0 when every quota rounds down to nothing —
+    // both mean "select no rows", not an NPE or a k=0 heap
+    val maxQuota = Option(quotas.agg(max("__quota")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L).toInt
+    if (maxQuota <= 0) return df.limit(0)
     val ranked = graft.plans.TopK.perGroupOrdered(
       df.select(col(strataCol), col(idCol))
         .withColumn("__u", md5(col(idCol).cast("string"))),
@@ -92,10 +100,12 @@ object Sampling {
     val picked = ranked
       .withColumn("__rk", row_number().over(
         Window.partitionBy(strataCol).orderBy(col("__u"), col(idCol))))
-      .join(broadcast(quotas), Seq(strataCol))
+      .join(quotas, Seq(strataCol))
       .filter(col("__rk") <= col("__quota"))
-      .select(col(idCol))
-    df.join(broadcast(picked), Seq(idCol), "left_semi")
+      .select(col(strataCol), col(idCol))
+    // using-column joins surface the keys first; restore the caller's order
+    df.join(picked, Seq(strataCol, idCol), "left_semi")
+      .select(df.columns.map(col): _*)
   }
 
   /** (name, exclusive upper bound in [0, 2^32]) per split, cumulative. */

@@ -51,12 +51,29 @@ object Similarity {
     topKFinish(scored, k)
   }
 
+  /** Probe masks for multi-probe LSH: every bucket-id XOR mask within
+    * Hamming distance `radius` of zero, over `bits` signature bits. Radius 2
+    * over b bits is 1 + b + b(b-1)/2 masks — a CONSTANT multiplier on query
+    * candidate volume, independent of corpus size. */
+  private[operators] def probeMasks(bits: Int, radius: Int): Seq[Int] = {
+    val singles = (0 until bits).map(1 << _)
+    val pairs = for (i <- 0 until bits; j <- i + 1 until bits) yield (1 << i) | (1 << j)
+    (Seq(0) ++ (if (radius >= 1) singles else Nil) ++
+      (if (radius >= 2) pairs else Nil)).distinct
+  }
+
   /** S2: LSH-bucketed ANN. Both sides are hashed into 2^bits hyperplane
     * buckets across `tables` independent hash tables; candidates = same
-    * bucket in any table. Recall < 1 by design — the spec measures it
-    * against S1. `bits = 0` auto-sizes from the corpus (target bucket ≈ 64,
-    * generous to protect recall; queries are broadcast so candidate volume
-    * is |queries|·bucket·tables, not corpus-quadratic).
+    * bucket in any table. The QUERY side is multi-probed (Lv et al.,
+    * "Multi-Probe LSH", VLDB'07): each query also inspects the buckets
+    * within Hamming distance `probes` of its own signature — a near-miss on
+    * one or two hyperplanes is the dominant recall failure, and probing
+    * those neighbors buys the recall of many extra hash tables for a
+    * constant per-query fan-out instead of another full corpus hash pass.
+    * Recall < 1 by design — the s2_recall gate bounds it against S1.
+    * `bits = 0` auto-sizes from the corpus (target bucket ≈ 64, generous to
+    * protect recall; queries are broadcast so candidate volume is
+    * |queries|·bucket·tables·masks, not corpus-quadratic).
     *
     * `knownN`: corpus row count for the auto-sizing. When absent (< 0) the
     * operator pays ONE extra corpus action (`count()`) just to size the
@@ -66,20 +83,22 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, bits: Int = 0, tables: Int = 4, dim: Int = 64,
-      knownN: Long = -1L): DataFrame = {
+      knownN: Long = -1L, probes: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val b = if (bits > 0) bits
       else autoBits(if (knownN >= 0) knownN else c.count(), targetBucket = 64, minBits = 4)
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+    def bucketed(df: DataFrame, id: String, vec: String, masks: Seq[Int]): DataFrame =
       df.select(col(id), col(vec),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"), hyperplaneBucket(col(vec), b, dim, seed = 1000 + t).as("bucket"))): _*)).as("tb"))
+        explode(array((for (t <- 0 until tables; m <- masks) yield
+          struct(lit(t).as("table"),
+            hyperplaneBucket(col(vec), b, dim, seed = 1000 + t).bitwiseXOR(lit(m))
+              .as("bucket"))): _*)).as("tb"))
         .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
 
     val q = bucketed(
       broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
-      "query_id", "__qv")
-    val candidates = q.join(bucketed(c, "neighbor_id", "__cv"), Seq("table", "bucket"))
+      "query_id", "__qv", probeMasks(b, probes))
+    val candidates = q.join(bucketed(c, "neighbor_id", "__cv", Seq(0)), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
       .dropDuplicates("query_id", "neighbor_id")

@@ -220,46 +220,99 @@ object EventStreams {
     * arrival, so the final state is identical under any batch split or file
     * arrival order (delete tombstones stay in state for the same reason: a
     * late out-of-order update must lose to a newer delete it never saw).
-    * Runs through the bounded-heap TopK plan node: one clustering shuffle,
-    * O(1) state per key per partition — at 100 TB the state table never
-    * sorts per key. */
+    * Ties on (key, seq) — a source violating the monotone-seq contract —
+    * are broken by a content hash of the full row, so even contract-breaking
+    * inputs merge to ONE deterministic state instead of whichever image
+    * reached the heap first. Runs through the bounded-heap TopK plan node:
+    * one clustering shuffle, O(1) state per key per partition — at 100 TB
+    * the state table never sorts per key. */
   def cdcMerge(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
-      seqCol: String): DataFrame =
-    graft.plans.TopK.perGroupOrdered(state.unionByName(batch), keyCols,
-      Seq(seqCol -> false), 1)
+      seqCol: String): DataFrame = {
+    val all = state.unionByName(batch)
+    val tied = all.withColumn("__tie",
+      xxhash64(to_json(struct(all.columns.sorted.map(col): _*))))
+    graft.plans.TopK.perGroupOrdered(tied, keyCols,
+      Seq(seqCol -> false, "__tie" -> true), 1).drop("__tie")
+  }
+
+  /** Hash bucket of a row's key — the unit of state rewrite. */
+  private def bucketOf(keyCols: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
+
+  /** Fold ONE micro-batch into the bucketed state under `stateDir`.
+    *
+    * State layout: `stateDir/v<batchId>/__b=<bucket>/…` — each version dir
+    * holds ONLY the buckets that batch touched; the live image of bucket b
+    * is its newest version. So a 1-key changeset rewrites 1 bucket
+    * (O(state/nBuckets) I/O), not the whole table — the difference between
+    * CDC state at 100 TB costing a bucket per batch and costing a full
+    * table scan-and-rewrite per batch. Untouched buckets are not copied or
+    * referenced; they simply stay where they are.
+    *
+    * Replay-safe: `foreachBatch` is at-least-once, so after a crash between
+    * writing v<id> and the checkpoint commit the same (id, data) is
+    * delivered again. The merge base is the newest version STRICTLY BELOW
+    * the current batch id — a replay re-reads the exact pre-batch state
+    * (never the half-written v<id> it is about to overwrite) and rewrites
+    * v<id> to the identical deterministic content. */
+  def cdcApplyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      keyCols: Seq[String], seqCol: String, stateDir: String,
+      nBuckets: Int = 64): Unit = {
+    val bucket = bucketOf(keyCols, nBuckets)
+    val touched = batch.select(bucket.as("__b")).distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ nBuckets ints — driver-safe
+    if (touched.isEmpty) return
+    val prevPaths = bucketDirs(stateDir, below = Some(batchId))
+      .filter { case (b, _) => touched(b) }.values.toSeq
+    val prev = if (prevPaths.nonEmpty) spark.read.parquet(prevPaths: _*)
+      else batch.limit(0)
+    cdcMerge(prev, batch, keyCols, seqCol)
+      .withColumn("__b", bucket)
+      .write.mode("overwrite").partitionBy("__b").parquet(s"$stateDir/v$batchId")
+  }
 
   /** X8: drain a change stream (rows carry `opCol` ∈ I/U/D and a monotone
-    * per-key `seqCol`) into versioned parquet state via `foreachBatch` — the
-    * streaming form of R25's upsert: each micro-batch folds into the
-    * current snapshot with `cdcMerge`, written copy-on-write to
-    * `stateDir/v<batchId>` (never overwriting the version being read).
-    * Returns the running query; read the live table with [[cdcCurrent]]. */
+    * per-key `seqCol`) into hash-bucketed versioned parquet state via
+    * `foreachBatch` — the streaming form of R25's upsert, one
+    * [[cdcApplyBatch]] per micro-batch. Returns the running query; read the
+    * live table with [[cdcCurrent]]. */
   def cdcApplyStream(spark: SparkSession, changes: DataFrame, keyCols: Seq[String],
-      seqCol: String, stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      seqCol: String, stateDir: String,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
     changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val merged = currentVersion(spark, stateDir) match {
-          case Some(prev) => cdcMerge(spark.read.parquet(prev), batch.toDF(), keyCols, seqCol)
-          case None       => cdcMerge(batch.toDF().limit(0), batch.toDF(), keyCols, seqCol)
-        }
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$id")
+        cdcApplyBatch(spark, batch.toDF(), id, keyCols, seqCol, stateDir, nBuckets)
       }
       .option("checkpointLocation", s"$stateDir/_ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
 
-  /** The live CDC table: latest version, tombstones filtered out. */
+  /** The live CDC table: newest version of every bucket, tombstones filtered
+    * out. */
   def cdcCurrent(spark: SparkSession, stateDir: String, opCol: String = "op",
       seqCol: String = "seq"): DataFrame = {
-    val dir = currentVersion(spark, stateDir)
-      .getOrElse(sys.error(s"no CDC state under $stateDir"))
-    spark.read.parquet(dir).filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    val dirs = bucketDirs(stateDir, below = None).values.toSeq
+    if (dirs.isEmpty) sys.error(s"no CDC state under $stateDir")
+    spark.read.parquet(dirs: _*).filter(col(opCol) =!= "D").drop(opCol, seqCol)
   }
 
-  private def currentVersion(spark: SparkSession, stateDir: String): Option[String] =
-    Option(new java.io.File(stateDir).listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v")))
-      .filter(_.nonEmpty)
-      .map(_.maxBy(f => f.getName.drop(1).toLong).getAbsolutePath)
+  /** bucket → newest `stateDir/v<id>/__b=<bucket>` dir (restricted to
+    * versions strictly below `below` when replaying). Listing is
+    * O(versions × touched buckets) driver-side file metadata — pair with
+    * periodic compaction (R26) to bound version count on a long-lived
+    * stream. */
+  private def bucketDirs(stateDir: String, below: Option[Long]): Map[Long, String] = {
+    val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toLong -> f)
+      .filter { case (id, _) => below.forall(id < _) }
+      .sortBy(_._1)
+    versions.foldLeft(Map.empty[Long, String]) { case (acc, (_, dir)) =>
+      val buckets = Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("__b="))
+        .map(f => f.getName.stripPrefix("__b=").toLong -> f.getAbsolutePath)
+      acc ++ buckets // later (newer) versions win
+    }
+  }
 }

@@ -49,9 +49,8 @@ object StreamingGates {
     // SEQ, not arrival, so the result is identical under any file order or
     // batch split — which is exactly what makes it oracle-checkable.
     "x8_cdc_stream" -> { (s, dir) =>
-      import java.nio.file.Files
-      val watch = Files.createTempDirectory("graft_x8_in").toString
-      val state = Files.createTempDirectory("graft_x8_state").toString
+      val watch = graft.Scratch.fresh("x8_in")
+      val state = graft.Scratch.fresh("x8_state")
       val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
       val base = o.withColumn("op", org.apache.spark.sql.functions.lit("I"))
         .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
@@ -67,7 +66,10 @@ object StreamingGates {
       del.coalesce(1).write.mode("append").parquet(watch)
       val src = s.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", "1").parquet(watch)
-      val q = EventStreams.cdcApplyStream(s, src, Seq("o_orderkey"), "seq", state)
+      // nBuckets sized to the gate's ~1 MB state (buckets are the rewrite
+      // unit — a few hundred MB each at production scale; 64+ there)
+      val q = EventStreams.cdcApplyStream(s, src, Seq("o_orderkey"), "seq", state,
+        nBuckets = 8)
       q.awaitTermination()
       EventStreams.cdcCurrent(s, state).orderBy("o_orderkey")
     },

@@ -34,6 +34,29 @@ class IvfAnnSpec extends SparkSpec {
     assignments.map(_._2).distinct.length shouldBe 3 // no two clusters share a centroid
   }
 
+  test("sample-trained quantizer keeps cluster-pure assignments (S3 at scale)") {
+    // sampleCap below the corpus size forces the deterministic hash sample;
+    // a representative sample must yield centroids that still separate the
+    // three true clusters — the property the 100 TB training path rests on
+    val cents = IvfAnn.trainCentroids(vecs, "embedding", k = 3, iters = 6, sampleCap = 60)
+    cents.length shouldBe 3
+    val assignments = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      (r.getLong(0) % 3) -> cents.zipWithIndex.maxBy { case (c, _) => cos(v, c) }._2
+    }
+    assignments.groupBy(_._1).values.foreach { cluster =>
+      cluster.map(_._2).distinct.length shouldBe 1
+    }
+    assignments.map(_._2).distinct.length shouldBe 3
+    // determinism: the same cap re-trains to the same centroids
+    val again = IvfAnn.trainCentroids(vecs, "embedding", k = 3, iters = 6, sampleCap = 60)
+    again.zip(cents).foreach { case (a, b) => a.toSeq shouldBe b.toSeq }
+  }
+
   test("IVF top-k reaches high recall vs brute force (S3)") {
     val cents   = IvfAnn.trainCentroids(vecs, "embedding", k = 3, iters = 6)
     val queries = vecs.filter(col("vec_id") < 9)

@@ -73,6 +73,39 @@ class SamplingSpec extends SparkSpec {
     out.toSet shouldBe ref
   }
 
+  test("temperatureResample carries no broadcast hint on the picked side (T11 scale shape)") {
+    // the picked-id set is targetTotal-sized — billions of rows in a real
+    // resample — so the operator must not force a broadcast; AQE stays free
+    // to choose at runtime (hints live in the analyzed logical plan)
+    val df = (0L until 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val hints = Sampling.temperatureResample(df, "src", "id", targetTotal = 100)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    hints shouldBe empty
+  }
+
+  test("temperatureResample edge cases: empty input, all-zero quotas, cross-strata ids (T11)") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "src")
+    Sampling.temperatureResample(empty, "src", "id", 100).count() shouldBe 0
+    // many small strata with a tiny target: every quota floors to 0 — the
+    // result is empty, not a k=0 heap failure
+    val many = (0L until 90L).map(i => (i, s"s${i % 9}")).toDF("id", "src")
+    Sampling.temperatureResample(many, "src", "id", targetTotal = 1).count() shouldBe 0
+    // ids shared ACROSS strata: selection keys on (stratum, id), so stratum
+    // b re-using stratum a's ids cannot pull extra a-rows through the join
+    val a = (0L until 100L).map((_, "a"))
+    val b = (0L until 4L).map((_, "b")) // same ids as a's first four
+    val dup = (a ++ b).toDF("id", "src")
+    // weights: w_a = 10, w_b = 2, Σ = 12; target 12 → quotas 10 and 2
+    val out = Sampling.temperatureResample(dup, "src", "id", targetTotal = 12)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    out.count(_._1 == "a") shouldBe 10
+    out.count(_._1 == "b") shouldBe 2
+    // column order of the input is preserved
+    Sampling.temperatureResample(dup, "src", "id", 12).columns shouldBe Array("id", "src")
+  }
+
   test("hashSample keeps a stable ~fraction and is a subset relation (T6)") {
     val s10 = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
     val s20 = Sampling.hashSample(ids, "id", 0.2).as[Long].collect().toSet

@@ -186,6 +186,51 @@ class StreamingSpec extends SparkSpec {
     collectState(Seq(b1.unionByName(b2).unionByName(b3))) shouldBe inOrder
   }
 
+  test("cdcMerge breaks (key, seq) ties deterministically (X8)") {
+    // a source violating the monotone-seq contract: same key, same seq, two
+    // different images — the survivor must be the same under either arrival
+    // order (content-hash tiebreak), not whichever reached the heap first
+    val empty = Seq.empty[(Long, Double, String, Long)].toDF("k", "price", "op", "seq")
+    val img1 = Seq((1L, 10.0, "U", 5L)).toDF("k", "price", "op", "seq")
+    val img2 = Seq((1L, 99.0, "U", 5L)).toDF("k", "price", "op", "seq")
+    def survivor(first: org.apache.spark.sql.DataFrame, second: org.apache.spark.sql.DataFrame) =
+      EventStreams.cdcMerge(EventStreams.cdcMerge(empty, first, Seq("k"), "seq"),
+          second, Seq("k"), "seq")
+        .select("price").collect().map(_.getDouble(0)).toSeq
+    survivor(img1, img2) shouldBe survivor(img2, img1)
+  }
+
+  test("cdcApplyBatch rewrites only touched buckets and replays idempotently (X8)") {
+    val stateDir = graft.Scratch.fresh("spec_x8_state")
+    val nBuckets = 8
+    // batch 0: 64 keys spread across every bucket
+    val b0 = (1L to 64L).map(k => (k, k * 1.0, "I", 1L)).toDF("k", "price", "op", "seq")
+    EventStreams.cdcApplyBatch(spark, b0, 0L, Seq("k"), "seq", stateDir, nBuckets)
+    val v0Buckets = new java.io.File(s"$stateDir/v0").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__b=")).map(_.getName).toSet
+    v0Buckets.size shouldBe nBuckets
+    // batch 1: ONE key → exactly one bucket dir under v1, not a full rewrite
+    val b1 = Seq((7L, 777.0, "U", 2L)).toDF("k", "price", "op", "seq")
+    EventStreams.cdcApplyBatch(spark, b1, 1L, Seq("k"), "seq", stateDir, nBuckets)
+    val v1Buckets = new java.io.File(s"$stateDir/v1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__b=")).map(_.getName).toSet
+    v1Buckets.size shouldBe 1
+    def state() = EventStreams.cdcCurrent(spark, stateDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val afterB1 = state()
+    afterB1(7L) shouldBe 777.0
+    afterB1.size shouldBe 64
+    // replay of batch 1 (foreachBatch is at-least-once): the merge base is
+    // the newest version STRICTLY BELOW the batch id, so re-running the same
+    // (id, data) must neither fail ("cannot overwrite a path being read
+    // from") nor change the state
+    EventStreams.cdcApplyBatch(spark, b1, 1L, Seq("k"), "seq", stateDir, nBuckets)
+    state() shouldBe afterB1
+    // untouched buckets keep serving from v0: a key in another bucket
+    // still reads its batch-0 image
+    afterB1(8L) shouldBe 8.0
+  }
+
   test("session numbering continues after all sessions close (X2 counter)") {
     val input = MemoryStream[EventStreams.Event](spark)
     val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
