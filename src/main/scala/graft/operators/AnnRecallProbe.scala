@@ -18,13 +18,22 @@ object AnnRecallProbe {
       val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      for (tables <- Seq(4, 8, 12)) {
+      for (tables <- Seq(4, 8)) {
         val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 10,
             tables = tables, knownN = n)
           .select("query_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall = (exact intersect approx).size.toDouble / exact.size
-        println(f"[annrecall] $dir n=$n tables=$tables recall=$recall%.4f")
+        println(f"[annrecall] $dir n=$n lsh tables=$tables recall=$recall%.4f")
+      }
+      for ((k, nprobe) <- Seq((8, 2), (8, 3), (16, 4))) {
+        val cents = IvfAnn.trainCentroids(vecs, "embedding", k = k, iters = 3, knownN = n)
+        val approx = IvfAnn.topK(queries, vecs, "vec_id", "embedding", cents,
+            k = 10, nprobe = nprobe)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exact intersect approx).size.toDouble / exact.size
+        println(f"[annrecall] $dir n=$n ivf k=$k nprobe=$nprobe recall=$recall%.4f")
       }
       spark.catalog.clearCache()
     }

@@ -250,6 +250,31 @@ object LlmOps {
         .orderBy("query_id", "neighbor_id")
     },
 
+    // IVF counterpart of s2_recall. An isotropic random corpus is IVF's
+    // WORST case (true neighbors scatter across Voronoi cells of noise), so
+    // the honest bound is lower than LSH's: measured 0.665-0.678 across all
+    // three SFs at nprobe=3/k=8, vs 0.375 expected for probing 3 random
+    // cells — the gate at >= 0.55 sits above uninformed probing with margin
+    // under every measurement, and catches assignment/probe regressions.
+    // Clustered-corpus recall >= 0.9 stays spec-gated (IvfAnnSpec).
+    "s3_recall" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+      val vecs = base.repartition(parallelism(s))
+      val n = base.count()
+      val queries = vecs.filter(col("vec_id") < 32)
+      val cents = IvfAnn.trainCentroids(vecs, "embedding", k = 8, iters = 3, knownN = n)
+      val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = IvfAnn.topK(queries, vecs, "vec_id", "embedding", cents,
+          k = 10, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= 0.55)
+            .as("recall_ok"))
+    },
+
     "s4_quantize_int8" -> { (s, dir) =>
       // int8 scalar quantization of the embedding store: codes, scale and
       // max reconstruction error are all order-independent element-wise
@@ -332,6 +357,18 @@ object LlmOps {
           Tables(s, dir).documents.select("doc_id", "source"), "source", "doc_id",
           targetTotal = 200)
         .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    "t12_pack_sequences" -> { (s, dir) =>
+      // concat-and-chunk sequence packing: 256-token sequences over 4 hash
+      // shards. Every assignment is md5-order + integer cumulative-sum
+      // arithmetic — DuckDB re-derives (shard, seq_id, seq_off) row-for-row.
+      val docs = Tables(s, dir).documents
+      TextAnalysis.packSequences(
+          docs.select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks")),
+          "doc_id", "toks", seqLen = 256, shards = 4)
+        .select("doc_id", "shard", "seq_id", "seq_off")
         .orderBy("doc_id")
     },
 
@@ -625,6 +662,27 @@ object LlmOps {
         |  FROM c
         |) WHERE rn <= 5""".stripMargin,
 
+    // T12: the packing is md5 order + prefix-sum + integer division — all
+    // exactly re-derivable (the shard is t6's hex-fold md5 unit mod 4; sums
+    // wrapped back to BIGINT because DuckDB sum(BIGINT) widens to HUGEINT).
+    "t12_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS u,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 4 AS shard
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, shard,
+        |    CAST(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, off // 256 AS seq_id, off % 256 AS seq_off FROM o""".stripMargin,
+
     // T10: chunk count is integer ceil arithmetic and chunk text re-joins
     // the token window with single spaces — both fully re-derivable.
     "t10_chunk" ->
@@ -873,6 +931,10 @@ object LlmOps {
     // construction) — an LSH run recovering < 90% of the exact top-10 flips
     // the boolean and breaks the hash.
     "s2_recall" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    "s3_recall" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 

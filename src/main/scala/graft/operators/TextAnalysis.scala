@@ -225,4 +225,34 @@ object TextAnalysis {
         least(lit(chunkTokens), col("__n") - col("chunk_id") * stride)
           .cast("long").as("n_tokens"))
   }
+
+  /** T12: sequence packing — assign documents (or T10 chunks) to fixed-size
+    * training sequences by the concat-and-chunk rule LLM pretraining uses:
+    * order documents deterministically, concatenate, and cut the token
+    * stream every `seqLen` tokens. Each row gets (shard, seq_id, seq_off):
+    * the sequence whose block its START offset falls in and its offset
+    * within that sequence (a doc longer than the remaining room simply runs
+    * into the next block — boundary metadata for the tokenizer, which is
+    * exactly how packed pretraining batches handle document overflow).
+    *
+    * Determinism + scale shape: rows are ordered by (md5(id), id) WITHIN a
+    * hash shard (`hashUnit(id) mod shards`) — pure functions of the id, so
+    * the same packing comes out on any cluster, partitioning or engine, and
+    * the cumulative-sum window runs per shard, never globally: shard count
+    * bounds the window partition size (at 100 TB, thousands of shards →
+    * each a few GB of offsets; one shuffle total). All md5 arithmetic is
+    * the T6 split machinery, so DuckDB re-derives the packing exactly. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokenCol: String, seqLen: Int, shards: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0 && shards > 0, s"need seqLen/shards > 0, got $seqLen/$shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__u"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", pmod(Sampling.hashUnit(col(idCol)), lit(shards.toLong)))
+      .withColumn("__u", md5(col(idCol).cast("string")))
+      .withColumn("__off", coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__off div $seqLen"))
+      .withColumn("seq_off", col("__off") - col("seq_id") * seqLen)
+      .drop("__u", "__off")
+  }
 }

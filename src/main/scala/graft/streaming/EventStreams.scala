@@ -297,6 +297,38 @@ object EventStreams {
     spark.read.parquet(dirs: _*).filter(col(opCol) =!= "D").drop(opCol, seqCol)
   }
 
+  /** Compact the versioned CDC state: rewrite the live image of every
+    * bucket into ONE new version dir (`v<maxId+1>`), then delete every
+    * older version — the periodic-compaction half of the base+delta design.
+    * On a long-lived stream version dirs otherwise accumulate one per
+    * micro-batch and [[bucketDirs]]'s driver-side listing grows without
+    * bound; compaction resets it to one dir. Keys already merged (the live
+    * image IS the merge result), so this is a pure read→repartition-write,
+    * no cdcMerge pass. Safe between batches (the stream merges against
+    * "newest version strictly below the NEXT batch id", which the compacted
+    * dir satisfies: AvailableNow batch ids keep growing across restarts).
+    * `nBuckets` MUST equal the stream's — bucket ids are the pruning key, so
+    * a different count here would silently hide state rows from later
+    * batches' touched-bucket lookups. Returns the new version id. */
+  def cdcCompact(spark: SparkSession, stateDir: String, keyCols: Seq[String],
+      nBuckets: Int = 64): Long = {
+    val dirs = bucketDirs(stateDir, below = None)
+    if (dirs.isEmpty) sys.error(s"no CDC state under $stateDir")
+    val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    val newId = versions.map(_.getName.drop(1).toLong).max + 1
+    spark.read.parquet(dirs.values.toSeq: _*)
+      .withColumn("__b", bucketOf(keyCols, nBuckets))
+      .write.mode("overwrite").partitionBy("__b").parquet(s"$stateDir/v$newId")
+    versions.foreach(v => deleteDir(v))
+    newId
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteDir)
+    f.delete(): Unit
+  }
+
   /** bucket → newest `stateDir/v<id>/__b=<bucket>` dir (restricted to
     * versions strictly below `below` when replaying). Listing is
     * O(versions × touched buckets) driver-side file metadata — pair with

@@ -71,6 +71,9 @@ object StreamingGates {
       val q = EventStreams.cdcApplyStream(s, src, Seq("o_orderkey"), "seq", state,
         nBuckets = 8)
       q.awaitTermination()
+      // compact the per-batch version dirs into one and read THAT back:
+      // the hash gates that compaction preserves the live state exactly
+      EventStreams.cdcCompact(s, state, Seq("o_orderkey"), nBuckets = 8)
       EventStreams.cdcCurrent(s, state).orderBy("o_orderkey")
     },
     // X4 batch equivalent: deterministic first-occurrence per event_id (the

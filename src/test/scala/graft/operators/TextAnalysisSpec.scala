@@ -118,4 +118,36 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 2: 3 ≤ chunkTokens → exactly one chunk, intact
     out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq shouldBe Seq("a b c")
   }
+
+  test("packSequences assigns concat-and-chunk offsets deterministically (T12)") {
+    val df = (0L until 400L).map(i => (i, 10L + i % 7)).toDF("id", "toks")
+    val out = TextAnalysis.packSequences(df, "id", "toks", seqLen = 64, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out.size shouldBe 400
+    // offsets stay inside the sequence block
+    out.values.foreach { case (_, seqId, seqOff) =>
+      seqOff should be >= 0L
+      seqOff should be < 64L
+      seqId should be >= 0L
+    }
+    // partitioning-independent: pure function of (id, toks)
+    val again = TextAnalysis.packSequences(df.repartition(13), "id", "toks", 64, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    again shouldBe out
+    // per shard, assignments equal a local concat-and-chunk reference:
+    // order by (md5(id), id), prefix-sum the tokens, cut every 64
+    val rows = TextAnalysis.packSequences(df, "id", "toks", 64, 4)
+      .select("id", "toks", "shard", "seq_id", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.groupBy(_._3).values.foreach { shard =>
+      var off = 0L
+      shard.sortBy(r => (md5hex(r._1.toString), r._1)).foreach { case (_, toks, _, seqId, seqOff) =>
+        seqId shouldBe off / 64
+        seqOff shouldBe off % 64
+        off += toks
+      }
+    }
+  }
 }

@@ -229,6 +229,16 @@ class StreamingSpec extends SparkSpec {
     // untouched buckets keep serving from v0: a key in another bucket
     // still reads its batch-0 image
     afterB1(8L) shouldBe 8.0
+    // compaction folds the version chain into one dir without changing the
+    // live state; later batches keep merging against the compacted base
+    val newV = EventStreams.cdcCompact(spark, stateDir, Seq("k"), nBuckets)
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName).toSeq
+    versions shouldBe Seq(s"v$newV")
+    state() shouldBe afterB1
+    val b2 = Seq((7L, 7777.0, "U", 3L)).toDF("k", "price", "op", "seq")
+    EventStreams.cdcApplyBatch(spark, b2, newV + 1, Seq("k"), "seq", stateDir, nBuckets)
+    state()(7L) shouldBe 7777.0
   }
 
   test("session numbering continues after all sessions close (X2 counter)") {
