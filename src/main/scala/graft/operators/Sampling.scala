@@ -83,9 +83,12 @@ object Sampling {
       targetTotal: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-    val quotas = counts
+    val weights = counts
       .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
-      .withColumn("__z", sum("__w").over(Window.partitionBy()))
+    // Σw via a 1-row agg cross join, not a partition-less window: same
+    // strata-sized math without the all-to-one-partition window shape
+    val quotas = weights
+      .crossJoin(weights.agg(sum("__w").as("__z")))
       .withColumn("__quota", expr(s"($targetTotal * __w) div __z"))
       .select(col(strataCol), col("__quota"))
     // null on an empty input; 0 when every quota rounds down to nothing —

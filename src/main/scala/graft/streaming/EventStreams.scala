@@ -258,6 +258,7 @@ object EventStreams {
   def cdcApplyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       keyCols: Seq[String], seqCol: String, stateDir: String,
       nBuckets: Int = 64): Unit = {
+    checkBucketCount(stateDir, nBuckets)
     val bucket = bucketOf(keyCols, nBuckets)
     val touched = batch.select(bucket.as("__b")).distinct()
       .collect().map(_.getLong(0)).toSet // ≤ nBuckets ints — driver-safe
@@ -309,9 +310,11 @@ object EventStreams {
     * dir satisfies: AvailableNow batch ids keep growing across restarts).
     * `nBuckets` MUST equal the stream's — bucket ids are the pruning key, so
     * a different count here would silently hide state rows from later
-    * batches' touched-bucket lookups. Returns the new version id. */
+    * batches' touched-bucket lookups; the persisted `_nbuckets` marker
+    * enforces it. Returns the new version id. */
   def cdcCompact(spark: SparkSession, stateDir: String, keyCols: Seq[String],
       nBuckets: Int = 64): Long = {
+    checkBucketCount(stateDir, nBuckets)
     val dirs = bucketDirs(stateDir, below = None)
     if (dirs.isEmpty) sys.error(s"no CDC state under $stateDir")
     val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
@@ -322,6 +325,23 @@ object EventStreams {
       .write.mode("overwrite").partitionBy("__b").parquet(s"$stateDir/v$newId")
     versions.foreach(v => deleteDir(v))
     newId
+  }
+
+  /** The bucket count is a PERSISTED property of the state dir — pruning
+    * looks rows up by `__b=<hash mod nBuckets>`, so applying or compacting
+    * with a different count would silently miss state rows (resurrected
+    * deletes, duplicate keys). First writer records it in `_nbuckets`;
+    * every later apply/compact must match or fail loudly. */
+  private def checkBucketCount(stateDir: String, nBuckets: Int): Unit = {
+    val marker = java.nio.file.Paths.get(stateDir, "_nbuckets")
+    if (java.nio.file.Files.exists(marker)) {
+      val recorded = java.nio.file.Files.readString(marker).trim.toInt
+      require(recorded == nBuckets,
+        s"CDC state at $stateDir was written with nBuckets=$recorded; got $nBuckets")
+    } else {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, nBuckets.toString)
+    }
   }
 
   private def deleteDir(f: java.io.File): Unit = {

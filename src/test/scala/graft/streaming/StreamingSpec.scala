@@ -239,6 +239,13 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq((7L, 7777.0, "U", 3L)).toDF("k", "price", "op", "seq")
     EventStreams.cdcApplyBatch(spark, b2, newV + 1, Seq("k"), "seq", stateDir, nBuckets)
     state()(7L) shouldBe 7777.0
+    // the bucket count is a persisted contract of the state dir: applying
+    // or compacting with a different count must fail loudly, not silently
+    // miss state rows
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.cdcApplyBatch(spark, b2, newV + 2, Seq("k"), "seq", stateDir, nBuckets * 2)
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.cdcCompact(spark, stateDir, Seq("k"), nBuckets * 2)
   }
 
   test("session numbering continues after all sessions close (X2 counter)") {
