@@ -372,6 +372,24 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "t13_boilerplate" -> { (s, dir) =>
+      // the synthetic corpus has no shared chrome, so plant it: every doc
+      // gets a cookie banner + copyright footer (corpus-frequent → must be
+      // stripped); docs ≡ 0 (mod 7) carry a rare notice (1/7 < 50% → must
+      // survive). Both engines then run the SAME generic frequent-line
+      // derivation — text content is the hash surface.
+      val docs = Tables(s, dir).documents
+      val planted = docs.select(col("doc_id"),
+        concat(
+          lit("ACCEPT COOKIES TO CONTINUE\n"),
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit("\nrare per-page notice")).otherwise(lit("")),
+          lit("\nCopyright Example Site")).as("text"))
+      TextAnalysis.stripBoilerplate(planted, "doc_id", "text",
+          maxDocFrac = 0.5, knownN = docs.count())
+        .orderBy("doc_id")
+    },
+
     "d7_decontaminate" -> { (s, dir) =>
       // train/eval overlap scrub: train docs sharing ANY k-shingle with the
       // eval slice. Result is a pure semantic set (shingle-hash semi-join ≡
@@ -682,6 +700,36 @@ object LlmOps {
         |  FROM t
         |)
         |SELECT doc_id, shard, off // 256 AS seq_id, off % 256 AS seq_off FROM o""".stripMargin,
+
+    // T13: the full frequent-line scrub re-derived generically — plant the
+    // same chrome, split on newlines, count each trimmed line once per doc,
+    // threshold at ceil(0.5·N) (identical double ceil in both engines),
+    // anti-filter, reassemble in line order. Docs reduced to nothing come
+    // back as '' via the left join.
+    "t13_boilerplate" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'ACCEPT COOKIES TO CONTINUE' || chr(10) || text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'rare per-page notice' ELSE '' END ||
+        |    chr(10) || 'Copyright Example Site' AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM p
+        |), ex AS (
+        |  SELECT doc_id, i, ls[i+1] AS l, trim(ls[i+1]) AS tl
+        |  FROM t, unnest(range(len(ls))) AS u(i)
+        |), freq AS (
+        |  SELECT tl FROM (
+        |    SELECT tl, count(DISTINCT doc_id) AS d FROM ex WHERE tl <> '' GROUP BY tl
+        |  ) WHERE d >= greatest(2, CAST(ceil(0.5 * (SELECT count(*) FROM documents)) AS BIGINT))
+        |), kept AS (
+        |  SELECT doc_id, i, l FROM ex WHERE tl NOT IN (SELECT tl FROM freq)
+        |)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |) r USING (doc_id)""".stripMargin,
 
     // T10: chunk count is integer ceil arithmetic and chunk text re-joins
     // the token window with single spaces — both fully re-derivable.

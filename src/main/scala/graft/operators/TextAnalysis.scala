@@ -255,4 +255,48 @@ object TextAnalysis {
       .withColumn("seq_off", col("__off") - col("seq_id") * seqLen)
       .drop("__u", "__off")
   }
+
+  /** T13: boilerplate line removal — strip lines whose trimmed form occurs
+    * in at least `maxDocFrac` of documents (cookie banners, navigation
+    * chrome, site footers): the corpus-frequency scrub web-crawl curation
+    * runs before dedup, because boilerplate both wastes tokens and inflates
+    * near-dup similarity between unrelated pages. Line order within each
+    * document is preserved; documents reduced to nothing come back as ""
+    * (they remain rows — dropping them is a quality-filter decision, T2's
+    * job). Lines are counted ONCE per document (array_distinct before the
+    * explode), so a page repeating its own footer doesn't inflate the
+    * corpus frequency.
+    *
+    * Scale shape: the frequent-line set is provably tiny — at most
+    * avgLinesPerDoc / maxDocFrac distinct lines can each appear in
+    * ≥ maxDocFrac·N docs — so the anti-join's build side stays
+    * broadcast-sized at ANY corpus size (no hint needed; AQE sees a
+    * few-row aggregate). One groupBy on trimmed lines + one anti-join;
+    * reassembly is a per-doc sort_array, never a global sort. `knownN`
+    * supplies the doc count (footer/catalog stats); absent, one count()
+    * pass. */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxDocFrac: Double = 0.5, minDocs: Long = 2,
+      knownN: Long = -1L): org.apache.spark.sql.DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1, s"need 0 < maxDocFrac <= 1, got $maxDocFrac")
+    val n = if (knownN >= 0) knownN else df.count()
+    val thresh = math.max(minDocs, math.ceil(maxDocFrac * n).toLong)
+    val lines = df.select(col(idCol), split(col(textCol), "\n").as("__ls"))
+    val freq = lines
+      .select(explode(array_distinct(transform(col("__ls"), l => trim(l)))).as("__line"))
+      .filter(length(col("__line")) > 0)
+      .groupBy("__line").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= thresh)
+      .select("__line")
+    val kept = lines
+      .select(col(idCol), posexplode(col("__ls")).as(Seq("__p", "__l")))
+      .join(freq, trim(col("__l")) === col("__line"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__p"), col("__l")))),
+          s => s.getField("__l")), "\n").as("clean_text"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
 }

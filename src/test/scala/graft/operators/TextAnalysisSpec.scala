@@ -119,6 +119,35 @@ class TextAnalysisSpec extends SparkSpec {
     out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq shouldBe Seq("a b c")
   }
 
+  test("stripBoilerplate removes corpus-frequent lines, keeps rare ones in order (T13)") {
+    val df = Seq(
+      (1L, "HEADER\nalpha body one\nFOOTER"),
+      (2L, "HEADER\nbeta body two\nrare note\nFOOTER"),
+      (3L, "HEADER\ngamma body three\nFOOTER"),
+      (4L, "HEADER\nFOOTER")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(df, "doc_id", "text", maxDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // HEADER/FOOTER in 4/4 docs → stripped; bodies + the rare note survive
+    out(1L) shouldBe "alpha body one"
+    out(2L) shouldBe "beta body two\nrare note" // line order preserved
+    out(3L) shouldBe "gamma body three"
+    out(4L) shouldBe "" // all-boilerplate doc stays a row, empty
+    // a doc repeating its own footer counts ONCE toward corpus frequency:
+    // 2 of 4 docs < ceil(0.5*4)=2... (>= thresh) — at exactly the
+    // threshold it IS stripped; one below it is kept
+    val half = Seq(
+      (1L, "X\nX\na"), (2L, "X\nb"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.stripBoilerplate(half, "doc_id", "text", maxDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    o2(1L) shouldBe "a" // X hit 2 docs = threshold → stripped, dup counted once
+    o2(2L) shouldBe "b"
+    // empty and whitespace-only lines are never treated as boilerplate
+    val ws = Seq((1L, "p\n\nq"), (2L, "r\n\ns"), (3L, "t\n\nu")).toDF("doc_id", "text")
+    val o3 = TextAnalysis.stripBoilerplate(ws, "doc_id", "text", maxDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    o3(1L) shouldBe "p\n\nq"
+  }
+
   test("packSequences assigns concat-and-chunk offsets deterministically (T12)") {
     val df = (0L until 400L).map(i => (i, 10L + i % 7)).toDF("id", "toks")
     val out = TextAnalysis.packSequences(df, "id", "toks", seqLen = 64, shards = 4)
