@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** R31: incremental aggregate maintenance (SURVEY.md §2.2) — keep a
+  * grouped (count, sums) rollup current under a CDC change feed WITHOUT
+  * rescanning the base table: the view-maintenance counterpart of R25's
+  * row-level upsert and X8's streaming CDC state.
+  *
+  * count and sum are self-maintainable: an insert contributes (+1, +x), a
+  * delete (-1, -x), and an update is a delete of the old image plus an
+  * insert of the new one (the caller's CDC contract — the same before/after
+  * pair a Debezium-style feed carries). Merging is a full-outer join of the
+  * delta rollup (changes-sized) against the state on the group keys;
+  * groups whose maintained count reaches zero disappear, exactly as a
+  * recompute would drop them. Derived aggregates (avg = sum/count) come
+  * from the maintained pair at read time.
+  *
+  * Scale shape: the delta rollup shuffles only the changeset with map-side
+  * partial aggregation; the merge join shuffles state ∪ delta on the group
+  * keys — and the STATE of an aggregate rollup is |distinct groups| rows,
+  * not |base| rows, which is what makes maintenance at 100 TB base size
+  * cheap: the base is never read again. Store the state bucketed by the
+  * group keys (R17) and even that join goes shuffle-free. Sums should be
+  * DECIMAL (exact, associative); double sums drift run-to-run at high
+  * parallelism.
+  */
+object IncrementalAgg {
+
+  /** Build the initial maintained state: one row per key combination with
+    * `n` (live row count) and `sum_<c>` per value column. */
+  def sumState(rows: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+
+  /** Merge one CDC changeset into the maintained state. `changes` carries
+    * the key columns, the value columns, and `opCol` ∈ {"I", "D"} (updates
+    * arrive as D-old + I-new pairs). Returns the new state frame, same
+    * schema as [[sumState]]; groups with no surviving rows are dropped. */
+  def applyDelta(state: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String, sumCols: Seq[String]): DataFrame = {
+    val sign = when(col(opCol) === "D", lit(-1)).otherwise(lit(1))
+    val delta = changes.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("__dn"),
+        sumCols.map(c => sum(col(c) * sign).as(s"__d_$c")): _*)
+    val merged = state.join(delta, keys, "full_outer")
+    val zero = lit(0)
+    merged.select(
+      keys.map(col) ++
+        Seq((coalesce(col("n"), zero) + coalesce(col("__dn"), zero)).as("n")) ++
+        sumCols.map(c =>
+          (coalesce(col(s"sum_$c"), zero) + coalesce(col(s"__d_$c"), zero))
+            .as(s"sum_$c")): _*)
+      .filter(col("n") > 0)
+  }
+}

@@ -390,6 +390,37 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "t15_cluster_split" -> { (s, dir) =>
+      // leakage-safe split assignment over the planted near-dup corpus:
+      // d6's cluster labels keyed into t6's md5-threshold machinery —
+      // every cluster member lands in the same split by construction
+      // (split is a function of the component id alone).
+      val corpus = plantedDocs(s, dir)
+      val pairs = Dedup.ngramJaccardDedup(corpus, "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b")
+      Sampling.clusterSafeSplits(corpus.select(col("doc_id")), "doc_id", pairs, SplitSpec)
+        .orderBy("doc_id")
+    },
+
+    "t14_repetition" -> { (s, dir) =>
+      // intra-document repetition profile. The synthetic corpus is
+      // low-repetition, so plant both failure modes on top of the natural
+      // text: docs ≡0 (mod 5) repeat a banner line 3× (duplicate-line
+      // signal); docs ≡0 (mod 7) append a 12-token "spam" run (top-n-gram
+      // signal). Both engines derive the profile from the same planted
+      // text; every emitted signal is an exact integer.
+      val docs = Tables(s, dir).documents
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit(
+          "\nrepeated banner line\nrepeated banner line\nrepeated banner line"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\n" + Seq.fill(12)("spam").mkString(" ")))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.repetitionProfile(planted, "doc_id", "text", ngramN = 2)
+        .orderBy("doc_id")
+    },
+
     "d7_decontaminate" -> { (s, dir) =>
       // train/eval overlap scrub: train docs sharing ANY k-shingle with the
       // eval slice. Result is a pure semantic set (shingle-hash semi-join ≡
@@ -554,6 +585,50 @@ object LlmOps {
        |      (a, b) -> a * 16 + b) AS u
        |  FROM documents)""".stripMargin
   }
+
+  /** Shared WITH-prefix for the d6/t15 oracles: the planted near-dup
+    * corpus, its exact-Jaccard pairs, and recursive-CTE connected
+    * components. Ends after the `comp` CTE — d6 appends its final SELECT,
+    * t15 appends further CTEs keyed on the component label. */
+  private val componentCteSql =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id,
+      |         substr(text, 1, greatest(20, CAST(trunc(length(text)*0.9) AS INT))) AS text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
+      |), sets AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+      |  FROM toks
+      |), ex AS (
+      |  SELECT id, unnest(s) AS sh FROM sets
+      |), inter AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT id, len(s) AS sz FROM sets
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |    FROM inter JOIN sizes sa ON inter.id_a = sa.id
+      |               JOIN sizes sb ON inter.id_b = sb.id
+      |  ) WHERE jaccard >= 0.5
+      |), und AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS u, id_a AS v FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT u, v FROM und
+      |  UNION
+      |  SELECT reach.id, und.v FROM reach JOIN und ON reach.r = und.u
+      |), comp AS (
+      |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+      |)""".stripMargin
 
   /** T1 oracle, generated from the SAME marker table the operator uses
     * (TextAnalysis.LangMarkers) so the two can never drift: per-language
@@ -731,6 +806,48 @@ object LlmOps {
         |  FROM kept GROUP BY doc_id
         |) r USING (doc_id)""".stripMargin,
 
+    // T14: the repetition profile is integer line/ngram counting — plant the
+    // same chrome, split lines (trimmed, non-empty) and word bigrams
+    // (lowered, \s+), count duplicates and the per-doc modal bigram. Empty
+    // list sums are NULL in DuckDB (coalesce to 0); sum(BIGINT) widens to
+    // HUGEINT (cast back); docs with < 2 tokens get their ngram stats from
+    // the LEFT JOIN's coalesce, mirroring Spark's explode_outer null row.
+    "t14_repetition" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'repeated banner line' || chr(10) || 'repeated banner line' || chr(10) || 'repeated banner line' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'spam spam spam spam spam spam spam spam spam spam spam spam' ELSE '' END AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS ls,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM p
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+        |    CAST(coalesce(list_aggregate(list_transform(ls, x -> len(x)), 'sum'), 0)
+        |      - coalesce(list_aggregate(list_transform(list_distinct(ls), x -> len(x)), 'sum'), 0) AS BIGINT) AS dup_line_chars,
+        |    t
+        |  FROM l
+        |), e AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM s WHERE len(t) >= 2
+        |), c AS (
+        |  SELECT doc_id, g, count(*) AS n FROM e GROUP BY doc_id, g
+        |), a AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ngrams, CAST(max(n) AS BIGINT) AS top_ngram_n
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, s.n_lines, s.dup_lines, s.dup_line_chars,
+        |  coalesce(a.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(a.top_ngram_n, 0) AS top_ngram_n,
+        |  ((s.n_lines > 0 AND s.dup_lines * 10 >= s.n_lines * 3)
+        |    OR (coalesce(a.n_ngrams, 0) > 0 AND coalesce(a.top_ngram_n, 0) * 5 >= coalesce(a.n_ngrams, 0))) AS is_repetitive
+        |FROM s LEFT JOIN a USING (doc_id)""".stripMargin,
+
     // T10: chunk count is integer ceil arithmetic and chunk text re-joins
     // the token window with single spaces — both fully re-derivable.
     "t10_chunk" ->
@@ -835,48 +952,33 @@ object LlmOps {
     // transitive closure: comp(id) = min id reachable in the undirected pair
     // graph; singletons label themselves. Component minima are unique, so
     // the result is independent of how either engine orders the traversal.
-    "d6_dedup_clusters" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS id,
-        |         substr(text, 1, greatest(20, CAST(trunc(length(text)*0.9) AS INT))) AS text
-        |  FROM documents
-        |), toks AS (
-        |  SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
-        |), sets AS (
-        |  SELECT id, list_distinct(
-        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
-        |  FROM toks
-        |), ex AS (
-        |  SELECT id, unnest(s) AS sh FROM sets
-        |), inter AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
-        |  GROUP BY 1, 2
-        |), sizes AS (
-        |  SELECT id, len(s) AS sz FROM sets
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-        |    FROM inter JOIN sizes sa ON inter.id_a = sa.id
-        |               JOIN sizes sb ON inter.id_b = sb.id
-        |  ) WHERE jaccard >= 0.5
-        |), und AS (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION ALL
-        |  SELECT id_b AS u, id_a AS v FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT u, v FROM und
-        |  UNION
-        |  SELECT reach.id, und.v FROM reach JOIN und ON reach.r = und.u
-        |), comp AS (
-        |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
-        |)
+    "d6_dedup_clusters" -> (componentCteSql +
+      """
         |SELECT c.id, coalesce(p.component, c.id) AS component,
         |       coalesce(p.component, c.id) = c.id AS is_canonical
-        |FROM corpus c LEFT JOIN comp p ON c.id = p.id""".stripMargin,
+        |FROM corpus c LEFT JOIN comp p ON c.id = p.id""".stripMargin),
+
+    // T15: the cluster labels (d6's recursive CTE) keyed into the t6
+    // md5-threshold machinery — split is a pure function of the COMPONENT
+    // id, so both engines assign every cluster member identically.
+    "t15_cluster_split" -> (componentCteSql + {
+      val th = Sampling.cumulativeThresholds(SplitSpec)
+      val cases = th.init.map { case (n, up) => s"WHEN u < $up THEN '$n'" }
+        .mkString(" ")
+      s""", lab AS (
+         |  SELECT c.id, coalesce(p.component, c.id) AS component
+         |  FROM corpus c LEFT JOIN comp p ON c.id = p.id
+         |), uu AS (
+         |  SELECT id, component,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 9),
+         |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+         |      (a, b) -> a * 16 + b) AS u
+         |  FROM lab
+         |)
+         |SELECT id AS doc_id, component, CASE $cases ELSE '${th.last._1}' END AS split
+         |FROM uu""".stripMargin
+    }),
 
     // T7: membership is a pure function of (lang, md5(doc_id)) — both
     // engines compute the same lowercase-hex md5 over the same decimal

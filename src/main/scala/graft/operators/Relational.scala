@@ -379,6 +379,60 @@ object Relational {
           col("batch").cast("long").as("batch"))
     },
 
+    "r30_range_join" -> { (s, dir) =>
+      // generic range join, NO equi-key: each sampled shipment matches
+      // every sampled order whose 15-day window [o_orderdate, +14d]
+      // contains its ship day. The binned decomposition (16-day bins:
+      // explode intervals to covered bins, equi-join on bin, exact
+      // post-filter) returns the identical row set to the naive inequality
+      // join DuckDB runs — but as a shuffled hash join instead of the
+      // BroadcastNestedLoopJoin Spark plans for a pure inequality predicate
+      // (plan shape spec-asserted in RangeJoinSpec).
+      val t = Tables(s, dir)
+      def day(c: Column) = datediff(c, lit("1970-01-01").cast("date")).cast("long")
+      val intervals = t.orders.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), day(col("o_orderdate")).as("win_start"),
+          (day(col("o_orderdate")) + 14).as("win_end"))
+      val points = t.lineitem.filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          day(col("l_shipdate")).as("ship_day"))
+      RangeJoin.pointInInterval(intervals, points,
+          "win_start", "win_end", "ship_day", binSize = 16)
+        .select("o_orderkey", "l_orderkey", "l_linenumber", "ship_day", "win_start")
+    },
+
+    "r31_incr_agg" -> { (s, dir) =>
+      // incremental view maintenance: the per-status (count, sum) rollup
+      // maintained under a CDC changeset (keys ≡0 mod 9 deleted, ≡1 mod 9
+      // re-inserted at price+10) WITHOUT rescanning the base — the oracle
+      // recomputes the same rollup from the post-change row set, so the
+      // gate proves delta-merge ≡ full recompute.
+      val o = Tables(s, dir).orders.select(col("o_orderkey"),
+        col("o_orderstatus"), money(col("o_totalprice")).as("price"))
+      val state = IncrementalAgg.sumState(o, Seq("o_orderstatus"), Seq("price"))
+      val changes =
+        o.filter(col("o_orderkey") % 9 === 0).withColumn("op", lit("D"))
+          .unionByName(o.filter(col("o_orderkey") % 9 === 1)
+            .withColumn("price", col("price") + 10).withColumn("op", lit("I")))
+          .drop("o_orderkey")
+      IncrementalAgg.applyDelta(state, changes, Seq("o_orderstatus"), "op", Seq("price"))
+        .select(col("o_orderstatus"), col("n"), emit(col("sum_price")).as("sum_price"))
+    },
+
+    "r32_grouping_sets" -> { (s, dir) =>
+      // arbitrary GROUPING SETS (r19 ROLLUP and r23 CUBE are the fixed
+      // hierarchical/exhaustive specializations): per-flag×status,
+      // per-flag, and per-status rollups in ONE Expand pass + single
+      // shuffle — the ad-hoc dashboard shape where the wanted sets are
+      // neither a prefix chain nor the full power set.
+      Tables(s, dir).lineitem.createOrReplaceTempView("gs_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              |FROM gs_lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_returnflag), (l_linestatus))""".stripMargin)
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -668,6 +722,38 @@ object Relational {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_totalprice, CAST(2 AS BIGINT) AS batch
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+
+    // R30: the oracle runs the NAIVE inequality join — the binned
+    // decomposition must return the identical row set.
+    "r30_range_join" ->
+      """SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
+        |  CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day,
+        |  CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS win_start
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) - DATE '1970-01-01'
+        |       BETWEEN CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+        |           AND CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' + 14
+        |WHERE o.o_orderkey % 50 = 0 AND l.l_orderkey % 97 = 0""".stripMargin,
+
+    // R31: the oracle recomputes the rollup from the post-change row set
+    // (survivors ∪ re-inserts) — delta maintenance must equal recompute.
+    "r31_incr_agg" ->
+      """WITH live AS (
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS price
+        |  FROM orders WHERE o_orderkey % 9 = 1
+        |)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM live GROUP BY o_orderstatus""".stripMargin,
+
+    "r32_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
 
     "r18_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts

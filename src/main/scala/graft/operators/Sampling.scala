@@ -111,6 +111,29 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** T15: leakage-safe train/val/test splits — near-duplicate documents
+    * must never straddle a split boundary, or the eval slice "tests" on
+    * paraphrases of training rows and overstates quality (the
+    * train/test-contamination failure D7 scrubs AFTER the fact; this
+    * prevents it at split time). The split is assigned to the dedup
+    * CLUSTER, not the document: connected components over the near-dup
+    * pair graph (D6 machinery) label each doc with its cluster's canonical
+    * min-id, and the T6 md5-threshold assignment keys on that component id
+    * — every member of a cluster inherits the same split, while singleton
+    * docs (component = own id) keep T6's exact per-doc behavior.
+    *
+    * Scale shape: CC is the D6 path (large-star/small-star, O(log n)
+    * rounds); the assignment itself is one codegen'd projection. Split
+    * fractions hold approximately (clusters are weighted by size), which
+    * is the correct trade — fraction drift is bounded by the dup rate,
+    * leakage is zero by construction. */
+  def clusterSafeSplits(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame =
+    assignSplits(
+        ConnectedComponents.labels(docs.select(col(idCol)), pairs),
+        "component", splits)
+      .withColumnRenamed("id", idCol)
+
   /** (name, exclusive upper bound in [0, 2^32]) per split, cumulative. */
   def cumulativeThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     var acc = 0.0

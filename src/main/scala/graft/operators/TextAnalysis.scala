@@ -256,6 +256,52 @@ object TextAnalysis {
       .drop("__u", "__off")
   }
 
+  /** T14: intra-document repetition profile — the Gopher-style repetition
+    * signals (duplicate-line fraction, duplicate-line character fraction,
+    * top-n-gram share) used to drop machine-generated/spam pages whose
+    * repetition is INSIDE one document, which no cross-document dedup
+    * (D1-D6) can see. Emits one row per input row:
+    * (idCol, n_lines, dup_lines, dup_line_chars, n_ngrams, top_ngram_n,
+    * is_repetitive) — every signal an exact INTEGER (numerators and
+    * denominators, not fractions), so the oracle hash cannot drift on
+    * float division, and the keep/drop decision is integer arithmetic:
+    * repetitive ⇔ dup_lines/n_lines ≥ 30% OR top_ngram_n/n_ngrams ≥ 20%.
+    *
+    * Scale shape: line statistics are per-row higher-order-function algebra
+    * (split → trim → distinct → length sums) inside WholeStageCodegen — no
+    * shuffle, no state. The n-gram mode needs per-(doc, gram) counts: one
+    * clustering shuffle on (id, gram) with map-side partial counts, then a
+    * doc-level rollup; the doc-constant line stats ride the grouping keys
+    * (small ints) instead of a second join against the corpus. Output rows
+    * = input rows; nothing global anywhere. */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ngramN: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(ngramN >= 1, s"need ngramN >= 1, got $ngramN")
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val charSum = (a: Column) =>
+      aggregate(a, lit(0L), (acc, l) => acc + length(l))
+    val base = df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("dup_lines"),
+      (charSum(lines) - charSum(array_distinct(lines))).as("dup_line_chars"),
+      when(size(toks) < ngramN, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - ngramN),
+          i => concat_ws(" ", slice(toks, i + 1, lit(ngramN))))).as("__gs"))
+    base
+      .select(col(idCol), col("n_lines"), col("dup_lines"), col("dup_line_chars"),
+        explode_outer(col("__gs")).as("__g"))
+      .groupBy(idCol, "n_lines", "dup_lines", "dup_line_chars", "__g")
+      .agg(count(col("__g")).as("__n"))
+      .groupBy(idCol, "n_lines", "dup_lines", "dup_line_chars")
+      .agg(sum("__n").as("n_ngrams"), max("__n").as("top_ngram_n"))
+      .withColumn("is_repetitive",
+        (col("n_lines") > 0 && col("dup_lines") * 10 >= col("n_lines") * 3) ||
+          (col("n_ngrams") > 0 && col("top_ngram_n") * 5 >= col("n_ngrams")))
+  }
+
   /** T13: boilerplate line removal — strip lines whose trimmed form occurs
     * in at least `maxDocFrac` of documents (cookie banners, navigation
     * chrome, site footers): the corpus-frequency scrub web-crawl curation

@@ -327,6 +327,61 @@ object EventStreams {
     newId
   }
 
+  // ---- X9: streaming incremental aggregate maintenance (streaming IVM) ----
+
+  /** Fold one micro-batch of CDC changes into the maintained rollup under
+    * `stateDir` — the streaming form of R31: each batch's delta rollup
+    * merges into the previous state and the FULL new state is written as
+    * `stateDir/v<batchId>`. Unlike X8's row-level state (bucket-pruned
+    * rewrites, state = |base| rows), an aggregate rollup is |groups| rows
+    * regardless of base size, so rewriting it whole per batch IS the
+    * scale-safe shape — that smallness is the whole point of maintaining
+    * the view instead of the table. Replay-safe by the X8 rule: the merge
+    * base is the newest version STRICTLY BELOW the current batch id, so an
+    * at-least-once redelivery re-reads the exact pre-batch state and
+    * rewrites v<id> to identical content. Versions older than id−1 are
+    * pruned (replay never reaches below the immediately-preceding one). */
+  def ivmApplyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      keys: Seq[String], opCol: String, sumCols: Seq[String],
+      stateDir: String): Unit = {
+    val versions = listVersions(stateDir)
+    val prev = versions.filter(_._1 < batchId).sortBy(_._1).lastOption match {
+      case Some((_, dir)) => spark.read.parquet(dir.getAbsolutePath)
+      case None => graft.operators.IncrementalAgg.sumState(batch.limit(0), keys, sumCols)
+    }
+    graft.operators.IncrementalAgg.applyDelta(prev, batch, keys, opCol, sumCols)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    versions.filter(_._1 < batchId - 1).foreach(v => deleteDir(v._2))
+  }
+
+  /** X9: drain a CDC change stream (op ∈ I/D; updates arrive as D-old +
+    * I-new) into a continuously-maintained grouped (count, sums) rollup —
+    * a streaming materialized view. One [[ivmApplyBatch]] per micro-batch;
+    * read the live rollup with [[ivmCurrent]]. */
+  def ivmApplyStream(spark: SparkSession, changes: DataFrame, keys: Seq[String],
+      opCol: String, sumCols: Seq[String],
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ivmApplyBatch(spark, batch.toDF(), id, keys, opCol, sumCols, stateDir)
+      }
+      .option("checkpointLocation", s"$stateDir/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The live maintained rollup: the newest state version. */
+  def ivmCurrent(spark: SparkSession, stateDir: String): DataFrame = {
+    val versions = listVersions(stateDir)
+    if (versions.isEmpty) sys.error(s"no IVM state under $stateDir")
+    spark.read.parquet(versions.maxBy(_._1)._2.getAbsolutePath)
+  }
+
+  private def listVersions(stateDir: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toLong -> f)
+
   /** The bucket count is a PERSISTED property of the state dir — pruning
     * looks rows up by `__b=<hash mod nBuckets>`, so applying or compacting
     * with a different count would silently miss state rows (resurrected

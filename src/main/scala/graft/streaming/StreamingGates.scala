@@ -76,6 +76,46 @@ object StreamingGates {
       EventStreams.cdcCompact(s, state, Seq("o_orderkey"), nBuckets = 8)
       EventStreams.cdcCurrent(s, state).orderBy("o_orderkey")
     },
+    // X9: streaming IVM, driver-visible end to end — three change shards
+    // (base inserts; updates as D-old + I-new pairs; deletes of the
+    // updated images) drained one file per micro-batch, each folding a
+    // delta rollup into the maintained per-status (count, sum) state. The
+    // maintained rollup is LINEAR in the deltas (groups stay far from the
+    // zero-count drop), so the final state is identical under any shard
+    // order or batch split — recompute-oracle-checkable like r31.
+    "x9_ivm_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.lit
+      val watch = graft.Scratch.fresh("x9_in")
+      val state = graft.Scratch.fresh("x9_state")
+      val o = Tables(s, dir).orders.select(col("o_orderstatus"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 2)).as("price"),
+        col("o_orderkey"))
+      val base = o.select(col("o_orderstatus"), col("price")).withColumn("op", lit("I"))
+      val updD = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderstatus"), col("price")).withColumn("op", lit("D"))
+      // +10 widens decimal(18,2) → (19,2); cast back so every shard writes
+      // the same parquet physical type the stream schema declares
+      val dec182 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
+      val updI = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderstatus"), (col("price") + 10).cast(dec182).as("price"))
+        .withColumn("op", lit("I"))
+      val del = o.filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderstatus"), (col("price") + 10).cast(dec182).as("price"))
+        .withColumn("op", lit("D"))
+      base.coalesce(1).write.mode("append").parquet(watch)
+      updD.unionByName(updI).coalesce(1).write.mode("append").parquet(watch)
+      del.coalesce(1).write.mode("append").parquet(watch)
+      val src = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      val q = EventStreams.ivmApplyStream(s, src, Seq("o_orderstatus"), "op",
+        Seq("price"), state)
+      q.awaitTermination()
+      EventStreams.ivmCurrent(s, state)
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -136,6 +176,18 @@ object StreamingGates {
         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 9 <> 0""".stripMargin,
+
+    // X9: the maintained rollup must equal a recompute over the live row
+    // set (survivors at their updated prices) — delta chain ≡ recompute.
+    "x9_ivm_stream" ->
+      """WITH live AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) +
+        |      CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END AS price
+        |  FROM orders WHERE o_orderkey % 9 <> 0
+        |)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM live GROUP BY o_orderstatus""".stripMargin,
 
     "x4_dedup_batch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

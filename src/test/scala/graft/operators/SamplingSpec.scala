@@ -115,4 +115,28 @@ class SamplingSpec extends SparkSpec {
     // re-evaluation returns the identical subset
     Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet shouldBe s10
   }
+
+  test("clusterSafeSplits: cluster members share one split; singletons match T6 on their component (T15)") {
+    val docs = (1L to 50L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("id_a", "id_b")
+    val spec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.clusterSafeSplits(docs, "id", pairs, spec)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    out.size shouldBe 50
+    // chain 1-2-3 is one cluster: shared canonical label, shared split
+    out(1L)._1 shouldBe 1L
+    out(2L)._1 shouldBe 1L
+    out(3L)._1 shouldBe 1L
+    out(2L)._2 shouldBe out(1L)._2
+    out(3L)._2 shouldBe out(1L)._2
+    out(20L)._1 shouldBe 10L
+    out(20L)._2 shouldBe out(10L)._2
+    // singletons keep T6's exact per-id assignment (component = own id)
+    val t6 = Sampling.assignSplits(docs, "id", spec)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (4L to 9L).foreach { i =>
+      out(i)._1 shouldBe i
+      out(i)._2 shouldBe t6(i)
+    }
+  }
 }

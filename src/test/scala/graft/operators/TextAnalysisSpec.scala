@@ -179,4 +179,30 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("repetitionProfile counts duplicate lines and modal ngrams exactly (T14)") {
+    val docs = Seq(
+      // 4 non-empty lines, "a b" twice (dup_lines=1, dup chars=3); 9
+      // tokens → 8 bigrams (\n is token whitespace), "a b" modal at 2,
+      // and 2/8 = 25% ≥ 20% trips the top-ngram arm
+      (1L, "x y\na b\na b\nz w q"),
+      // spam run: 5 tokens, "spam spam" ×4 of 4 bigrams → repetitive
+      (2L, "spam spam spam spam spam"),
+      // single token: no bigrams; one line
+      (3L, "hello"),
+      // empty text: no lines, no ngrams, not repetitive
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(docs, "doc_id", "text", ngramN = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    out(1L) shouldBe ((4L, 1L, 3L, 8L, 2L, true))
+    out(2L) shouldBe ((1L, 0L, 0L, 4L, 4L, true))
+    out(3L) shouldBe ((1L, 0L, 0L, 0L, 0L, false))
+    out(4L) shouldBe ((0L, 0L, 0L, 0L, 0L, false))
+    // partitioning-independent: pure per-doc function
+    val again = TextAnalysis.repetitionProfile(docs.repartition(7), "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    again shouldBe out
+  }
 }

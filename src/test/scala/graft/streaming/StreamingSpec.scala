@@ -248,6 +248,38 @@ class StreamingSpec extends SparkSpec {
       EventStreams.cdcCompact(spark, stateDir, Seq("k"), nBuckets * 2)
   }
 
+  test("ivmApplyBatch maintains the rollup across batches and replays idempotently (X9)") {
+    val stateDir = graft.Scratch.fresh("spec_x9_state")
+    def dec(s: String) = new java.math.BigDecimal(s)
+    def asDec(df: org.apache.spark.sql.DataFrame) = df.select(col("k"),
+      col("v").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)).as("v"),
+      col("op"))
+    // batch 0: initial inserts into two groups
+    val b0 = asDec(Seq(("A", "1.00", "I"), ("A", "2.00", "I"), ("B", "5.00", "I"))
+      .toDF("k", "v", "op"))
+    EventStreams.ivmApplyBatch(spark, b0, 0L, Seq("k"), "op", Seq("v"), stateDir)
+    def state() = EventStreams.ivmCurrent(spark, stateDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).stripTrailingZeros()))).toMap
+    state() shouldBe Map("A" -> ((2L, dec("3"))), "B" -> ((1L, dec("5"))))
+    // batch 1: update one A row (D-old + I-new), delete B entirely
+    val b1 = asDec(Seq(("A", "2.00", "D"), ("A", "2.50", "I"), ("B", "5.00", "D"))
+      .toDF("k", "v", "op"))
+    EventStreams.ivmApplyBatch(spark, b1, 1L, Seq("k"), "op", Seq("v"), stateDir)
+    val after1 = state()
+    after1 shouldBe Map("A" -> ((2L, dec("3.5"))))
+    // at-least-once replay of batch 1: merge base is strictly below the
+    // batch id, so the rewrite is byte-identical, not double-applied
+    EventStreams.ivmApplyBatch(spark, b1, 1L, Seq("k"), "op", Seq("v"), stateDir)
+    state() shouldBe after1
+    // versions older than id-1 are pruned; the live read keeps working
+    val b2 = asDec(Seq(("C", "9.00", "I")).toDF("k", "v", "op"))
+    EventStreams.ivmApplyBatch(spark, b2, 2L, Seq("k"), "op", Seq("v"), stateDir)
+    new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.matches("v\\d+")) should be <= 2
+    state() shouldBe Map("A" -> ((2L, dec("3.5"))), "C" -> ((1L, dec("9"))))
+  }
+
   test("session numbering continues after all sessions close (X2 counter)") {
     val input = MemoryStream[EventStreams.Event](spark)
     val sessions = EventStreams.sessionizeStream(spark, input.toDF(), gapMinutes = 30, watermark = "1 minute")
