@@ -294,6 +294,25 @@ object LlmOps {
         .orderBy("vec_id")
     },
 
+    "s5_pq_codes" -> { (s, dir) =>
+      // product quantization, gated structurally like s2/s3: identical
+      // vectors get identical codes (argmin tiebreaks on the first index),
+      // so over the exact-copy corpus every planted pair must code-match —
+      // the join below must return EXACTLY the planted pairs. Codebooks
+      // train on the base corpus (16 centroids × 4 subspaces of the 64-dim
+      // embedding); reconstruction quality is spec-gated (the codebook
+      // floats themselves are not cross-engine derivable).
+      val base = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val cb = ProductQuantizer.train(base, "embedding", m = 4, k = 16, iters = 3)
+      val codes = ProductQuantizer.encode(plantedVecsExact(s, dir), "embedding", cb)
+        .select(col("vec_id"), col("pq_codes"))
+      codes.as("a").join(codes.as("b"),
+          col("b.vec_id") === col("a.vec_id") + CopyOffset &&
+            col("a.pq_codes") === col("b.pq_codes"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .orderBy("id_a")
+    },
+
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.withDetectedLang(Tables(s, dir).documents, "text")
         .select(col("doc_id"), col("lang").as("labeled_lang"), col("detected_lang"))
@@ -525,6 +544,26 @@ object LlmOps {
       Multimodal.extractFeatures(s, media).toDF()
         .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
           element_at(col("histogram"), 1).as("hist_0"))
+    },
+
+    "p4_multimodal_ann" -> { (s, dir) =>
+      // composed multimodal retrieval: media corpus → per-partition batch
+      // feature extraction (M1's codec seam; the 16-bin byte histogram is
+      // the deterministic stand-in embedding) → exact cosine top-k through
+      // S1's broadcast-scan + bounded-heap finish. The whole chain —
+      // bytes → histogram → double cosine → (desc, id) rank — is
+      // re-derived in DuckDB, so the gate certifies the multimodal
+      // pipeline end to end, not just the codec stage.
+      val media = Multimodal.asMediaCorpus(Tables(s, dir).documents, "doc_id", "text")
+      val feats = Multimodal.extractFeatures(s, media).toDF()
+        .filter(col("n_bytes") > 0)
+        .select(col("media_id"),
+          transform(col("histogram"), x => x.cast("double")).as("emb"))
+      Similarity.bruteForceTopK(
+          feats.filter(col("media_id") < 3), feats, "media_id", "emb", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
     },
 
     "p2_sql_surface" -> { (s, dir) =>
@@ -1042,6 +1081,45 @@ object LlmOps {
         |  list_max(list_transform(range(1, len(q)+1),
         |    i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale))) AS max_err
         |FROM z""".stripMargin,
+
+    // P4: the full multimodal chain re-derived — m1's byte decode, the
+    // 16-bin histogram as a double vector, s1's left-fold double cosine
+    // and (desc, id) rank. Rounding only on the EMITTED cosine (6dp), the
+    // ranking runs on unrounded doubles, like s1.
+    "p4_multimodal_ann" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, encode(text) AS payload FROM documents
+        |), hx AS (
+        |  SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m
+        |), bytes AS (
+        |  SELECT media_id, list_transform(range(0, CAST(n_bytes AS INT)),
+        |    i -> (instr('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+        |       + (instr('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)) AS bs
+        |  FROM hx WHERE n_bytes > 0
+        |), emb AS (
+        |  SELECT media_id, list_transform(range(0, 16),
+        |    k -> CAST(len(list_filter(bs, b -> b % 16 = k)) AS DOUBLE)) AS e
+        |  FROM bytes
+        |), scored AS (
+        |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, 17), i -> q.e[i] * c.e[i])), (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, 17), i -> q.e[i] * q.e[i])), (a,b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, 17), i -> c.e[i] * c.e[i])), (a,b) -> a + b))) AS cosine
+        |  FROM emb q, emb c WHERE q.media_id < 3 AND q.media_id <> c.media_id
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
+
+    // S5: exact copies code identically (deterministic argmin), so the
+    // code-match join over the planted corpus returns exactly the planted
+    // pairs — recall AND precision structural, like d5.
+    "s5_pq_codes" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings""".stripMargin,
 
     // Brute-force cosine re-derived with double math in the kernel's exact
     // accumulation order (left fold seeded at 0.0) — bit-identical doubles,

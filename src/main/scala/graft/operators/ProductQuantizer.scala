@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S5: product quantization of the embedding store (SURVEY §2.3) — the
+  * memory-compression half of large-scale ANN (IVF-PQ): split each
+  * D-dim vector into `m` subvectors, k-means each subspace independently,
+  * and store each vector as `m` small codes (k ≤ 256 → one byte each). A
+  * billion 768-dim float32 vectors are 3 TB raw; PQ at m=96/k=256 stores
+  * them in 96 GB — the difference between an ANN index that fits executor
+  * memory and one that doesn't. S4's int8 scalar quantization compresses
+  * 4×; PQ compresses 32×+ and its asymmetric distances still rank well.
+  *
+  * Training mirrors IvfAnn's Lloyd discipline: all `m` subspaces train in
+  * the SAME DataFrame passes (explode the subspace axis, group by
+  * (subspace, cluster)); only the m×k×(D/m) codebook matrix reaches the
+  * driver, and above `sampleCap` rows training runs on a deterministic
+  * hash sample (the quantizer needs a representative sample, not the
+  * population). Encoding is pure column algebra — nearest-centroid argmin
+  * per subspace via higher-order functions over the broadcast codebook
+  * literal, no UDF — so identical vectors always get identical codes
+  * (argmin tiebreaks on the first index), which is what makes the planted
+  * exact-copy gate structural.
+  */
+object ProductQuantizer {
+
+  /** codebooks(j)(c) = centroid c of subspace j, length D/m each. */
+  final case class Codebooks(m: Int, k: Int, subDim: Int,
+      books: Seq[Seq[Array[Double]]])
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Literal array-of-centroids for one subspace. */
+  private def bookLit(book: Seq[Array[Double]]): Column =
+    array(book.map(c => array(c.map(lit): _*)): _*)
+
+  /** 0-based index of the nearest centroid in `book` (first wins on ties —
+    * deterministic, and identical inputs always code identically). */
+  private def nearestCode(sub: Column, book: Seq[Array[Double]]): Column = {
+    val dists = transform(bookLit(book), c => sqDist(sub, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train PQ codebooks: `m` subspaces × `k` centroids, Lloyd `iters`
+    * rounds, all subspaces in the same cluster passes. Deterministic:
+    * seeds are the first `k` subvectors per subspace in xxhash64 order. */
+  def train(df: DataFrame, vecCol: String, m: Int, k: Int, iters: Int = 5,
+      sampleCap: Long = 200000, knownN: Long = -1L): Codebooks = {
+    require(m > 0 && k > 0 && iters > 0, s"need m/k/iters > 0, got $m/$k/$iters")
+    val all = df.select(col(vecCol).cast("array<double>").as("v"))
+    val dim = all.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val n = if (knownN >= 0) knownN else all.count()
+    val sampled = if (n <= sampleCap) all else {
+      val u = pmod(xxhash64(to_json(col("v"))), lit(4294967296L))
+      all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
+    }
+    // one row per (subspace, subvector); persisted — seeding + every Lloyd
+    // round is an action over this frame
+    val subs = sampled
+      .select(explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+      .select(col("j"), slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = graft.plans.TopK.perGroupOrdered(
+          subs.withColumn("__h", xxhash64(to_json(col("s")))),
+          Seq("j"), Seq("__h" -> true), k)
+        .select("j", "s").collect()
+        .groupBy(_.getInt(0))
+        .map { case (j, rows) =>
+          j -> rows.map(_.getSeq[Double](1).toArray).toSeq
+        }
+      var books: Seq[Seq[Array[Double]]] =
+        (0 until m).map(j => seeds(j).padTo(k, seeds(j).head))
+      for (_ <- 0 until iters) {
+        val assign = subs.withColumn("c", nearestFor(col("j"), col("s"), books))
+        val updated = assign
+          .select(col("j"), col("c"), posexplode(col("s")).as(Seq("p", "x")))
+          .groupBy("j", "c", "p").agg(avg(col("x")).as("mu"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case ((j, c), rows) =>
+            (j, c) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          }
+        books = (0 until m).map(j =>
+          (0 until k).map(c => updated.getOrElse((j, c), books(j)(c))))
+      }
+      Codebooks(m, k, subDim, books)
+    } finally { subs.unpersist(false): Unit }
+  }
+
+  /** Nearest-code expression dispatching on the subspace column (small `m`:
+    * one chained CASE, fully codegen'd). */
+  private def nearestFor(j: Column, sub: Column,
+      books: Seq[Seq[Array[Double]]]): Column =
+    books.zipWithIndex.foldLeft(lit(-1)) { case (acc, (book, idx)) =>
+      when(j === idx, nearestCode(sub, book)).otherwise(acc)
+    }
+
+  /** Append `codesCol`: the m-element int code array for each vector. */
+  def encode(df: DataFrame, vecCol: String, cb: Codebooks,
+      codesCol: String = "pq_codes"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val codes = array((0 until cb.m).map { j =>
+      nearestCode(slice(v, j * cb.subDim + 1, cb.subDim), cb.books(j))
+    }: _*)
+    df.withColumn(codesCol, codes)
+  }
+
+  /** Per-row squared reconstruction error ‖v − decode(codes)‖² — the
+    * quantization-quality metric (spec-gated; the driver gate uses the
+    * structural copy-code identity instead). */
+  def reconstructionError(vecCol: String, codesCol: String,
+      cb: Codebooks): Column = {
+    val v = col(vecCol).cast("array<double>")
+    (0 until cb.m).map { j =>
+      val sub = slice(v, j * cb.subDim + 1, cb.subDim)
+      val recon = element_at(bookLit(cb.books(j)),
+        element_at(col(codesCol), j + 1) + 1)
+      sqDist(sub, recon)
+    }.reduce(_ + _)
+  }
+}

@@ -433,6 +433,50 @@ object Relational {
               |  (l_returnflag), (l_linestatus))""".stripMargin)
     },
 
+    "r33_dpp" -> { (s, dir) =>
+      // dynamic partition pruning: the fact table is partitioned on disk by
+      // order year; the join's partition filter is only knowable at RUNTIME
+      // from the filtered dim scan (r_name = 'ASIA' → one year), and Spark
+      // injects a dynamicpruning subquery into the fact scan so non-matching
+      // year partitions are never listed or read — the 100 TB star-schema
+      // complement of R1's static pushdown and R28's static partition
+      // pruning. Plan shape (dynamicpruning expression in PartitionFilters,
+      // one partition selected) is spec-asserted in RelationalSpec.
+      val out = graft.Scratch.fresh("r33_fact")
+      val t = Tables(s, dir)
+      t.orders.select(col("o_orderkey"), col("o_custkey"),
+          money(col("o_totalprice")).as("price"),
+          year(col("o_orderdate")).as("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = t.region.select((col("r_regionkey") + 1994).cast("int").as("o_year"),
+          col("r_name"))
+        .filter(col("r_name") === "ASIA")
+      fact.join(dim, "o_year")
+        .groupBy("o_year", "r_name")
+        .agg(count(lit(1)).as("n"), emit(sum(col("price"))).as("total"))
+    },
+
+    "r34_scd2" -> { (s, dir) =>
+      // SCD Type-2 history from a synthesized change feed: every sampled
+      // order inserts at seq 1, keys ≡0 mod 3 update at seq 2, keys ≡0
+      // mod 9 delete at seq 3 (tombstone: closes the interval, emits no
+      // row). The full versioned history — bounds, current flags, closed
+      // rows — is re-derived relationally in DuckDB.
+      val o = Tables(s, dir).orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+      val changes =
+        o.withColumn("op", lit("I")).withColumn("seq", lit(1L))
+          .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("price", (col("price") + 10).cast(DecimalType(18, 2)))
+            .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
+          .unionByName(o.filter(col("o_orderkey") % 9 === 0)
+            .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
+      Scd2.fromChanges(changes, Seq("o_orderkey"), "seq")
+        .select(col("o_orderkey"), emit(col("price")).as("price"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -754,6 +798,39 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), (l_linestatus))""".stripMargin,
+
+    // R33: one ASIA-mapped year survives the dim filter; the oracle joins
+    // on the derived year directly.
+    "r33_dpp" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, r_name,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN region ON year(o_orderdate) = r_regionkey + 1994
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // R34: the same change feed + lead() window re-derived; D tombstones
+    // close intervals but emit no row.
+    "r34_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    'I' AS op, CAST(1 AS BIGINT) AS seq
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 10,
+        |    'U', 2 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+        |    'D', 3 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 = 0
+        |), v AS (
+        |  SELECT o_orderkey, price, op,
+        |    CAST(seq AS BIGINT) AS valid_from,
+        |    lead(CAST(seq AS BIGINT)) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+        |  FROM ch
+        |)
+        |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, valid_from, valid_to,
+        |  (valid_to IS NULL AND op <> 'D') AS is_current
+        |FROM v WHERE op <> 'D'""".stripMargin,
 
     "r18_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts

@@ -123,6 +123,33 @@ object EventStreams {
       .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
   }
 
+  /** X10: LEFT-OUTER watermarked stream-stream join — X7's attribution
+    * shape, but purchases with NO click in the lookback window are still
+    * emitted (null click columns), the form funnel analysis actually needs
+    * ("which purchases were unattributed?"). Outer stream-stream joins are
+    * the semantically hard case: the engine can only emit the null-padded
+    * row once the watermark proves no matching click can still arrive, so
+    * BOTH sides must be watermarked and the join condition must bound each
+    * side's event time against the other (same conditions as X7 — the
+    * state bound and the null-emission trigger are one mechanism). Pass
+    * `None` watermarks to run the identical plan on batch frames (the x10
+    * gate); stream ≡ batch incl. null rows is spec-asserted. */
+  def attributionJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "1 hour",
+      purchaseWatermark: Option[String] = None,
+      clickWatermark: Option[String] = None): DataFrame = {
+    val p0 = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"))
+    val c0 = clicks.select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+      col("ts").as("click_ts"))
+    val p = purchaseWatermark.fold(p0)(w => p0.withWatermark("purchase_ts", w))
+    val c = clickWatermark.fold(c0)(w => c0.withWatermark("click_ts", w))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"interval $lookback") &&
+        col("click_ts") <= col("purchase_ts"), "left_outer")
+      .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+  }
+
   /** X2 batch: gap-based sessionization with window functions. A session
     * breaks when the gap to the previous event of the same user exceeds
     * `gapMinutes`. Shuffles once on user_id; everything else is per-partition

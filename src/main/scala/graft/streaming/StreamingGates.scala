@@ -42,6 +42,15 @@ object StreamingGates {
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "click"))
     },
+    // X10: the left-outer attribution join — unattributed purchases emit
+    // with null click columns. Batch form of the same code path; the
+    // streaming null-emission (watermark-triggered) is spec-asserted.
+    "x10_outer_interval_join" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      EventStreams.attributionJoinOuter(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+    },
     // X8: streaming CDC apply, driver-visible end to end — three change
     // shards (inserts seq 1, updates seq 2, deletes seq 3) dropped into a
     // watched dir, drained one file per micro-batch through foreachBatch
@@ -162,6 +171,14 @@ object StreamingGates {
         |  p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
+
+    "x10_outer_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
 

@@ -63,4 +63,16 @@ class RelationalSpec extends SparkSpec {
     byTag.keySet should contain("both")
     (byTag.getOrElse("both", Set()) intersect byTag.getOrElse("cust_only", Set())) shouldBe empty
   }
+
+  test("r33_dpp: the fact scan carries a dynamicpruning partition filter (R33)") {
+    val df = Relational.queries("r33_dpp")(spark, dir)
+    // the runtime-injected subquery shows up in the scan's PartitionFilters
+    val plan = df.queryExecution.executedPlan.toString
+    plan.toLowerCase should include("dynamicpruning")
+    // and the result is the single ASIA-mapped year
+    val rows = df.collect()
+    rows.length shouldBe 1
+    rows.head.getInt(0) shouldBe 1996
+    rows.head.getString(1) shouldBe "ASIA"
+  }
 }

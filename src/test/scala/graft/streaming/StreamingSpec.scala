@@ -131,6 +131,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unattributed purchases as null rows (X10)") {
+    val purchases = MemoryStream[EventStreams.Event](spark)
+    val clicks = MemoryStream[EventStreams.Event](spark)
+    val joined = EventStreams.attributionJoinOuter(
+      purchases.toDF(), clicks.toDF(), lookback = "1 hour",
+      purchaseWatermark = Some("2 hours"), clickWatermark = Some("2 hours"))
+    val q = joined.writeStream.format("memory").queryName("x10_stream")
+      .outputMode("append").start()
+    val pFix = Seq(
+      EventStreams.Event(10, ts(65), 1, "purchase", 10.0),   // has clicks
+      EventStreams.Event(13, ts(80), 3, "purchase", 40.0),   // NO click → null row
+      EventStreams.Event(99, ts(1000), 9, "purchase", 1.0))  // watermark flush
+    val cFix = Seq(
+      EventStreams.Event(2, ts(64), 1, "click", 0.0),
+      EventStreams.Event(9, ts(1000), 9, "click", 0.0))
+    try {
+      purchases.addData(Seq(pFix(0), pFix(1)))
+      clicks.addData(Seq(cFix(0)))
+      q.processAllAvailable()
+      // late flush batch pushes the watermark far past purchase 13, so its
+      // null-padded row must be emitted (the outer-join expiry mechanism)
+      purchases.addData(Seq(pFix(2))); clicks.addData(Seq(cFix(1)))
+      q.processAllAvailable()
+      purchases.addData(Seq()); clicks.addData(Seq())
+      q.processAllAvailable()
+      def pairs(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val streamed = pairs(spark.table("x10_stream").collect())
+      val batch = pairs(EventStreams.attributionJoinOuter(pFix.toDF(), cFix.toDF()).collect())
+      streamed shouldBe batch
+      streamed shouldBe Set((10L, 2L), (13L, -1L), (99L, 9L))
+    } finally q.stop()
+  }
+
   test("streaming near-dedup drops signature-equal docs, keeps first (X5)") {
     import StreamingSpec.Doc
     val docs = Seq(
