@@ -234,6 +234,36 @@ object Dedup {
     * rare, which also keeps the broadcast set small. Small k on tiny test
     * corpora exercises the same plan.
     */
+  /** D9: NEAR-duplicate decontamination — train docs whose exact shingle
+    * Jaccard with ANY eval doc reaches `threshold`. D7/D8 scrub exact
+    * shingle overlap; this catches the paraphrase/near-copy leakage those
+    * miss (an eval answer lightly reworded in a web page). Ids must be
+    * disjoint across the two sets (offset the eval side).
+    *
+    * Built on the LOSSLESS prefix-filtered exact-Jaccard pass (D4's
+    * PPJoin), not LSH banding: banding is probabilistic — a true J ≥ t
+    * pair can miss every band, and a decontamination that silently keeps a
+    * contaminated doc with some probability is not a gateable (or
+    * shippable) scrub. The prefix filter admits every true pair by
+    * construction, so the result is exactly {train id : ∃ eval doc,
+    * J ≥ t} — blocking-independent, hence oracle-checkable. One shared
+    * near-dup pass over train ∪ eval powers D4 pairs, D6 clusters AND this
+    * flag set in a real pipeline; the train×train pairs it also emits are
+    * not overhead there, they are the dedup output. */
+  def decontaminateNear(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val unioned = train.select(col(idCol), col(textCol))
+      .unionByName(eval.select(col(idCol), col(textCol)))
+    val pairs = ngramJaccardDedup(unioned, textCol, idCol, shingleK, threshold)
+    val evalIds = eval.select(col(idCol).as("other"))
+    pairs.select(col("id_a").as("id"), col("id_b").as("other"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("other")))
+      .join(evalIds, Seq("other"), "left_semi")
+      .select("id").distinct()
+      .join(train.select(col(idCol).as("id")), Seq("id"), "left_semi")
+  }
+
   def decontaminate(train: DataFrame, eval: DataFrame,
       textCol: String, idCol: String, shingleK: Int = 8): DataFrame = {
     val t = withShingleHashes(train, textCol, shingleK)

@@ -454,6 +454,23 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "d9_decontaminate_near" -> { (s, dir) =>
+      // near-dup decontamination: the eval set is a tail-perturbed copy of
+      // every 11th train doc (one appended token → J = |A|/(|A|+1) ≈ 0.99:
+      // a NEAR dup d7's exact-shingle scrub would still catch here, but
+      // the operator must flag via exact-Jaccard ≥ 0.5, and the oracle
+      // recomputes that generically over all cross pairs — so natural
+      // near-dup leakage, if the corpus had any, is checked identically).
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      Dedup.decontaminateNear(docs, evalSet, "text", "doc_id",
+          shingleK = 3, threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     "t9_top_ngrams" -> { (s, dir) =>
       // corpus n-gram statistics through the bounded-heap TopK node (P1's
       // third driver-visible consumer): top-5 bigrams per language,
@@ -778,6 +795,40 @@ object LlmOps {
     "d8_decontaminate_bloom" -> decontOracleSql,
 
     "t8_pii_redact" -> t8OracleSql,
+
+    // D9: exact cross-set Jaccard re-derived generically (string shingles ≡
+    // hash shingles absent collisions — the d4 argument). Eval ids are all
+    // ≥ 2e6 and pair ids are ordered, so cross pairs are (train, eval).
+    "d9_decontaminate_near" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS id, text || ' tail' AS text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), toks AS (
+        |  SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT id, unnest(s) AS sh FROM sets
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT id, len(s) AS sz FROM sets
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |    FROM inter JOIN sizes sa ON inter.id_a = sa.id
+        |               JOIN sizes sb ON inter.id_b = sb.id
+        |  ) WHERE jaccard >= 0.5
+        |)
+        |SELECT DISTINCT id_a AS doc_id FROM pairs
+        |WHERE id_b >= 2000000 AND id_a < 2000000""".stripMargin,
 
     "t9_top_ngrams" ->
       """WITH toks AS (

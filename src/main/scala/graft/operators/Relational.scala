@@ -477,6 +477,34 @@ object Relational {
           col("valid_from"), col("valid_to"), col("is_current"))
     },
 
+    "r35_pit_join" -> { (s, dir) =>
+      // the R34 consumer path: facts join the SCD2 history point-in-time —
+      // key equality plus seq ∈ [valid_from, valid_to) picks the dimension
+      // version that was current when the fact happened. The equi-key makes
+      // this a plain hash join with the interval as a post-condition (no
+      // nested loop, no R30 binning needed); facts hitting a tombstoned
+      // interval get no row (inner join) exactly as the oracle derives.
+      val o = Tables(s, dir).orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+      val changes =
+        o.withColumn("op", lit("I")).withColumn("seq", lit(1L))
+          .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("price", (col("price") + 10).cast(DecimalType(18, 2)))
+            .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
+          .unionByName(o.filter(col("o_orderkey") % 9 === 0)
+            .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
+      val hist = Scd2.fromChanges(changes, Seq("o_orderkey"), "seq")
+        .select(col("o_orderkey"), col("price"), col("valid_from"), col("valid_to"))
+      val facts = Tables(s, dir).lineitem.filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ((col("l_linenumber") % 4) + 1).cast("long").as("fact_seq"))
+      facts.join(hist, col("l_orderkey") === col("o_orderkey") &&
+          col("fact_seq") >= col("valid_from") &&
+          (col("valid_to").isNull || col("fact_seq") < col("valid_to")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("fact_seq"),
+          emit(col("price")).as("price"), col("valid_from"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -831,6 +859,36 @@ object Relational {
         |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, valid_from, valid_to,
         |  (valid_to IS NULL AND op <> 'D') AS is_current
         |FROM v WHERE op <> 'D'""".stripMargin,
+
+    // R35: the same SCD2 history + interval-containment fact join.
+    "r35_pit_join" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    'I' AS op, CAST(1 AS BIGINT) AS seq
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 10,
+        |    'U', 2 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+        |    'D', 3 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 = 0
+        |), v AS (
+        |  SELECT o_orderkey, price, op,
+        |    CAST(seq AS BIGINT) AS valid_from,
+        |    lead(CAST(seq AS BIGINT)) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+        |  FROM ch
+        |), hist AS (
+        |  SELECT o_orderkey, price, valid_from, valid_to FROM v WHERE op <> 'D'
+        |), facts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST((l_linenumber % 4) + 1 AS BIGINT) AS fact_seq
+        |  FROM lineitem WHERE l_orderkey % 7 = 0
+        |)
+        |SELECT l_orderkey, l_linenumber, fact_seq,
+        |  CAST(price AS DOUBLE) AS price, valid_from
+        |FROM facts JOIN hist ON l_orderkey = o_orderkey
+        |  AND fact_seq >= valid_from
+        |  AND (valid_to IS NULL OR fact_seq < valid_to)""".stripMargin,
 
     "r18_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts

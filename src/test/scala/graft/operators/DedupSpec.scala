@@ -120,4 +120,25 @@ class DedupSpec extends SparkSpec {
     // overwhelmingly unlikely — the clean docs stay clean
     bloom shouldBe exact
   }
+
+  test("decontaminateNear flags exact-Jaccard near-dups of eval docs, nothing else (D9)") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // near-dup of eval 101
+      (2L, "totally different words nothing shared here at all"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // J vs eval 101 high
+      (4L, "one shared alpha token only in this document body"))
+      .toDF("id", "text")
+    val eval = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta tail"),
+      (102L, "unrelated eval question about something private"))
+      .toDF("id", "text")
+    val flagged = Dedup.decontaminateNear(train, eval, "text", "id",
+      shingleK = 3, threshold = 0.5).as[Long].collect().toSet
+    // doc 1: sets differ by one appended shingle → J = 6/7 ≥ 0.5
+    // doc 3: two extra tokens + tail divergence → J = 6/9... compute: A
+    // (10 toks → 8 shingles), eval 101 (9 toks → 7 shingles), overlap 6
+    // → 6/9 ≥ 0.5 — flagged
+    // docs 2/4: near-zero overlap; eval ids themselves never emitted
+    flagged shouldBe Set(1L, 3L)
+  }
 }
