@@ -541,6 +541,59 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "x11_stream_curation" -> { (s, dir) =>
+      // batch equivalent of EventStreams.curationStream (X11): T2 quality
+      // filter BEFORE X5's keep-first-per-SimHash dedup. Emitted set = the
+      // planted DROPS whose original also passed quality — both sides'
+      // quality predicates are SQL-derivable (the permuted copy text is a
+      // deterministic token reversal), and with the original present and
+      // sorting first, every such copy is provably dropped; organic
+      // collisions stay outside the emitted subset exactly as in x5.
+      val corpus = plantedDocsPermuted(s, dir)
+      val quality = corpus.filter(TextAnalysis.isQuality(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__sig").orderBy("doc_id")
+      val dropped = quality.withColumn("__sig", Dedup.simhash(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1 && col("doc_id") >= CopyOffset)
+      dropped.join(
+          quality.filter(col("doc_id") < CopyOffset)
+            .select((col("doc_id") + CopyOffset).as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    "p5_curation_v2" -> { (s, dir) =>
+      // curation pipeline v2 — the web-crawl order of operations: strip
+      // corpus-frequent chrome (T13), drop repetitive spam (T14),
+      // exact-dedup the CLEANED text (D1 — dedup after scrubbing, so pages
+      // differing only in chrome collapse), deterministic split (T6). One
+      // lazy plan; every stage's oracle fragment chains in DuckDB, so the
+      // whole pipeline is value-exact end to end, not just each stage.
+      // Every stage BITES: docs ≡0 mod 5 are pure spam (repetition filter
+      // drops them), docs ≡0 mod 13 (and not spam) share one body (dedup
+      // collapses them to the min id), and every doc carries the chrome
+      // (scrub strips it).
+      val docs = Tables(s, dir).documents
+      val body = when(col("doc_id") % 5 === 0, lit(Seq.fill(40)("spam").mkString(" ")))
+        .when(col("doc_id") % 13 === 0, lit("shared duplicate body text"))
+        .otherwise(col("text"))
+      val planted = docs.select(col("doc_id"), concat(
+        lit("ACCEPT COOKIES TO CONTINUE\n"), body,
+        lit("\nCopyright Example Site")).as("text"))
+      val cleaned = TextAnalysis.stripBoilerplate(planted, "doc_id", "text",
+          maxDocFrac = 0.5, knownN = docs.count())
+        .withColumnRenamed("clean_text", "text")
+      val keep = TextAnalysis.repetitionProfile(cleaned, "doc_id", "text", ngramN = 2)
+        .filter(!col("is_repetitive")).select("doc_id")
+      val kept = cleaned.join(keep, Seq("doc_id"), "left_semi")
+      val deduped = Dedup.exactDedup(kept, "text", "doc_id")
+      Sampling.assignSplits(deduped, "doc_id", SplitSpec)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
     "p3_prep_pipeline" -> { (s, dir) =>
       // the composed prep flow a training pipeline actually runs — quality
       // filter (T2) → exact dedup, min-id winner (D1) → deterministic split
@@ -640,6 +693,76 @@ object LlmOps {
        |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
        |      (a, b) -> a * 16 + b) AS u
        |  FROM documents)""".stripMargin
+  }
+
+  /** P5 oracle — the t13 scrub, t14 repetition profile, d1 min-id dedup
+    * and t6 split fragments chained as one derivation over the same
+    * planted chrome. */
+  private def p5OracleSql: String = {
+    val th = Sampling.cumulativeThresholds(SplitSpec)
+    val cases = th.init.map { case (n, up) => s"WHEN u < $up THEN '$n'" }.mkString(" ")
+    val spam = Seq.fill(40)("spam").mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    'ACCEPT COOKIES TO CONTINUE' || chr(10) ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '$spam'
+       |         WHEN doc_id % 13 = 0 THEN 'shared duplicate body text'
+       |         ELSE text END ||
+       |    chr(10) || 'Copyright Example Site' AS text
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM p
+       |), ex AS (
+       |  SELECT doc_id, i, ls[i+1] AS l, trim(ls[i+1]) AS tl
+       |  FROM t, unnest(range(len(ls))) AS u(i)
+       |), freq AS (
+       |  SELECT tl FROM (
+       |    SELECT tl, count(DISTINCT doc_id) AS d FROM ex WHERE tl <> '' GROUP BY tl
+       |  ) WHERE d >= greatest(2, CAST(ceil(0.5 * (SELECT count(*) FROM documents)) AS BIGINT))
+       |), kept AS (
+       |  SELECT doc_id, i, l FROM ex WHERE tl NOT IN (SELECT tl FROM freq)
+       |), clean AS (
+       |  SELECT d.doc_id, coalesce(r.t, '') AS text
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS t
+       |    FROM kept GROUP BY doc_id
+       |  ) r USING (doc_id)
+       |), l2 AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS ls,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM clean
+       |), s2 AS (
+       |  SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+       |    tk
+       |  FROM l2
+       |), e2 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+       |  FROM s2 WHERE len(tk) >= 2
+       |), c2 AS (
+       |  SELECT doc_id, g, count(*) AS n FROM e2 GROUP BY doc_id, g
+       |), a2 AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ngrams, CAST(max(n) AS BIGINT) AS top_n
+       |  FROM c2 GROUP BY doc_id
+       |), prof AS (
+       |  SELECT s2.doc_id,
+       |    ((s2.n_lines > 0 AND s2.dup_lines * 10 >= s2.n_lines * 3)
+       |      OR (coalesce(a2.n_ngrams, 0) > 0 AND coalesce(a2.top_n, 0) * 5 >= coalesce(a2.n_ngrams, 0))) AS rep
+       |  FROM s2 LEFT JOIN a2 USING (doc_id)
+       |), surv AS (
+       |  SELECT c.doc_id, c.text FROM clean c JOIN prof USING (doc_id) WHERE NOT prof.rep
+       |), d AS (
+       |  SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)
+       |)
+       |SELECT doc_id, CASE $cases ELSE '${th.last._1}' END AS split FROM (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 9),
+       |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+       |      (a, b) -> a * 16 + b) AS u
+       |  FROM d)""".stripMargin
   }
 
   /** Shared WITH-prefix for the d6/t15 oracles: the planted near-dup
@@ -780,11 +903,29 @@ object LlmOps {
     "t1_langid" -> t1OracleSql,
     "t6_hash_split" -> t6OracleSql,
     "p3_prep_pipeline" -> p3OracleSql,
+    "p5_curation_v2" -> p5OracleSql,
 
     // X5 batch equivalent: the planted subset of keep-first-per-simhash
     // drops is structurally the full copy set (see the gate comment).
     "x5_neardedup_batch" ->
       "SELECT doc_id + 1000000 AS doc_id FROM documents",
+
+    // X11: planted drops gated on BOTH quality predicates — the original's
+    // over the raw text, the copy's over the reconstructed token-reversed
+    // text (whitespace collapses to single spaces, so the lengths differ).
+    "x11_stream_curation" ->
+      """WITH perm AS (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_reverse(regexp_split_to_array(lower(trim(text)), '\s+')), ' ') AS ptext
+        |  FROM documents
+        |)
+        |SELECT doc_id + 1000000 AS doc_id FROM perm
+        |WHERE length(text) >= 100 AND
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END < 0.1
+        |  AND length(ptext) >= 100 AND
+        |  CASE WHEN length(ptext) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(ptext, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(ptext) END < 0.1""".stripMargin,
 
     // D7 re-derived over STRING shingles (hash-set ≡ string-set counts
     // absent collisions): train docs whose shingle set intersects the eval

@@ -273,7 +273,11 @@ object TextAnalysis {
     * clustering shuffle on (id, gram) with map-side partial counts, then a
     * doc-level rollup; the doc-constant line stats ride the grouping keys
     * (small ints) instead of a second join against the corpus. Output rows
-    * = input rows; nothing global anywhere. */
+    * = input rows; nothing global anywhere. The shuffled gram key is the
+    * 8-byte codegen'd shingle HASH, not the gram string (the d4 kernel):
+    * counts over hashes equal counts over strings absent 64-bit collisions
+    * (the d4/d7 argument), and the one corpus-linear shuffle ships fixed
+    * 8-byte keys instead of ~2×n-gram-length strings. */
   def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, ngramN: Int = 2): org.apache.spark.sql.DataFrame = {
     require(ngramN >= 1, s"need ngramN >= 1, got $ngramN")
@@ -287,9 +291,9 @@ object TextAnalysis {
       size(lines).cast("long").as("n_lines"),
       (size(lines) - size(array_distinct(lines))).cast("long").as("dup_lines"),
       (charSum(lines) - charSum(array_distinct(lines))).as("dup_line_chars"),
-      when(size(toks) < ngramN, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - ngramN),
-          i => concat_ws(" ", slice(toks, i + 1, lit(ngramN))))).as("__gs"))
+      when(size(toks) < ngramN, array().cast("array<bigint>"))
+        .otherwise(graft.functions.NativeExpressions.wordShingleHashes(toks, ngramN))
+        .as("__gs"))
     base
       .select(col(idCol), col("n_lines"), col("dup_lines"), col("dup_line_chars"),
         explode_outer(col("__gs")).as("__g"))

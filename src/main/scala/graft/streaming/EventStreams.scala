@@ -82,6 +82,20 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
 
+  /** X11: streaming curation ingest — the P3/P5 curation flow on a
+    * firehose: a stateless T2 quality projection feeding X5's
+    * watermark-bounded SimHash near-dedup. Filtering BEFORE the stateful
+    * operator is the scale point: spam and low-quality rows never enter
+    * the dedup state store, so state is bounded by the quality-pass rate ×
+    * watermark window, not the raw firehose rate. Works identically on a
+    * batch frame (the x11 gate); stream ≡ batch is spec-asserted. */
+  def curationStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour", minChars: Int = 100,
+      maxPunct: Double = 0.1): DataFrame =
+    nearDedupStream(
+      docs.filter(graft.operators.TextAnalysis.isQuality(col(textCol), minChars, maxPunct)),
+      textCol, tsCol, watermark)
+
   /** X6: stream-static enrichment — each streamed event picks up its
     * dimension row (user profile, document source metadata). The static side
     * is a plain batch frame: Spark re-reads and re-plans it every

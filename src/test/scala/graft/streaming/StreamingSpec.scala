@@ -282,6 +282,40 @@ class StreamingSpec extends SparkSpec {
       EventStreams.cdcCompact(spark, stateDir, Seq("k"), nBuckets * 2)
   }
 
+  test("streaming curation filters low-quality docs before dedup state, then near-dedups (X11)") {
+    import StreamingSpec.Doc
+    val longText = "the quick brown fox jumps over the lazy dog and keeps running " +
+      "through the quiet green field toward the distant hills every single morning"
+    val docs = Seq(
+      Doc(1, longText, ts(0)),
+      Doc(2, "too short", ts(1)),                       // fails quality → never in state
+      Doc(3, longText.split(" ").reverse.mkString(" "), ts(2)), // near-dup of 1 → dropped
+      Doc(4, "!!!???!!!" * 20, ts(3)),                  // punct spam → filtered
+      Doc(5, longText + " with a genuinely different tail section appended here", ts(4)))
+    val input = MemoryStream[Doc](spark)
+    val q = EventStreams.curationStream(input.toDF(), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("x11_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3))
+      q.processAllAvailable()
+      val kept = spark.table("x11_stream").collect().map(_.getLong(0)).toSet
+      kept shouldBe Set(1L, 5L)
+      // equals the batch form: quality filter then keep-first-per-signature
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__sig").orderBy("doc_id")
+      val batchKept = docs.toDF()
+        .filter(graft.operators.TextAnalysis.isQuality(col("text")))
+        .withColumn("__sig", graft.operators.Dedup.simhash(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .collect().map(_.getLong(0)).toSet
+      kept shouldBe batchKept
+    } finally q.stop()
+  }
+
   test("ivmApplyBatch maintains the rollup across batches and replays idempotently (X9)") {
     val stateDir = graft.Scratch.fresh("spec_x9_state")
     def dec(s: String) = new java.math.BigDecimal(s)
