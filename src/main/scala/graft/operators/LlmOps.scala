@@ -636,6 +636,33 @@ object LlmOps {
         .orderBy("query_id", "neighbor_id")
     },
 
+    "m2_thumbnails" -> { (s, dir) =>
+      // the resize stage's plumbing, byte-level gated: pixel i is the
+      // payload byte at floor(i·len/64) (the stub's deterministic
+      // sampling), so DuckDB re-derives the full 64-byte thumbnail from
+      // the hex payload and both engines md5 the same pixel bytes.
+      val media = Multimodal.asMediaCorpus(
+        Tables(s, dir).documents.filter(length(col("text")) > 0), "doc_id", "text")
+      Multimodal.resizeThumbnails(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          md5(hex(col("pixels"))).as("pix_hash"))
+        .orderBy("media_id")
+    },
+
+    "m3_frames" -> { (s, dir) =>
+      // the frame-sampling stage (1→N flatMap per media row): one frame
+      // per 5 s of stub duration, each a 32-byte window at the
+      // proportional offset — frame count, offsets, window bounds and
+      // window bytes all integer/double-exact in both engines.
+      val media = Multimodal.asMediaCorpus(
+        Tables(s, dir).documents.filter(length(col("text")) > 0), "doc_id", "text")
+      Multimodal.sampleFrames(s, media, everyMs = 5000L, frameBytes = 32).toDF()
+        .select(col("media_id"), col("frame_no"), col("offset_ms"),
+          length(col("payload")).as("frame_len"),
+          md5(hex(col("payload"))).as("frame_hash"))
+        .orderBy("media_id", "frame_no")
+    },
+
     "p2_sql_surface" -> { (s, dir) =>
       // P2 driver-visible: the SQL function surface. `register` writes the
       // same FunctionRegistry entries `GraftExtensions.injectFunction` does
@@ -1273,6 +1300,48 @@ object LlmOps {
         |  list_max(list_transform(range(1, len(q)+1),
         |    i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale))) AS max_err
         |FROM z""".stripMargin,
+
+    // M2: pixel i = payload byte at floor(i·len/64); the hex pair at that
+    // index IS the byte, so the thumbnail reassembles from substr slices.
+    "m2_thumbnails" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, encode(text) AS payload
+        |  FROM documents WHERE length(text) > 0
+        |), hx AS (
+        |  SELECT media_id, octet_length(payload) AS n, hex(payload) AS h FROM m
+        |)
+        |SELECT media_id, 8 AS width, 8 AS height,
+        |  md5(array_to_string(list_transform(range(0, 64),
+        |    i -> substr(h, 2*CAST((i*n)//64 AS INT)+1, 2)), '')) AS pix_hash
+        |FROM hx""".stripMargin,
+
+    // M3: frame f starts at trunc((f·5000/dur)·len); the 32-byte window is
+    // the corresponding hex slice (clamped — the final frame may be empty).
+    "m3_frames" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, encode(text) AS payload,
+        |    CAST(length(text) AS BIGINT) * 40 AS dur
+        |  FROM documents WHERE length(text) > 0
+        |), hx AS (
+        |  SELECT media_id, dur, octet_length(payload) AS n, hex(payload) AS h FROM m
+        |), f AS (
+        |  SELECT media_id, dur, n, h,
+        |    unnest(range(0, CAST(dur // 5000 + 1 AS INT))) AS fno
+        |  FROM hx
+        |), w AS (
+        |  SELECT media_id, CAST(fno AS INT) AS frame_no,
+        |    CAST(fno * 5000 AS BIGINT) AS offset_ms,
+        |    CAST(trunc((CAST(fno * 5000 AS DOUBLE) / dur) * n) AS INT) AS s0, n, h
+        |  FROM f
+        |), b AS (
+        |  SELECT media_id, frame_no, offset_ms,
+        |    least(s0, least(n, s0 + 32)) AS s1, least(n, s0 + 32) AS e1, h
+        |  FROM w
+        |)
+        |SELECT media_id, frame_no, offset_ms,
+        |  CAST(e1 - s1 AS INT) AS frame_len,
+        |  md5(substr(h, 2*s1 + 1, 2*(e1 - s1))) AS frame_hash
+        |FROM b""".stripMargin,
 
     // P4: the full multimodal chain re-derived — m1's byte decode, the
     // 16-bin histogram as a double vector, s1's left-fold double cosine

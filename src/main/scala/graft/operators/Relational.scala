@@ -505,6 +505,29 @@ object Relational {
           emit(col("price")).as("price"), col("valid_from"))
     },
 
+    "r36_constraints" -> { (s, dir) =>
+      // declarative data-quality constraints over a feed with PLANTED
+      // violations (keys ≡0 mod 13 get negative prices, ≡0 mod 17 an
+      // unknown status, ≡0 mod 19 a null custkey): each row carries the
+      // sorted list of violated rule names + is_valid — one codegen'd
+      // projection, the quarantine split derived from it.
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 17 === 0, lit("Z"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 13 === 0, -money(col("o_totalprice")))
+            .otherwise(money(col("o_totalprice"))).as("price"),
+          when(col("o_orderkey") % 19 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("cust"))
+      Constraints.check(o, Seq(
+          "positive_price" -> (col("price") > 0),
+          "known_status" -> col("status").isin("F", "O", "P"),
+          "has_customer" -> col("cust").isNotNull))
+        .select(col("o_orderkey"),
+          array_join(col("violations"), ",").as("violations"),
+          col("is_valid"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -889,6 +912,28 @@ object Relational {
         |FROM facts JOIN hist ON l_orderkey = o_orderkey
         |  AND fact_seq >= valid_from
         |  AND (valid_to IS NULL OR fact_seq < valid_to)""".stripMargin,
+
+    // R36: the same planted violations re-derived; list sorted, comma-joined.
+    "r36_constraints" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'Z' ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN -CAST(o_totalprice AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE o_custkey END AS cust
+        |  FROM orders
+        |), v AS (
+        |  SELECT o_orderkey,
+        |    list_sort(list_filter([
+        |      CASE WHEN NOT coalesce(price > 0, false) THEN 'positive_price' END,
+        |      CASE WHEN NOT coalesce(status IN ('F','O','P'), false) THEN 'known_status' END,
+        |      CASE WHEN NOT coalesce(cust IS NOT NULL, false) THEN 'has_customer' END
+        |    ], x -> x IS NOT NULL)) AS vio
+        |  FROM o
+        |)
+        |SELECT o_orderkey, coalesce(array_to_string(vio, ','), '') AS violations,
+        |  len(vio) = 0 AS is_valid
+        |FROM v""".stripMargin,
 
     "r18_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS asof_click_ts
