@@ -528,6 +528,21 @@ object Relational {
           col("is_valid"))
     },
 
+    "r37_json_ops" -> { (s, dir) =>
+      // semi-structured column processing: the events feed carries a JSON
+      // props payload; extract a typed field with a JSON path (codegen'd
+      // get_json_object — schema-on-read, no ETL rewrite when the payload
+      // evolves), then filter/group/aggregate on it like any column. The
+      // 100 TB point: extraction is a projection fused into the scan
+      // pipeline, so querying JSON costs one pass, not a parse-then-join.
+      Tables(s, dir).events
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(pmod(col("k"), lit(7)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          max(col("k")).as("k_max"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -912,6 +927,15 @@ object Relational {
         |FROM facts JOIN hist ON l_orderkey = o_orderkey
         |  AND fact_seq >= valid_from
         |  AND (valid_to IS NULL OR fact_seq < valid_to)""".stripMargin,
+
+    // R37: DuckDB's ->> JSON extraction mirrors the path extract; sums
+    // wrapped back to BIGINT (DuckDB widens to HUGEINT).
+    "r37_json_ops" ->
+      """SELECT CAST(k % 7 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max
+        |FROM (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |WHERE k IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // R36: the same planted violations re-derived; list sorted, comma-joined.
     "r36_constraints" ->
