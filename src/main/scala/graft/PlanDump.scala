@@ -8,9 +8,15 @@ package graft
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // first arg is the sf dir only if it IS a directory; otherwise every
+    // arg is a query name (a typo'd dir must not silently swallow a query)
+    val (sfDir, names) =
+      if (args.headOption.exists(a => new java.io.File(a).isDirectory))
+        (args.head, args.drop(1))
+      else ("/root/testdata/sf0.001", args)
+    require(names.nonEmpty, "usage: PlanDump [<sfDir>] <query> [query ...]")
     val spark = GraftSession.local(8)
-    args.drop(1).foreach { name =>
+    names.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       graft.operators.LlmOps.clearPlanted()

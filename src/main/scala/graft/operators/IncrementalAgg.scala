@@ -47,9 +47,16 @@ object IncrementalAgg {
         sumCols.map(c => sum(col(c) * sign).as(s"__d_$c")): _*)
     val merged = state.join(delta, keys, "full_outer")
     val zero = lit(0)
+    val n = coalesce(col("n"), zero) + coalesce(col("__dn"), zero)
     merged.select(
       keys.map(col) ++
-        Seq((coalesce(col("n"), zero) + coalesce(col("__dn"), zero)).as("n")) ++
+        // n < 0 means a delete for rows the state never held — a violated
+        // CDC contract (e.g. a redelivered changeset applied without the
+        // ivmApplyBatch version guard). Dropping it like a cleanly-emptied
+        // group would silently corrupt the rollup; fail loudly instead.
+        Seq(when(n < 0, raise_error(concat(lit("IncrementalAgg: negative count for group "),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+          .otherwise(n).as("n")) ++
         sumCols.map(c =>
           (coalesce(col(s"sum_$c"), zero) + coalesce(col(s"__d_$c"), zero))
             .as(s"sum_$c")): _*)

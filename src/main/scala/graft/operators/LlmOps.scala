@@ -531,13 +531,7 @@ object LlmOps {
       // original-vs-original collisions are real near-dups, not
       // SQL-derivable — precision stays spec-gated (StreamingSpec asserts
       // stream ≡ this batch form on a shared input).
-      val corpus = plantedDocsPermuted(s, dir)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__sig").orderBy("doc_id")
-      corpus.withColumn("__sig", Dedup.simhash(col("text")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1 && col("doc_id") >= CopyOffset)
-        .select("doc_id")
+      plantedSimhashDrops(plantedDocsPermuted(s, dir))
         .orderBy("doc_id")
     },
 
@@ -549,14 +543,10 @@ object LlmOps {
       // deterministic token reversal), and with the original present and
       // sorting first, every such copy is provably dropped; organic
       // collisions stay outside the emitted subset exactly as in x5.
-      val corpus = plantedDocsPermuted(s, dir)
-      val quality = corpus.filter(TextAnalysis.isQuality(col("text")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__sig").orderBy("doc_id")
-      val dropped = quality.withColumn("__sig", Dedup.simhash(col("text")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1 && col("doc_id") >= CopyOffset)
-      dropped.join(
+      val quality = plantedDocsPermuted(s, dir)
+        .filter(TextAnalysis.isQuality(col("text")))
+      plantedSimhashDrops(quality)
+        .join(
           quality.filter(col("doc_id") < CopyOffset)
             .select((col("doc_id") + CopyOffset).as("doc_id")),
           Seq("doc_id"), "left_semi")
@@ -684,6 +674,36 @@ object LlmOps {
 
   private val SplitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** DuckDB fragment: the T6 md5 unit — first 8 hex nibbles of md5(expr)
+    * folded to a BIGINT, matching `Sampling.hashUnit` digit-for-digit. ONE
+    * definition for every split-assigning oracle (t6/p3/p5/t15): a change
+    * to the hash derivation lands everywhere or nowhere. */
+  private def md5UnitSql(expr: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), " +
+      s"i -> CAST(instr('0123456789abcdef', substr(md5(CAST($expr AS VARCHAR)), i, 1)) - 1 AS BIGINT))), " +
+      "(a, b) -> a * 16 + b)"
+
+  /** DuckDB fragment: `CASE ... END` mapping a column named `u` (the md5
+    * unit) to the SplitSpec names via the SAME cumulative thresholds the
+    * operator computes. */
+  private def splitCaseSql: String = {
+    val th = Sampling.cumulativeThresholds(SplitSpec)
+    "CASE " + th.init.map { case (n, up) => s"WHEN u < $up THEN '$n'" }.mkString(" ") +
+      s" ELSE '${th.last._1}' END"
+  }
+
+  /** Batch keep-first-per-SimHash drops over a planted corpus, restricted
+    * to the planted copy ids — the SQL-derivable drop subset shared by the
+    * x5/x11 gates (see the x5 gate comment for the structural argument). */
+  private def plantedSimhashDrops(corpus: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__sig").orderBy("doc_id")
+    corpus.withColumn("__sig", Dedup.simhash(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1 && col("doc_id") >= CopyOffset)
+      .select("doc_id")
+  }
+
   /** T2 oracle — the stopword list is spliced from the SAME
     * TextAnalysis.Stopwords the operator uses, so they cannot drift. All
     * ratios are int/int divisions cast to double (exact in both engines). */
@@ -709,25 +729,15 @@ object LlmOps {
   /** T6 oracle, thresholds generated by the SAME cumulative arithmetic the
     * operator uses; md5 hex agrees across engines, so split membership is a
     * pure cross-engine function of doc_id. */
-  private def t6OracleSql: String = {
-    val th = Sampling.cumulativeThresholds(SplitSpec)
-    val cases = th.init.map { case (n, up) => s"WHEN u < ${up}" + s" THEN '$n'" }
-      .mkString(" ")
-    s"""SELECT doc_id, CASE $cases ELSE '${th.last._1}' END AS split FROM (
-       |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, 9),
-       |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
-       |      (a, b) -> a * 16 + b) AS u
+  private def t6OracleSql: String =
+    s"""SELECT doc_id, $splitCaseSql AS split FROM (
+       |  SELECT doc_id, ${md5UnitSql("doc_id")} AS u
        |  FROM documents)""".stripMargin
-  }
 
   /** P5 oracle — the t13 scrub, t14 repetition profile, d1 min-id dedup
     * and t6 split fragments chained as one derivation over the same
     * planted chrome. */
   private def p5OracleSql: String = {
-    val th = Sampling.cumulativeThresholds(SplitSpec)
-    val cases = th.init.map { case (n, up) => s"WHEN u < $up THEN '$n'" }.mkString(" ")
     val spam = Seq.fill(40)("spam").mkString(" ")
     s"""WITH p AS (
        |  SELECT doc_id,
@@ -783,12 +793,8 @@ object LlmOps {
        |), d AS (
        |  SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)
        |)
-       |SELECT doc_id, CASE $cases ELSE '${th.last._1}' END AS split FROM (
-       |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, 9),
-       |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
-       |      (a, b) -> a * 16 + b) AS u
+       |SELECT doc_id, $splitCaseSql AS split FROM (
+       |  SELECT doc_id, ${md5UnitSql("doc_id")} AS u
        |  FROM d)""".stripMargin
   }
 
@@ -863,9 +869,7 @@ object LlmOps {
     * (spliced verbatim from the t2 oracle), D1's min-id-per-content-hash
     * winner, T6's md5-threshold split (thresholds generated by the SAME
     * cumulative arithmetic the operator uses). */
-  private def p3OracleSql: String = {
-    val th = Sampling.cumulativeThresholds(SplitSpec)
-    val cases = th.init.map { case (n, up) => s"WHEN u < $up THEN '$n'" }.mkString(" ")
+  private def p3OracleSql: String =
     s"""WITH q AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE length(text) >= 100 AND
@@ -874,14 +878,9 @@ object LlmOps {
        |), d AS (
        |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
        |)
-       |SELECT doc_id, CASE $cases ELSE '${th.last._1}' END AS split FROM (
-       |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, 9),
-       |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
-       |      (a, b) -> a * 16 + b) AS u
+       |SELECT doc_id, $splitCaseSql AS split FROM (
+       |  SELECT doc_id, ${md5UnitSql("doc_id")} AS u
        |  FROM d)""".stripMargin
-  }
 
   /** T8 oracle — the regexes are spliced verbatim from the SAME
     * TextAnalysis constants the operator compiles (they live in the
@@ -1219,24 +1218,16 @@ object LlmOps {
     // T15: the cluster labels (d6's recursive CTE) keyed into the t6
     // md5-threshold machinery — split is a pure function of the COMPONENT
     // id, so both engines assign every cluster member identically.
-    "t15_cluster_split" -> (componentCteSql + {
-      val th = Sampling.cumulativeThresholds(SplitSpec)
-      val cases = th.init.map { case (n, up) => s"WHEN u < $up THEN '$n'" }
-        .mkString(" ")
+    "t15_cluster_split" -> (componentCteSql +
       s""", lab AS (
          |  SELECT c.id, coalesce(p.component, c.id) AS component
          |  FROM corpus c LEFT JOIN comp p ON c.id = p.id
          |), uu AS (
-         |  SELECT id, component,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, 9),
-         |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
-         |      (a, b) -> a * 16 + b) AS u
+         |  SELECT id, component, ${md5UnitSql("component")} AS u
          |  FROM lab
          |)
-         |SELECT id AS doc_id, component, CASE $cases ELSE '${th.last._1}' END AS split
-         |FROM uu""".stripMargin
-    }),
+         |SELECT id AS doc_id, component, $splitCaseSql AS split
+         |FROM uu""".stripMargin),
 
     // T7: membership is a pure function of (lang, md5(doc_id)) — both
     // engines compute the same lowercase-hex md5 over the same decimal

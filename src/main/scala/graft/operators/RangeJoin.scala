@@ -47,7 +47,10 @@ object RangeJoin {
       startCol: String, endCol: String, pointCol: String,
       binSize: Long): DataFrame = {
     require(binSize > 0, s"need binSize > 0, got $binSize")
-    val binned = intervals
+    // a start > end interval matches nothing — drop it BEFORE the explode:
+    // sequence() would otherwise auto-step -1 and materialize a huge
+    // descending bin range for one malformed row
+    val binned = intervals.filter(col(startCol) <= col(endCol))
       .withColumn("__bin", explode(sequence(
         floorDiv(s"`$startCol`", binSize), floorDiv(s"`$endCol`", binSize))))
     val tagged = points.withColumn("__bin", floorDiv(s"`$pointCol`", binSize))
@@ -66,10 +69,13 @@ object RangeJoin {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binSize: Long): DataFrame = {
     require(binSize > 0, s"need binSize > 0, got $binSize")
-    val l = left.withColumn("__bin", explode(sequence(
-      floorDiv(s"`$lStart`", binSize), floorDiv(s"`$lEnd`", binSize))))
-    val r = right.withColumn("__bin", explode(sequence(
-      floorDiv(s"`$rStart`", binSize), floorDiv(s"`$rEnd`", binSize))))
+    // empty (start > end) intervals overlap nothing; see pointInInterval
+    val l = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("__bin", explode(sequence(
+        floorDiv(s"`$lStart`", binSize), floorDiv(s"`$lEnd`", binSize))))
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .withColumn("__bin", explode(sequence(
+        floorDiv(s"`$rStart`", binSize), floorDiv(s"`$rEnd`", binSize))))
     l.join(r, "__bin")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("__bin") === floorDiv(s"greatest(`$lStart`, `$rStart`)", binSize))

@@ -33,6 +33,42 @@ object Relational {
     */
   private def emit(c: Column): Column = c.cast("double")
 
+  /** Shared R34/R35 fixture: the synthesized SCD2 change feed — every
+    * sampled order inserts at seq 1, keys ≡0 mod 3 update at seq 2 (price
+    * +10), keys ≡0 mod 9 delete at seq 3. R35 is DEFINED as the consumer
+    * of R34's history; one builder keeps both gates and both oracles in
+    * lockstep. */
+  private def scd2ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+    o.withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("price", (col("price") + 10).cast(DecimalType(18, 2)))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
+      .unionByName(o.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
+  }
+
+  /** The matching WITH-prefix (`ch` feed + `v` lead-window versions) shared
+    * by the r34/r35 oracles. */
+  private val scd2CteSql =
+    """WITH ch AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    'I' AS op, CAST(1 AS BIGINT) AS seq
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 10,
+      |    'U', 2 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+      |    'D', 3 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 = 0
+      |), v AS (
+      |  SELECT o_orderkey, price, op,
+      |    CAST(seq AS BIGINT) AS valid_from,
+      |    lead(CAST(seq AS BIGINT)) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+      |  FROM ch
+      |)""".stripMargin
+
   /** Discounted revenue — the TPC-H workhorse metric. The multiply happens in
     * DECIMAL domain (exact), never on doubles: rounding a double *product* to
     * 2dp lands on .005 boundaries where engines disagree; rounding the raw
@@ -458,21 +494,13 @@ object Relational {
     },
 
     "r34_scd2" -> { (s, dir) =>
-      // SCD Type-2 history from a synthesized change feed: every sampled
+      // SCD Type-2 history from the shared synthesized change feed
+      // (scd2ChangeFeed — r35 consumes the same fixture): every sampled
       // order inserts at seq 1, keys ≡0 mod 3 update at seq 2, keys ≡0
       // mod 9 delete at seq 3 (tombstone: closes the interval, emits no
       // row). The full versioned history — bounds, current flags, closed
       // rows — is re-derived relationally in DuckDB.
-      val o = Tables(s, dir).orders.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
-      val changes =
-        o.withColumn("op", lit("I")).withColumn("seq", lit(1L))
-          .unionByName(o.filter(col("o_orderkey") % 3 === 0)
-            .withColumn("price", (col("price") + 10).cast(DecimalType(18, 2)))
-            .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
-          .unionByName(o.filter(col("o_orderkey") % 9 === 0)
-            .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
-      Scd2.fromChanges(changes, Seq("o_orderkey"), "seq")
+      Scd2.fromChanges(scd2ChangeFeed(s, dir), Seq("o_orderkey"), "seq")
         .select(col("o_orderkey"), emit(col("price")).as("price"),
           col("valid_from"), col("valid_to"), col("is_current"))
     },
@@ -484,16 +512,7 @@ object Relational {
       // this a plain hash join with the interval as a post-condition (no
       // nested loop, no R30 binning needed); facts hitting a tombstoned
       // interval get no row (inner join) exactly as the oracle derives.
-      val o = Tables(s, dir).orders.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
-      val changes =
-        o.withColumn("op", lit("I")).withColumn("seq", lit(1L))
-          .unionByName(o.filter(col("o_orderkey") % 3 === 0)
-            .withColumn("price", (col("price") + 10).cast(DecimalType(18, 2)))
-            .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
-          .unionByName(o.filter(col("o_orderkey") % 9 === 0)
-            .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
-      val hist = Scd2.fromChanges(changes, Seq("o_orderkey"), "seq")
+      val hist = Scd2.fromChanges(scd2ChangeFeed(s, dir), Seq("o_orderkey"), "seq")
         .select(col("o_orderkey"), col("price"), col("valid_from"), col("valid_to"))
       val facts = Tables(s, dir).lineitem.filter(col("l_orderkey") % 7 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -875,47 +894,17 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |GROUP BY 1, 2""".stripMargin,
 
-    // R34: the same change feed + lead() window re-derived; D tombstones
+    // R34: the shared change feed + lead() window re-derived; D tombstones
     // close intervals but emit no row.
-    "r34_scd2" ->
-      """WITH ch AS (
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        |    'I' AS op, CAST(1 AS BIGINT) AS seq
-        |  FROM orders WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 10,
-        |    'U', 2 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
-        |    'D', 3 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 = 0
-        |), v AS (
-        |  SELECT o_orderkey, price, op,
-        |    CAST(seq AS BIGINT) AS valid_from,
-        |    lead(CAST(seq AS BIGINT)) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
-        |  FROM ch
-        |)
+    "r34_scd2" -> (scd2CteSql +
+      """
         |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, valid_from, valid_to,
         |  (valid_to IS NULL AND op <> 'D') AS is_current
-        |FROM v WHERE op <> 'D'""".stripMargin,
+        |FROM v WHERE op <> 'D'""".stripMargin),
 
     // R35: the same SCD2 history + interval-containment fact join.
-    "r35_pit_join" ->
-      """WITH ch AS (
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        |    'I' AS op, CAST(1 AS BIGINT) AS seq
-        |  FROM orders WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 10,
-        |    'U', 2 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
-        |    'D', 3 FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 = 0
-        |), v AS (
-        |  SELECT o_orderkey, price, op,
-        |    CAST(seq AS BIGINT) AS valid_from,
-        |    lead(CAST(seq AS BIGINT)) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
-        |  FROM ch
-        |), hist AS (
+    "r35_pit_join" -> (scd2CteSql +
+      """, hist AS (
         |  SELECT o_orderkey, price, valid_from, valid_to FROM v WHERE op <> 'D'
         |), facts AS (
         |  SELECT l_orderkey, l_linenumber,
@@ -926,7 +915,7 @@ object Relational {
         |  CAST(price AS DOUBLE) AS price, valid_from
         |FROM facts JOIN hist ON l_orderkey = o_orderkey
         |  AND fact_seq >= valid_from
-        |  AND (valid_to IS NULL OR fact_seq < valid_to)""".stripMargin,
+        |  AND (valid_to IS NULL OR fact_seq < valid_to)""".stripMargin),
 
     // R37: DuckDB's ->> JSON extraction mirrors the path extract; sums
     // wrapped back to BIGINT (DuckDB widens to HUGEINT).

@@ -41,6 +41,19 @@ class IncrementalAggSpec extends SparkSpec {
     out shouldBe Set("Y")
   }
 
+  test("a delete driving a group's count negative fails loudly, not silently (R31)") {
+    val base = Seq(("X", "3.00")).toDF("k", "v0")
+      .select(col("k"), col("v0").cast(DecimalType(18, 2)).as("v"))
+    val state = IncrementalAgg.sumState(base, Seq("k"), Seq("v"))
+    // the same delete applied twice (a violated CDC contract) → n = -1
+    val doubled = Seq(("X", "3.00", "D"), ("X", "3.00", "D")).toDF("k", "v0", "op")
+      .select(col("k"), col("v0").cast(DecimalType(18, 2)).as("v"), col("op"))
+    val ex = intercept[Exception] {
+      IncrementalAgg.applyDelta(state, doubled, Seq("k"), "op", Seq("v")).collect()
+    }
+    ex.getMessage should include("negative count")
+  }
+
   test("maintenance over a chain of deltas equals recompute at every step (R31)") {
     val rnd = new scala.util.Random(42)
     var rows = (0 until 200).map(i => (s"g${i % 7}", dec((i % 13).toString + ".25")))

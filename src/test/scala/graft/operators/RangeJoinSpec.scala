@@ -27,6 +27,20 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("malformed start > end intervals match nothing and never explode bins (R30)") {
+    // without the guard, sequence() would auto-step -1 and materialize a
+    // ~62M-element descending bin range for the corrupted row
+    val intervals = Seq((1L, 1000000000L, 0L), (2L, 10L, 20L)).toDF("iid", "s", "e")
+    val points = Seq((9L, 15L), (10L, 500L)).toDF("pid", "p")
+    val got = RangeJoin.pointInInterval(intervals, points, "s", "e", "p", 16L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    got shouldBe Set((2L, 9L))
+    RangeJoin.intervalOverlap(
+        intervals.toDF("aid", "as", "ae"), Seq((5L, 12L, 18L)).toDF("bid", "bs", "be"),
+        "as", "ae", "bs", "be", 16L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet shouldBe Set((2L, 5L))
+  }
+
   test("pointInInterval emits each matching pair exactly once (R30)") {
     val intervals = Seq((1L, 0L, 100L)).toDF("iid", "s", "e")
     val points = Seq((9L, 50L)).toDF("pid", "p")
