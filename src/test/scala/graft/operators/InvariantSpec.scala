@@ -65,6 +65,68 @@ class InvariantSpec extends SparkSpec {
     counts("test").toDouble / 20000 shouldBe 0.1 +- 0.02
   }
 
+  test("Scd2.fromChanges equals a per-key fold reference on random feeds (R34)") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val changes = (for {
+        k <- 0L until 30L
+        (s, i) <- rnd.shuffle((1L to 8L).toList).take(1 + rnd.nextInt(5)).sorted.zipWithIndex
+      } yield (k, s, s"v${k}_$i",
+        if (rnd.nextInt(4) == 0) "D" else if (i == 0) "I" else "U")).toSeq
+      val got = Scd2.fromChanges(changes.toDF("k", "seq", "attr", "op"),
+          Seq("k"), "seq")
+        .select("k", "attr", "valid_from", "valid_to", "is_current")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+      // reference: per key, sort by seq; each non-D row's interval closes at
+      // the NEXT change's seq (any op), open if none
+      val expect = changes.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.zipWithIndex.collect {
+          case ((k, s, a, op), i) if op != "D" =>
+            val to = if (i + 1 < sorted.length) sorted(i + 1)._2 else -1L
+            (k, a, s, to, to == -1L)
+        }
+      }.toSet
+      withClue(s"seed=$seed: ") { got shouldBe expect }
+    }
+  }
+
+  test("decontaminateNear equals brute-force cross-set exact Jaccard on random corpora (D9)") {
+    val rnd = new scala.util.Random(29)
+    val vocab = ('a' to 'z').map(_.toString)
+    def doc() = (0 until (6 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(12))).mkString(" ")
+    val train = (0L until 40L).map(i => (i, doc())).toDF("id", "text")
+    val evalRows = (0 until 8).map(i => (100L + i, doc()))
+    val eval = evalRows.toDF("id", "text")
+    def shingles(t: String): Set[Seq[String]] = {
+      val toks = t.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.length < 3) Set(toks) else toks.sliding(3).toSet
+    }
+    val evalSets = evalRows.map { case (_, t) => shingles(t) }
+    val expect = train.as[(Long, String)].collect().collect {
+      case (id, t) if evalSets.exists { e =>
+        val s = shingles(t); val i = (s intersect e).size
+        i.toDouble / (s.size + e.size - i) >= 0.5
+      } => id
+    }.toSet
+    val got = Dedup.decontaminateNear(train, eval, "text", "id",
+      shingleK = 3, threshold = 0.5).as[Long].collect().toSet
+    got shouldBe expect
+  }
+
+  test("PQ codes are invariant to input partitioning (S5)") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 150).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val cb = ProductQuantizer.train(vecs, "v", m = 4, k = 8, iters = 3)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      ProductQuantizer.encode(df, "v", cb)
+        .select("id", "pq_codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes(vecs.repartition(11)) shouldBe codes(vecs.coalesce(1))
+  }
+
   test("TopK.perGroupOrdered equals the sort-based reference on random data (P1)") {
     for (seed <- Seq(5, 55)) {
       val rnd = new scala.util.Random(seed)
