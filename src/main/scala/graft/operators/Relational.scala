@@ -562,6 +562,23 @@ object Relational {
           max(col("k")).as("k_max"))
     },
 
+    "r38_bloom_join" -> { (s, dir) =>
+      // runtime bloom-filter join pruning: for a shuffle join with a
+      // selective dim side, Spark's InjectRuntimeFilter builds a bloom
+      // over the dim keys at runtime and pushes `might_contain` onto the
+      // FACT scan — rows that cannot join are dropped before the shuffle,
+      // the single biggest wire-volume lever in a 100 TB star join (D8's
+      // BloomFilterAggregate machinery, wired by the optimizer). The
+      // VALUES are optimization-independent (this gate); the injection
+      // itself is spec-asserted under forced thresholds in RelationalSpec.
+      val t = Tables(s, dir)
+      t.lineitem.join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          emit(sum(money(col("l_extendedprice")))).as("total"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -916,6 +933,13 @@ object Relational {
         |FROM facts JOIN hist ON l_orderkey = o_orderkey
         |  AND fact_seq >= valid_from
         |  AND (valid_to IS NULL OR fact_seq < valid_to)""".stripMargin),
+
+    "r38_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // R37: DuckDB's ->> JSON extraction mirrors the path extract; sums
     // wrapped back to BIGINT (DuckDB widens to HUGEINT).

@@ -64,6 +64,27 @@ class RelationalSpec extends SparkSpec {
     (byTag.getOrElse("both", Set()) intersect byTag.getOrElse("cust_only", Set())) shouldBe empty
   }
 
+  test("r38: a runtime bloom filter lands on the fact side under forced thresholds (R38)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val df = Relational.queries("r38_bloom_join")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      withClue(plan.take(800)) { plan should include("bloom") }
+      // and the optimization is semantics-preserving
+      df.collect().map(_.getLong(1)).sum should be > 0L
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("r33_dpp: the fact scan carries a dynamicpruning partition filter (R33)") {
     val df = Relational.queries("r33_dpp")(spark, dir)
     // the runtime-injected subquery shows up in the scan's PartitionFilters
