@@ -257,11 +257,24 @@ object Dedup {
       .unionByName(eval.select(col(idCol), col(textCol)))
     val pairs = ngramJaccardDedup(unioned, textCol, idCol, shingleK, threshold)
     val evalIds = eval.select(col(idCol).as("other"))
+    // The disjoint-ids contract is enforced in-plan, not just documented:
+    // an id in BOTH sets would silently merge the two docs' shingle sets
+    // through the unionByName above and corrupt the pair graph. The guard
+    // is a column-pruned id semi-join (eval side broadcast-sized) unioned
+    // into the result as an empty-unless-violated raise_error branch — it
+    // fires during the same action, costing no extra pass.
+    val idType = train.select(col(idCol)).schema.head.dataType
+    val clash = train.select(col(idCol).as("id"))
+      .join(eval.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(raise_error(concat(
+        lit("decontaminateNear: train/eval ids must be disjoint; shared id "),
+        col("id").cast("string"))).cast(idType).as("id"))
     pairs.select(col("id_a").as("id"), col("id_b").as("other"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("other")))
       .join(evalIds, Seq("other"), "left_semi")
       .select("id").distinct()
       .join(train.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .unionByName(clash)
   }
 
   def decontaminate(train: DataFrame, eval: DataFrame,

@@ -48,18 +48,27 @@ object IncrementalAgg {
     val merged = state.join(delta, keys, "full_outer")
     val zero = lit(0)
     val n = coalesce(col("n"), zero) + coalesce(col("__dn"), zero)
+    val mergedSum = sumCols.map(c => c ->
+      (coalesce(col(s"sum_$c"), zero) + coalesce(col(s"__d_$c"), zero))).toMap
+    // A group emptied by deletes must also zero its maintained sums; a
+    // nonzero residual means a delete's value image mismatched state — the
+    // same violated-CDC-contract class the n < 0 guard catches. Exact for
+    // DECIMAL/integral sums (the documented contract); double sums could
+    // trip on association-order roundoff, one more reason they are wrong
+    // here (see the class doc).
+    val residual = sumCols.map(c => mergedSum(c) =!= zero)
+      .reduceOption(_ || _).getOrElse(lit(false))
     merged.select(
       keys.map(col) ++
         // n < 0 means a delete for rows the state never held — a violated
         // CDC contract (e.g. a redelivered changeset applied without the
         // ivmApplyBatch version guard). Dropping it like a cleanly-emptied
         // group would silently corrupt the rollup; fail loudly instead.
-        Seq(when(n < 0, raise_error(concat(lit("IncrementalAgg: negative count for group "),
+        Seq(when(n < 0 || (n === 0 && residual),
+            raise_error(concat(lit("IncrementalAgg: inconsistent delta for group "),
             concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
           .otherwise(n).as("n")) ++
-        sumCols.map(c =>
-          (coalesce(col(s"sum_$c"), zero) + coalesce(col(s"__d_$c"), zero))
-            .as(s"sum_$c")): _*)
+        sumCols.map(c => mergedSum(c).as(s"sum_$c")): _*)
       .filter(col("n") > 0)
   }
 }

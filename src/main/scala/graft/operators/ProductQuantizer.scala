@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * literal, no UDF — so identical vectors always get identical codes
   * (argmin tiebreaks on the first index), which is what makes the planted
   * exact-copy gate structural.
+  *
+  * Determinism scope: seeding and ENCODING are fully deterministic (hash
+  * order + first-index tiebreak). Lloyd's centroid update uses avg() over
+  * doubles, whose accumulation order varies with partitioning — trained
+  * codebooks can differ in final bits across different parallelism. Every
+  * consumer here is insulated (encode is deterministic GIVEN a codebook,
+  * and the s5 copy-code gate holds for any codebook); sum in a stable
+  * order before relying on bit-identical training across cluster sizes.
   */
 object ProductQuantizer {
 
@@ -73,6 +81,8 @@ object ProductQuantizer {
         .map { case (j, rows) =>
           j -> rows.map(_.getSeq[Double](1).toArray).toSeq
         }
+      require(seeds.size == m && seeds.values.forall(_.nonEmpty),
+        s"PQ training needs at least one vector (got seeds for ${seeds.size}/$m subspaces)")
       var books: Seq[Seq[Array[Double]]] =
         (0 until m).map(j => seeds(j).padTo(k, seeds(j).head))
       for (_ <- 0 until iters) {

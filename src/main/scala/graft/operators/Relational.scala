@@ -942,11 +942,15 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin,
 
     // R37: DuckDB's ->> JSON extraction mirrors the path extract; sums
-    // wrapped back to BIGINT (DuckDB widens to HUGEINT).
+    // wrapped back to BIGINT (DuckDB widens to HUGEINT). TRY_CAST mirrors
+    // Spark's cast-to-NULL on non-numeric payloads (CAST would hard-error),
+    // and ((k % 7) + 7) % 7 mirrors pmod on any sign — both identical to
+    // the simple forms on the current non-negative generator, but the
+    // oracle should match Spark semantics on ANY payload.
     "r37_json_ops" ->
-      """SELECT CAST(k % 7 AS BIGINT) AS bucket, count(*) AS n,
+      """SELECT CAST(((k % 7) + 7) % 7 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max
-        |FROM (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |FROM (SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
         |WHERE k IS NOT NULL
         |GROUP BY 1""".stripMargin,
 

@@ -141,4 +141,20 @@ class DedupSpec extends SparkSpec {
     // docs 2/4: near-zero overlap; eval ids themselves never emitted
     flagged shouldBe Set(1L, 3L)
   }
+
+  test("decontaminateNear rejects overlapping train/eval ids in-plan (D9)") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words nothing shared here at all"))
+      .toDF("id", "text")
+    // id 1 appears in BOTH sets — a violated contract that would silently
+    // merge the two docs' shingle sets and corrupt the pair graph
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta tail"))
+      .toDF("id", "text")
+    val ex = intercept[Exception] {
+      Dedup.decontaminateNear(train, eval, "text", "id",
+        shingleK = 3, threshold = 0.5).collect()
+    }
+    ex.getMessage should include("disjoint")
+  }
 }

@@ -51,7 +51,21 @@ class IncrementalAggSpec extends SparkSpec {
     val ex = intercept[Exception] {
       IncrementalAgg.applyDelta(state, doubled, Seq("k"), "op", Seq("v")).collect()
     }
-    ex.getMessage should include("negative count")
+    ex.getMessage should include("inconsistent delta")
+  }
+
+  test("a value-mismatched delete that zeroes a group fails loudly, not silently (R31)") {
+    val base = Seq(("X", "3.00")).toDF("k", "v0")
+      .select(col("k"), col("v0").cast(DecimalType(18, 2)).as("v"))
+    val state = IncrementalAgg.sumState(base, Seq("k"), Seq("v"))
+    // n reaches exactly 0 but the delete's value image mismatches state
+    // (5.00 vs the held 3.00) → residual sum −2.00 must not vanish silently
+    val wrong = Seq(("X", "5.00", "D")).toDF("k", "v0", "op")
+      .select(col("k"), col("v0").cast(DecimalType(18, 2)).as("v"), col("op"))
+    val ex = intercept[Exception] {
+      IncrementalAgg.applyDelta(state, wrong, Seq("k"), "op", Seq("v")).collect()
+    }
+    ex.getMessage should include("inconsistent delta")
   }
 
   test("maintenance over a chain of deltas equals recompute at every step (R31)") {
