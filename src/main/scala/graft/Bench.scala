@@ -33,25 +33,39 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
+    // median-of-N per query: the host has multi-second iowait noise from
+    // outside the container (SURVEY §6 forensics: identical back-to-back
+    // runs swing 2× with per-query outliers like r7 1.4→7.2 s), so a
+    // single-run time is not evidence. The median of 3 discards one
+    // arbitrary stall per query; min/max spread is emitted so a noisy
+    // median is visible instead of needing forensics.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // deterministic name order: hash-map iteration order would otherwise
     // decide which query pays shared-cache warmup (d2's persisted
     // signatures feed d4), making totals jump run to run
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must NOT silently bench as a fast no-op — record it
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must NOT silently bench as a fast no-op — record it
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release every operator-internal cache OUTSIDE the timed window:
+        // each rep pays its own staging cost (reps stay independent), and
+        // leaked storage blocks must not squeeze later queries' execution
+        // memory (the round-2 p1/d3 regressions were exactly this
+        // accumulation across 51 queries)
+        graft.operators.LlmOps.clearPlanted()
+        graft.operators.Caches.releaseAll()
+        spark.catalog.clearCache()
+        (dt, err)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release every operator-internal cache OUTSIDE the timed window: each
-      // query pays its own staging cost, and leaked storage blocks must not
-      // squeeze later queries' execution memory (the round-2 p1/d3
-      // regressions were exactly this accumulation across 51 queries)
-      graft.operators.LlmOps.clearPlanted()
-      graft.operators.Caches.releaseAll()
-      spark.catalog.clearCache()
-      (name, dt, err)
+      val times = runs.map(_._1).sorted
+      val median = times(times.size / 2)
+      val err = runs.flatMap(_._2).headOption
+      (name, median, times.head, times.last, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -60,14 +74,16 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val spread = results.map { case (k, _, lo, hi, _) => s"\"$k\":[$lo,$hi]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     // loud on stderr, but still exit 0: the driver parses the JSON line
-    results.foreach { case (k, _, e) => e.foreach(m => System.err.println(s"[bench] $k FAILED: $m")) }
+    results.foreach { case (k, _, _, _, e) => e.foreach(m => System.err.println(s"[bench] $k FAILED: $m")) }
     spark.stop()
   }
 }
