@@ -18,6 +18,15 @@ object AnnRecallProbe {
       val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // planned config first (the production path), then fixed-table rows
+      // for comparison against the planner's choice
+      val plan = Similarity.lshPlan(n, dim = 64, k = 10)
+      val planned = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 10, knownN = n)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plannedRecall = (exact intersect planned).size.toDouble / exact.size
+      println(f"[annrecall] $dir n=$n lsh planned bits=${plan.bits} r=${plan.radius} " +
+        f"tables=${plan.tables} predicted=${plan.predictedRecall}%.4f recall=$plannedRecall%.4f")
       for (tables <- Seq(4, 8)) {
         val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 10,
             tables = tables, knownN = n)

@@ -200,11 +200,14 @@ object LlmOps {
       // knownN from the base parquet footers — no extra pass over the
       // repartitioned corpus just to size the buckets
       val n = 2 * Tables(s, dir).embeddings.count()
-      // probes = 0: the structural gate needs no multi-probe (the exact copy
-      // shares the query's own bucket in every table); search QUALITY with
-      // the default multi-probe path is what s2_recall gates
+      // probes = 0, tables = 4 pinned: the structural gate needs no
+      // multi-probe and no recall provisioning (the exact copy shares the
+      // query's own bucket in every table — one table would do); search
+      // QUALITY with the auto-planned path is what s2_recall gates. Left to
+      // the planner, probes = 0 would demand max tables to hit the recall
+      // target this gate doesn't measure.
       Similarity.lshTopK(vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
-          k = 1, dim = 64, knownN = n, probes = 0)
+          k = 1, dim = 64, knownN = n, probes = 0, tables = 4)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
     },

@@ -52,14 +52,111 @@ object Similarity {
   }
 
   /** Probe masks for multi-probe LSH: every bucket-id XOR mask within
-    * Hamming distance `radius` of zero, over `bits` signature bits. Radius 2
-    * over b bits is 1 + b + b(b-1)/2 masks — a CONSTANT multiplier on query
-    * candidate volume, independent of corpus size. */
+    * Hamming distance `radius` of zero, over `bits` signature bits. The
+    * masks multiply QUERY-side candidate volume only (queries are
+    * broadcast); corpus-side cost is per-table, not per-mask. */
   private[operators] def probeMasks(bits: Int, radius: Int): Seq[Int] = {
     val singles = (0 until bits).map(1 << _)
     val pairs = for (i <- 0 until bits; j <- i + 1 until bits) yield (1 << i) | (1 << j)
+    val triples = for (i <- 0 until bits; j <- i + 1 until bits; l <- j + 1 until bits)
+      yield (1 << i) | (1 << j) | (1 << l)
     (Seq(0) ++ (if (radius >= 1) singles else Nil) ++
-      (if (radius >= 2) pairs else Nil)).distinct
+      (if (radius >= 2) pairs else Nil) ++
+      (if (radius >= 3) triples else Nil)).distinct
+  }
+
+  private[operators] def masksCount(bits: Int, radius: Int): Long = {
+    val b = bits.toLong
+    1L + (if (radius >= 1) b else 0L) +
+      (if (radius >= 2) b * (b - 1) / 2 else 0L) +
+      (if (radius >= 3) b * (b - 1) * (b - 2) / 6 else 0L)
+  }
+
+  /** Per-table probability that a neighbor whose per-bit disagreement
+    * probability is `p` (= theta/pi for hyperplane LSH) lands within
+    * Hamming `r` of the query's signature: the Binomial(bits, p) CDF at r. */
+  private[operators] def tableHitProb(bits: Int, r: Int, p: Double): Double = {
+    var q = 0.0
+    var c = 1.0 // running C(bits, i)
+    for (i <- 0 to math.min(r, bits)) {
+      if (i > 0) c = c * (bits - i + 1) / i
+      q += c * math.pow(p, i) * math.pow(1 - p, bits - i)
+    }
+    math.min(1.0, q)
+  }
+
+  /** A resolved LSH search configuration. `predictedRecall` is the
+    * binomial-model estimate 1-(1-q)^tables at the design similarity (NaN
+    * when the caller fixed every knob and no model was consulted). */
+  private[operators] final case class LshPlan(
+      bits: Int, radius: Int, tables: Int, predictedRecall: Double)
+
+  /** Scale-invariant LSH sizing. Occupancy-based bit growth alone makes a
+    * FIXED (tables, radius) configuration decay: bits grow as log2(n/64),
+    * so the per-table hit probability of a neighbor at any fixed angle
+    * shrinks geometrically in bits while the Hamming-radius probe count
+    * stays constant — recall measured ~1.0 at test SFs would vanish at
+    * production n. This planner instead treats recall as the invariant and
+    * solves for the knobs:
+    *
+    *   1. bits from bucket occupancy (`autoBits`, unchanged),
+    *   2. design similarity = the cosine of the true top-k neighbors this
+    *      plan must find. On an isotropic corpus that cosine GROWS with n
+    *      (extreme-value statistics: E[k-th max] ~ sqrt(2·ln(n/k)/dim)),
+    *      which is what keeps the required table count sub-polynomial as
+    *      bits scale. Callers with clustered corpora (closer neighbors)
+    *      can pass a higher `designSim`; the isotropic default only
+    *      over-provisions there.
+    *   3. per radius r in 1..3, the table count T solving
+    *      1-(1-q(bits,r,p))^T >= targetRecall; pick the feasible (r, T)
+    *      with fewest TABLES first (each table re-hashes the corpus — the
+    *      at-scale cost; probe masks only multiply the small broadcast
+    *      query side), then fewest masks.
+    *   4. if no (r<=3, T<=maxTables) reaches the target, shed bits —
+    *      larger buckets mean more candidates per probe, the honest n^rho
+    *      price of LSH at constant recall — until the prediction recovers.
+    *
+    * Resulting law on the isotropic default: tables grow ~log n (2 at n=1e3,
+    * 3 at 1e4, ~7 at 1e6, ~16 at 1e9) while predicted recall stays at the
+    * target — asserted across six decades of n in SimilaritySpec and
+    * measured cross-SF in AnnScaleSpec. */
+  private[operators] def lshPlan(n: Long, dim: Int, k: Int,
+      fixedBits: Int = 0, fixedTables: Int = 0, fixedRadius: Int = -1,
+      targetRecall: Double = 0.95, designSim: Double = Double.NaN,
+      targetBucket: Int = 64, minBits: Int = 4, maxTables: Int = 48): LshPlan = {
+    val s = if (designSim.isNaN)
+      math.min(0.9, math.sqrt(2.0 * math.log(math.max(math.E, n.toDouble / math.max(k, 1))) / dim))
+    else designSim
+    val p = math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
+    def tablesFor(b: Int, r: Int): Int = {
+      val q = tableHitProb(b, r, p)
+      if (q >= targetRecall) 2 // floor: two independent tables minimum
+      else if (q <= 1e-12) maxTables
+      else math.max(2, math.min(maxTables,
+        math.ceil(math.log1p(-targetRecall) / math.log1p(-q)).toInt))
+    }
+    def best(b: Int): LshPlan = {
+      val radii = if (fixedRadius >= 0) Seq(fixedRadius) else Seq(1, 2, 3)
+      val plans = radii.map { r =>
+        val t = if (fixedTables > 0) fixedTables else tablesFor(b, r)
+        LshPlan(b, r, t, 1 - math.pow(1 - tableHitProb(b, r, p), t))
+      }
+      val feasible = plans.filter(_.predictedRecall >= targetRecall)
+      if (feasible.nonEmpty)
+        feasible.minBy(pl => (pl.tables, masksCount(pl.bits, pl.radius)))
+      else plans.maxBy(_.predictedRecall)
+    }
+    var plan = best(if (fixedBits > 0) fixedBits else autoBits(n, targetBucket, minBits))
+    // Shed bits only when the planner owns BOTH free knobs: with tables (or
+    // radius) pinned by the caller the recall target may be structurally
+    // unreachable (e.g. the probes=0 structural gate) and shedding would
+    // distort the requested geometry chasing it — the caller owns the
+    // cost/recall trade there.
+    if (fixedBits <= 0 && fixedTables <= 0 && fixedRadius < 0) {
+      while (plan.predictedRecall < targetRecall && plan.bits > minBits)
+        plan = best(plan.bits - 1)
+    }
+    plan
   }
 
   /** S2: LSH-bucketed ANN. Both sides are hashed into 2^bits hyperplane
@@ -70,26 +167,36 @@ object Similarity {
     * one or two hyperplanes is the dominant recall failure, and probing
     * those neighbors buys the recall of many extra hash tables for a
     * constant per-query fan-out instead of another full corpus hash pass.
-    * Recall < 1 by design — the s2_recall gate bounds it against S1.
-    * `bits = 0` auto-sizes from the corpus (target bucket ≈ 64, generous to
-    * protect recall; queries are broadcast so candidate volume is
-    * |queries|·bucket·tables·masks, not corpus-quadratic).
+    * Recall < 1 by design — the s2_recall gate bounds it against S1, and
+    * AnnScaleSpec asserts it does not decay across a 100× corpus growth.
+    *
+    * Sizing: any of `bits` (0), `tables` (0), `probes` (-1) left at its
+    * sentinel is solved by `lshPlan` so that PREDICTED recall at the design
+    * similarity stays at `targetRecall` for every corpus size — fixed knobs
+    * would decay as occupancy-driven bits grow with n (see `lshPlan`).
+    * Explicit values always win (the structural s2 gate pins probes=0).
     *
     * `knownN`: corpus row count for the auto-sizing. When absent (< 0) the
     * operator pays ONE extra corpus action (`count()`) just to size the
     * buckets — at 100 TB that is an extra pass, so callers at scale should
     * supply it (from catalog stats, a footer-only count of the base table,
-    * or pass `bits` explicitly).
+    * or pass every knob explicitly).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, bits: Int = 0, tables: Int = 4, dim: Int = 64,
-      knownN: Long = -1L, probes: Int = 2): DataFrame = {
+      k: Int = 5, bits: Int = 0, tables: Int = 0, dim: Int = 64,
+      knownN: Long = -1L, probes: Int = -1,
+      targetRecall: Double = 0.95, designSim: Double = Double.NaN): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val b = if (bits > 0) bits
-      else autoBits(if (knownN >= 0) knownN else c.count(), targetBucket = 64, minBits = 4)
+    val plan =
+      if (bits > 0 && tables > 0 && probes >= 0) LshPlan(bits, probes, tables, Double.NaN)
+      else lshPlan(if (knownN >= 0) knownN else c.count(), dim, k,
+        fixedBits = bits, fixedTables = tables, fixedRadius = probes,
+        targetRecall = targetRecall, designSim = designSim)
+    val b = plan.bits
+    val nTables = plan.tables
     def bucketed(df: DataFrame, id: String, vec: String, masks: Seq[Int]): DataFrame =
       df.select(col(id), col(vec),
-        explode(array((for (t <- 0 until tables; m <- masks) yield
+        explode(array((for (t <- 0 until nTables; m <- masks) yield
           struct(lit(t).as("table"),
             hyperplaneBucket(col(vec), b, dim, seed = 1000 + t).bitwiseXOR(lit(m))
               .as("bucket"))): _*)).as("tb"))
@@ -97,7 +204,7 @@ object Similarity {
 
     val q = bucketed(
       broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
-      "query_id", "__qv", probeMasks(b, probes))
+      "query_id", "__qv", probeMasks(b, plan.radius))
     val candidates = q.join(bucketed(c, "neighbor_id", "__cv", Seq(0)), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
