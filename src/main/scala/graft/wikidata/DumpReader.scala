@@ -2,6 +2,7 @@ package graft.wikidata
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Wikidata JSON dump framing, distributed.
   *
@@ -9,20 +10,48 @@ import org.apache.spark.sql.functions._
   * `]` array delimiter lines, dropping a trailing comma per line, and
   * tolerating malformed lines (reference: src/main.rs:174-215). Here the same
   * framing is a `spark.read.text` scan — splittable, so a 100 TB dump fans
-  * out across every executor — followed by codegen'd string cleanup and a
-  * single `parse_json` into a VariantType column. Bad JSON becomes NULL
-  * (`try_parse_json`) and is filtered, never fatal, matching the reference's
-  * per-line error tolerance.
+  * out across every executor — followed by codegen'd string cleanup and ONE
+  * `from_json` parse into a PRUNED typed struct: only the fields the 8
+  * output tables consume (id, English label/description, claims) are
+  * materialized, and everything else a real dump carries — aliases,
+  * sitelinks, the other ~300 languages of labels, references, qualifiers —
+  * is tokenized past without building values. That pruning is the
+  * single-node throughput lever: a full-variant parse (`try_parse_json`)
+  * pays to encode the whole entity. Only the polymorphic
+  * `datavalue.value` (string OR one of five object shapes) stays a nested
+  * VariantType, cast once per claim downstream. Malformed lines yield null
+  * `id` (PERMISSIVE parse) and are filtered, never fatal, matching the
+  * reference's per-line error tolerance.
   */
 object DumpReader {
 
-  /** Raw dump lines → one VariantType column `entity`, malformed lines dropped. */
+  /** One claim statement, pruned: rank for the deprecated-drop, snaktype for
+    * value routing, and the polymorphic value as variant. */
+  val statementType: StructType = StructType(Seq(
+    StructField("rank", StringType),
+    StructField("mainsnak", StructType(Seq(
+      StructField("snaktype", StringType),
+      StructField("datavalue", StructType(Seq(
+        StructField("type", StringType),
+        StructField("value", VariantType)))))))))
+
+  /** Pruned entity schema — the wd2sql-relevant subset of a dump entity. */
+  val entitySchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("labels", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("descriptions", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("claims", MapType(StringType, ArrayType(statementType)))))
+
+  /** Raw dump lines → one pruned-struct column `entity`, malformed lines
+    * (null id — the reference can't emit anything without one) dropped. */
   def entities(lines: DataFrame): DataFrame = {
     val trimmed = trim(col("value"))
     lines
       .filter(trimmed =!= "" && trimmed =!= "[" && trimmed =!= "]")
-      .select(try_parse_json(regexp_replace(trimmed, ",$", "")).as("entity"))
-      .filter(col("entity").isNotNull)
+      .select(from_json(regexp_replace(trimmed, ",$", ""), entitySchema).as("entity"))
+      .filter(col("entity").isNotNull && col("entity.id").isNotNull)
   }
 
   /** Read a dump file (or directory of shards) into entity variants. */

@@ -51,6 +51,8 @@ object EtlMain {
     spark.sparkContext.addSparkListener(progress)
     val tables = WikidataEtl.run(DumpReader.read(spark, dumpPath))
     mark("plan built")
+    tables.core.foreach(_.count()) // shared parse cache (idempotent with writeParquet's own materialize)
+    mark("parse cached")
     tables.writeParquet(outDir, partitions)
     tables.unpersist()
     spark.sparkContext.removeSparkListener(progress)

@@ -16,6 +16,17 @@ object EtlProbe {
     val lines = spark.read.text(path)
     println(s"[probe] partitions: ${lines.rdd.getNumPartitions}")
     time("raw line count")(lines.count())
+    // A/B: the pruned from_json parse (production path) vs a full-variant
+    // parse. On a dump that is mostly UNCONSUMED bytes (real Wikidata:
+    // ~300 languages, sitelinks, references) pruning should win; on the
+    // fully-consumed synthetic minidump the variant builder's tight binary
+    // encode wins. Run both to keep the decision evidence-based per corpus.
+    time("A/B full-variant parse") {
+      val trimmed = trim(col("value"))
+      lines.filter(trimmed =!= "" && trimmed =!= "[" && trimmed =!= "]")
+        .select(try_parse_json(regexp_replace(trimmed, ",$", "")).as("entity"))
+        .filter(col("entity").isNotNull).count()
+    }
     val parsed = DumpReader.read(spark, path)
     time("parse_json count")(parsed.count())
     time("meta count")(WikidataEtl.meta(parsed).count())

@@ -72,10 +72,92 @@ object IdCodec {
   def sid(n: Column, sense: Column): Column = lid(n) + sense.cast("long") * SubIdFactor + SenseOffset
 
   /** Columnar encode of a textual id ("Q42" / "P31" / "L9-F2" / "L9-S1" → int64, else null).
-    * try_cast, not cast: under ANSI mode a malformed id would otherwise
-    * fail the whole job — the reference skips bad input per line
-    * (src/main.rs:206-215) and so must a 100 TB run. */
-  def encodeTextCol(s: Column): Column = {
+    *
+    * Single-pass native expression (IdEncodeText): the older when-chain
+    * formulation referenced its input ~10 times, which was correct only as
+    * long as a Generate node stopped CollapseProject from re-inlining the
+    * staged input — in `meta` there is no such barrier and the collapse
+    * re-walked the `$.id` variant extraction per reference (measured: meta
+    * scan 4.1 s vs 1.9 s at 32 cores on the 231 MB dump). A native
+    * expression references its child exactly once, so staging is no longer
+    * a correctness-of-performance concern anywhere it's used.
+    * Malformed ids → null, never a job failure — the reference skips bad
+    * input per line (src/main.rs:206-215) and so must a 100 TB run. */
+  def encodeTextCol(s: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      IdEncodeText(org.apache.spark.sql.graft.ColumnBridge.expression(s)))
+
+  /** Sentinel-based primitive encode shared by IdEncodeText's interpreted
+    * and codegen paths: Long.MinValue = malformed (never a valid id — all
+    * encodings are small positive sums). Semantics mirror the SQL
+    * formulation in `encodeTextColSql` exactly: number fields are parsed
+    * with Spark cast-to-long rules (surrounding ASCII-space trim, optional
+    * sign, digits) over at most 18 characters, the lexeme number comes from
+    * before the FIRST dash, the sub-id from after the LAST. */
+  val Invalid: Long = Long.MinValue
+  def encodePrim(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = u.numBytes()
+    if (n < 1) return Invalid
+    def upper(b: Byte): Int = if (b >= 'a' && b <= 'z') b - 32 else b.toInt
+    // Spark-cast-compatible long parse over bytes [from, until) capped at 18
+    // chars (the substring(_, 2, 18) bound of the SQL formulation)
+    def num(from0: Int, until0: Int): Long = {
+      var from = from0
+      var until = math.min(until0, from0 + 18)
+      while (from < until && u.getByte(from) == ' ') from += 1
+      while (until > from && u.getByte(until - 1) == ' ') until -= 1
+      if (from >= until) return Invalid
+      var neg = false
+      u.getByte(from) match {
+        case '+' => from += 1
+        case '-' => neg = true; from += 1
+        case _   =>
+      }
+      if (from >= until) return Invalid
+      var v = 0L
+      var i = from
+      while (i < until) {
+        val b = u.getByte(i)
+        if (b < '0' || b > '9') return Invalid
+        v = v * 10 + (b - '0')
+        i += 1
+      }
+      if (neg) -v else v
+    }
+    var firstDash = -1
+    var lastDash = -1
+    var i = 0
+    while (i < n) {
+      if (u.getByte(i) == '-') { if (firstDash < 0) firstDash = i; lastDash = i }
+      i += 1
+    }
+    upper(u.getByte(0)) match {
+      case 'Q' =>
+        val v = num(1, n); if (v == Invalid) Invalid else v
+      case 'P' =>
+        val v = num(1, n); if (v == Invalid) Invalid else v + PropertyOffset
+      case 'L' if firstDash < 0 =>
+        val v = num(1, n); if (v == Invalid) Invalid else v + LexemeOffset
+      case 'L' =>
+        val subStart = lastDash + 1
+        if (subStart >= n) return Invalid
+        val lex = num(1, firstDash)
+        val sub = num(subStart + 1, n)
+        if (lex == Invalid || sub == Invalid) Invalid
+        else upper(u.getByte(subStart)) match {
+          case 'F' => lex + LexemeOffset + sub * SubIdFactor
+          case 'S' => lex + LexemeOffset + sub * SubIdFactor + SenseOffset
+          case _   => Invalid
+        }
+      case _ => Invalid
+    }
+  }
+
+  /** The original SQL-function formulation of `encodeTextCol`, kept as the
+    * differential-test oracle for the native expression (IdCodecSpec
+    * compares them input-by-input) and as documentation of the semantics
+    * the DuckDB gate oracles re-derive. */
+  def encodeTextColSql(s: Column): Column = {
     val prefix = upper(substring(s, 1, 1))
     val dash   = instr(s, "-")
     val simpleNum = substring(s, 2, 18).try_cast("long")

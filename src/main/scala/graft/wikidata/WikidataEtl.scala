@@ -14,8 +14,9 @@ final case class WikidataTables(
     time: DataFrame,
     none: DataFrame,
     unknown: DataFrame,
-    /** the shared cached claim core, when `run(cache = true)` built one —
-      * call `unpersist()` once the sinks are done */
+    /** the shared cached parse (pruned entity structs), when
+      * `run(cache = true)` built one — call `unpersist()` once the sinks
+      * are done */
     core: Option[DataFrame] = None) {
 
   def byName: Map[String, DataFrame] = Map(
@@ -37,7 +38,7 @@ final case class WikidataTables(
     * builds.
     *
     * The eight writes are submitted CONCURRENTLY: they all read the one
-    * cached claim core, and each is small relative to the parse, so serial
+    * cached parse, and each is small relative to the parse, so serial
     * submission leaves the cluster idle between write jobs (~8×
     * job-scheduling + sink latency on the critical path). Spark's scheduler
     * runs concurrent jobs from separate submitting threads.
@@ -72,48 +73,37 @@ final case class WikidataTables(
   *
   * The reference is a sequential loop: parse line → store meta → route each
   * claim by value type into one of 7 tables (src/main.rs:69-93,
-  * src/value.rs:201-261). Here the whole pipeline is column algebra over a
-  * VariantType parse: ONE pass over the dump builds an exploded claim core,
-  * and each output table is a filter+projection of that core — no UDFs, no
-  * shuffle anywhere (the ETL is embarrassingly parallel), all inside
-  * WholeStageCodegen. Callers that materialize several tables should
-  * `.cache()` the core (see `run`).
+  * src/value.rs:201-261). Here the whole pipeline is column algebra over
+  * DumpReader's ONE pruned `from_json` parse: `meta` is a projection of the
+  * parsed struct and each claim table is an explode+filter of it — no UDFs,
+  * no shuffle anywhere (the ETL is embarrassingly parallel), all inside
+  * WholeStageCodegen. `run(cache = true)` caches the parsed struct (not the
+  * exploded core) so ALL EIGHT sinks — meta included — share a single dump
+  * scan; consumers re-explode from memory, which is CPU-cheap codegen work,
+  * where a second dump pass would be the expensive thing at 100 TB.
   */
 object WikidataEtl {
 
-  private val V = "entity" // variant column produced by DumpReader
-
-  private def vGetS(path: String): Column = variant_get(col(V), path, "string")
-
-  /** claims map: pid-text -> array<variant> of claim objects. */
-  private def claimsMap: Column =
-    try_variant_get(col(V), "$.claims", "map<string, array<variant>>")
+  private val E = "entity" // pruned struct column produced by DumpReader
 
   /** Exploded claim core: one row per (entity, property, claim), with the
     * snak fields every router needs extracted exactly once.
     * Deprecated-rank claims are dropped (reference: src/main.rs:87).
     */
   def claimCore(entities: DataFrame): DataFrame = {
-    // id text staged as a column before encoding: encodeTextCol references
-    // its input ~10× across the when-chain, and inlining the variant_get
-    // child would re-walk the variant per reference (measured 12× slowdown)
     val exploded = entities
-      .select(vGetS("$.id").as("id_text"), explode(claimsMap).as(Seq("pid_text", "claims")))
+      .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
       .select(
         IdCodec.encodeTextCol(col("id_text")).as("id"),
-        col("pid_text"), col("claims"))
-      .select(col("id"), IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
+        IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
         explode(col("claims")).as("claim"))
-      .filter(coalesce(variant_get(col("claim"), "$.rank", "string"), lit("normal")) =!= "deprecated")
+      .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
 
-    // THREE variant walks per claim instead of eighteen: cast mainsnak once
-    // into a typed struct, then cast the polymorphic value both as a bare
-    // string and as one wide struct covering every object variant's fields
-    // (absent fields → null) — measured 5× faster cache materialization
+    // the snak is typed by the parse; only the polymorphic value is variant,
+    // cast once as a bare string and once as one wide struct covering every
+    // object variant's fields (absent fields → null)
     val staged = exploded.select(
-      col("id"), col("property_id"),
-      try_variant_get(col("claim"), "$.mainsnak",
-        "struct<snaktype:string, datavalue:struct<type:string, value:variant>>").as("snak"))
+      col("id"), col("property_id"), col("claim.mainsnak").as("snak"))
 
     val WideValue =
       "struct<text:string,language:string,id:string,latitude:double,longitude:double," +
@@ -148,11 +138,9 @@ object WikidataEtl {
     * (reference: src/main.rs:78-84). */
   def meta(entities: DataFrame): DataFrame =
     entities.select(
-      vGetS("$.id").as("id_text"),
-      vGetS("$.labels.en.value").as("label"),
-      vGetS("$.descriptions.en.value").as("description"))
-      .select(IdCodec.encodeTextCol(col("id_text")).as("id"),
-        col("label"), col("description"))
+      IdCodec.encodeTextCol(col(s"$E.id")).as("id"),
+      col(s"$E.labels.en.value").as("label"),
+      col(s"$E.descriptions.en.value").as("description"))
       .filter(col("id").isNotNull)
 
   /** Wikidata entity URI or bare id → encoded id (globes/units arrive as
@@ -232,13 +220,17 @@ object WikidataEtl {
   def unknownTable(core: DataFrame): DataFrame =
     core.filter(col("snaktype") === "somevalue").select("id", "property_id")
 
-  /** Full pipeline: parsed entities → all 8 tables. `cache=true` persists the
-    * exploded claim core so the 8 sinks share one dump scan (the distributed
-    * analogue of the reference's single pass). */
+  /** Full pipeline: parsed entities → all 8 tables. `cache=true` persists
+    * the PARSED entity structs so all 8 sinks — meta included, which the
+    * exploded core cannot serve (it is pre-explode, per-entity grain) —
+    * share one dump scan (the distributed analogue of the reference's
+    * single pass). Claim consumers re-explode from the cache: in-memory
+    * codegen'd explode per sink is cheap; a second dump scan is not. */
   def run(entities: DataFrame, cache: Boolean = true): WikidataTables = {
-    val core = if (cache) claimCore(entities).cache() else claimCore(entities)
+    val src  = if (cache) entities.cache() else entities
+    val core = claimCore(src)
     WikidataTables(
-      meta = meta(entities),
+      meta = meta(src),
       string = stringTable(core),
       entity = entityTable(core),
       coordinates = coordinatesTable(core),
@@ -246,7 +238,7 @@ object WikidataEtl {
       time = timeTable(core),
       none = noneTable(core),
       unknown = unknownTable(core),
-      core = if (cache) Some(core) else None)
+      core = if (cache) Some(src) else None)
   }
 
   /** End-to-end: dump path → parquet tables at `outDir`. The cached claim

@@ -64,6 +64,29 @@ class IdCodecSpec extends SparkSpec {
     columnar.toSeq shouldBe scalar
   }
 
+  test("native encode agrees with the SQL when-chain formulation on edge shapes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val edge = Seq(
+      "", "Q", "P", "L", "-", "Q-", "L-", "L-F2", "L1-", "L1-F", "L1-X2",
+      "Q-42", "Q+42", "P+7", "Q 42", "q 9 ", "L1-F2-S3", "L1--F2", "--",
+      "Q" + "9" * 18, "Q" + "9" * 19, "L" + "8" * 18 + "-F2",
+      "Qbroken", "QQ1", "L1-f2", "l1-s2", "P31x", " Q42")
+    val fuzz = Seq.fill(400)(Seq.fill(1 + rng.nextInt(10))(
+      "QPLFSqplfs-+ 0123456789x".charAt(rng.nextInt(24))).mkString)
+    val ids = edge ++ fuzz
+    val rows = ids.toDF("t")
+      .select(IdCodec.encodeTextCol(col("t")).as("native"),
+        IdCodec.encodeTextColSql(col("t")).as("sql"))
+      .collect()
+    for ((r, id) <- rows.zip(ids)) {
+      withClue(s"id='$id': ") {
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) shouldBe
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }
+    }
+  }
+
   test("columnar encode/decode agrees with scalar") {
     import spark.implicits._
     val ids = Seq("Q42", "P31", "L234", "L99-F2", "L99-S1", "q7", "l3-f1", "junk")
