@@ -579,6 +579,42 @@ object Relational {
           emit(sum(money(col("l_extendedprice")))).as("total"))
     },
 
+    "r39_aqe_skew_join" -> { (s, dir) =>
+      // AQE runtime skew split, the complement of R16's static salting: a
+      // deliberately skewed fact join (~3/4 of lineitem maps to key 0)
+      // whose VALUES are optimization-independent and hash-gated here; that
+      // the AQE OptimizeSkewedJoin rule actually splits the hot partition
+      // (SortMergeJoin ... skew=true in the EXECUTED plan) is asserted
+      // under forced thresholds in AqeSkewSpec — the r38 proof pattern.
+      // At production scale this is the no-code-change answer to skew the
+      // static salt can't know about at plan time. Two shape constraints
+      // learned the hard way, both now load-bearing in this gate:
+      // (1) the final aggregate groups on a DERIVED bucket, not the join
+      //     key — requiring the join's own partitioning downstream would
+      //     (correctly) veto the split, AQE only breaks a partition whose
+      //     guarantee nothing above it needs; (2) the right side is a plain
+      //     scan, not an aggregate — OptimizeSkewedJoin matches
+      //     Sort(ShuffleQueryStage) children, and a final-agg node between
+      //     them structurally disables the rule.
+      // the skewed fact is a 32-partition range, not a parquet scan: skew
+      // splitting works at MAP-OUTPUT granularity, and the gate-SF parquet
+      // is one row group = one map task, leaving the hot partition
+      // indivisible however skewed. range(…, 32) restores the
+      // many-map shape a production scan has, deterministically.
+      val t = Tables(s, dir)
+      val l = s.range(0, 200000, 1, 32).select(
+        when(col("id") % 4 < 3, lit(0L))
+          .otherwise((col("id") % 64).cast("long")).as("k"),
+        ((col("id") % 97).cast("double") * lit(0.25)).as("qty"))
+      val n = t.nation.select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      l.join(n, "k")
+        .withColumn("bucket", col("k") % 8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          emit(sum(money(col("qty")))).as("qty"),
+          max(col("n_name")).as("top_nation"))
+    },
+
     "r24_hll_sketch" -> { (s, dir) =>
       // Mergeable distinct sketches (Apache DataSketches HLL via Spark's
       // hll_sketch_agg): per-event_type sketches built in one pass over the
@@ -940,6 +976,20 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // R39: the skew-key mapping re-derived; keys are non-negative so plain
+    // % matches Spark's %, and counts are BIGINT on both engines.
+    "r39_aqe_skew_join" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN id % 4 < 3 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(id % 64 AS BIGINT) END AS k,
+        |         CAST(id % 97 AS DOUBLE) * 0.25 AS qty
+        |  FROM range(0, 200000) t(id))
+        |SELECT CAST(k % 8 AS BIGINT) AS bucket, count(*) AS n_rows,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  max(n_name) AS top_nation
+        |FROM l JOIN nation ON l.k = CAST(n_nationkey AS BIGINT)
+        |GROUP BY 1""".stripMargin,
 
     // R37: DuckDB's ->> JSON extraction mirrors the path extract; sums
     // wrapped back to BIGINT (DuckDB widens to HUGEINT). TRY_CAST mirrors
