@@ -317,13 +317,19 @@ object EventStreams {
     * per-key `seqCol`) into hash-bucketed versioned parquet state via
     * `foreachBatch` — the streaming form of R25's upsert, one
     * [[cdcApplyBatch]] per micro-batch. Returns the running query; read the
-    * live table with [[cdcCurrent]]. */
+    * live table with [[cdcCurrent]].
+    *
+    * `afterBatch(id)` runs after the batch's state version is written but
+    * BEFORE the checkpoint commits the batch — metrics/listeners hook, and
+    * the crash-injection point CrashRecoverySpec uses to prove the
+    * write-then-crash-then-replay path rebuilds identical state. */
   def cdcApplyStream(spark: SparkSession, changes: DataFrame, keyCols: Seq[String],
-      seqCol: String, stateDir: String,
-      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+      seqCol: String, stateDir: String, nBuckets: Int = 64,
+      afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
     changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         cdcApplyBatch(spark, batch.toDF(), id, keyCols, seqCol, stateDir, nBuckets)
+        afterBatch(id)
       }
       .option("checkpointLocation", s"$stateDir/_ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -398,13 +404,15 @@ object EventStreams {
   /** X9: drain a CDC change stream (op ∈ I/D; updates arrive as D-old +
     * I-new) into a continuously-maintained grouped (count, sums) rollup —
     * a streaming materialized view. One [[ivmApplyBatch]] per micro-batch;
-    * read the live rollup with [[ivmCurrent]]. */
+    * read the live rollup with [[ivmCurrent]]. `afterBatch`: see
+    * [[cdcApplyStream]] — the post-write, pre-commit hook. */
   def ivmApplyStream(spark: SparkSession, changes: DataFrame, keys: Seq[String],
-      opCol: String, sumCols: Seq[String],
-      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      opCol: String, sumCols: Seq[String], stateDir: String,
+      afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
     changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         ivmApplyBatch(spark, batch.toDF(), id, keys, opCol, sumCols, stateDir)
+        afterBatch(id)
       }
       .option("checkpointLocation", s"$stateDir/_ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
