@@ -23,11 +23,13 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape: per round, shuffles are groupBy(node) + join-back on node —
   * edge-count volume, no materialized component membership, nothing on the
   * driver but the O(1) convergence fingerprint. Rounds are localCheckpoint'd
-  * (lineage truncation — see the note in `run`); on a real cluster where an
-  * executor loss mid-algorithm must be survivable, swap `localCheckpoint`
-  * for reliable `checkpoint` with `sparkContext.setCheckpointDir` on the
-  * shared filesystem — same truncation semantics, durable blocks (the
-  * standard trade; local is the right default for speed).
+  * (lineage truncation — see the note in `run`); `reliable = true` swaps
+  * `localCheckpoint` for reliable `checkpoint` (requires
+  * `sparkContext.setCheckpointDir` on the shared filesystem) — same
+  * truncation semantics, durable blocks, so an executor loss mid-algorithm
+  * costs a task retry instead of the whole run (local blocks die with
+  * their executor and truncated lineage cannot recompute them). Local
+  * stays the default for speed; spec'd equal output either way.
   */
 object ConnectedComponents {
 
@@ -36,7 +38,9 @@ object ConnectedComponents {
     * must have two numeric columns (any names; first two are used);
     * self-loops are ignored.
     */
-  def run(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 40, reliable: Boolean = false): DataFrame = {
+    def checkpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val Seq(ca, cb) = edges.columns.take(2).toSeq
     // Every round is localCheckpoint'd, NOT merely persisted: with persist()
     // alone each round's LOGICAL plan embeds the previous round's tree
@@ -46,16 +50,15 @@ object ConnectedComponents {
     // truncates lineage to the materialized partitions — the standard move
     // for iterative DataFrame algorithms (same reason GraphFrames
     // checkpoints its CC loop).
-    var e = edges
+    var e = checkpoint(edges
       .select(greatest(col(ca), col(cb)).as("__a"), least(col(ca), col(cb)).as("__b"))
       .filter(col("__a") =!= col("__b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var fp    = fingerprint(e)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true) // materializes
+      val next = checkpoint(smallStar(largeStar(e))) // materializes
       val nfp  = fingerprint(next)
       // a checkpointed round is self-contained — the previous round's blocks
       // can never be read again; release them now (owned, deterministic)
@@ -79,9 +82,10 @@ object ConnectedComponents {
   /** Labels for an explicit node set: nodes absent from `edges` become
     * singleton components (component = own id). `nodes` must have one id
     * column (first column used). */
-  def labels(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def labels(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 40,
+      reliable: Boolean = false): DataFrame = {
     val idCol = nodes.columns.head
-    val comp  = run(edges, maxRounds)
+    val comp  = run(edges, maxRounds, reliable)
     nodes.select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

@@ -697,6 +697,19 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
     },
 
+    "w20_path_closure" -> { (s, dir) =>
+      // transitive property path (P279*-shaped): full reachability closure
+      // of a deterministic 4094-node binary-tree hierarchy (child i →
+      // parent i div 2, depth 11) via path doubling — the ontology-closure
+      // query the reference's single-step search can't express. Oracle is
+      // DuckDB's recursive CTE over the same range; rows are exact pairs,
+      // so the gate hashes the whole closure. O(log diameter) round count
+      // is asserted in PropertyPathSpec.
+      graft.operators.PropertyPath.closure(
+          s.range(2, 4096).select(col("id").as("src"), expr("id div 2").as("dst")))
+        .orderBy("src", "dst")
+    },
+
     "w16_claim_filter" -> { (s, dir) =>
       // claim-value lookup with property filter: claims(id, property, value)
       // ≙ lineitem(l_orderkey, l_partkey, l_quantity) + label join.
@@ -1073,6 +1086,18 @@ object Relational {
         |                     WHERE p_brand = 'Brand#1')
         |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |                     WHERE p_brand = 'Brand#2')""".stripMargin,
+
+    // W20: the same closure via DuckDB's recursive CTE (UNION dedups, so
+    // the recursion terminates at the fixpoint like the doubling does).
+    "w20_path_closure" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id AS src, id // 2 AS dst FROM range(2, 4096) t(id)
+        |), cl AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
+        |)
+        |SELECT src, dst FROM cl""".stripMargin,
 
     "w16_claim_filter" ->
       """SELECT l_orderkey AS id, p_name AS label, l_quantity AS quantity

@@ -32,6 +32,21 @@ final case class QueryApi(tables: WikidataTables) {
         col("id") === col("match_id"), "left_semi")
     }
 
+  /** `wdt:P279*`-style transitive closure over ONE property's entity
+    * edges: every (id, ancestor_id) pair reachable through chained claims
+    * of `propertyId` — the SPARQL `*` path the reference's single-step
+    * conjunctive search (README.md:129-156) naturally grows into. The
+    * entity table is filtered to the property FIRST, so the doubling runs
+    * on the ontology-sized subgraph, never the full claim set; compose with
+    * [[conjunctiveEntitySearch]] by semi-joining against the closure
+    * (e.g. "instance of any subclass of Q"). O(log diameter) rounds —
+    * see [[graft.operators.PropertyPath]]. */
+  def pathClosure(propertyId: Long, reliable: Boolean = false): DataFrame =
+    graft.operators.PropertyPath.closure(
+      tables.entity.filter(col("property_id") === propertyId)
+        .select(col("id"), col("entity_id")),
+      reliable = reliable)
+
   /** Entities whose textual id matches, e.g. byId("Q42"). */
   def byId(textId: String): DataFrame = {
     val encoded = IdCodec.encodeText(textId)

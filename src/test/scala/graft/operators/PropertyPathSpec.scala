@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** W20 path-doubling closure + the reliable-checkpoint flag it shares with
+  * D6's connected components. */
+class PropertyPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  // random DAG: each node i in 2..200 gets 1-2 parents < i
+  private lazy val dagEdges: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    (2 to 200).flatMap { i =>
+      val nParents = 1 + rng.nextInt(2)
+      Seq.fill(nParents)((i.toLong, (1 + rng.nextInt(i - 1)).toLong)).distinct
+    }
+  }
+
+  private def bruteClosure(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(n: Long): Set[Long] = {
+      var seen = Set.empty[Long]
+      var frontier = adj.getOrElse(n, Set.empty)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(m => adj.getOrElse(m, Set.empty)) -- seen
+      }
+      seen
+    }
+    adj.keySet.flatMap(n => reach(n).map(n -> _))
+  }
+
+  test("closure equals brute-force reachability on a random DAG (W20)") {
+    val out = PropertyPath.closure(dagEdges.toDF("child", "parent"))
+      .as[(Long, Long)].collect().toSet
+    out shouldBe bruteClosure(dagEdges)
+  }
+
+  test("doubling converges in O(log diameter) rounds, not O(diameter)") {
+    // a 256-hop chain: frontier BFS would need 256 rounds; doubling needs
+    // ceil(log2(256)) = 8 plus one fixpoint-detection round
+    val chain = (2L to 257L).map(i => (i, i - 1)).toDF("child", "parent")
+    val stats = PropertyPath.closureWithStats(chain)
+    stats.pairs.count() shouldBe 256L * 257 / 2
+    stats.rounds should be <= 9
+  }
+
+  test("reliable checkpoint variant produces identical results (W20 + D6)") {
+    spark.sparkContext.setCheckpointDir(graft.Scratch.fresh("reliable_ckpt"))
+    val local = PropertyPath.closure(dagEdges.toDF("child", "parent"))
+      .as[(Long, Long)].collect().toSet
+    val reliable = PropertyPath.closure(dagEdges.toDF("child", "parent"), reliable = true)
+      .as[(Long, Long)].collect().toSet
+    reliable shouldBe local
+
+    // same flag on connected components (undirected pair graph)
+    val pairs = dagEdges.toDF("a", "b")
+    val ccLocal = ConnectedComponents.run(pairs)
+      .as[(Long, Long)].collect().toSet
+    val ccReliable = ConnectedComponents.run(pairs, reliable = true)
+      .as[(Long, Long)].collect().toSet
+    ccReliable shouldBe ccLocal
+  }
+}
