@@ -340,6 +340,17 @@ object LlmOps {
         TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
     },
 
+    // T16: true merge-table BPE (T3's regex count is the pre-tokenizer;
+    // this applies the checked-in 40-merge table per pre-token). The
+    // DuckDB oracle replays the merge loop as a recursive CTE over the
+    // DISTINCT corpus words, then joins counts back per doc — same
+    // leftmost-lowest-rank-single-merge semantics as the kernel.
+    "t16_bpe_tokens" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text")).as("bpe_true_tokens"))
+    },
+
     "t5_tfidf" -> { (s, dir) =>
       // integer columns only (tf/df exact in any engine); the double tfidf
       // score itself is spec-gated, not hash-gated, to dodge libm ulps
@@ -1432,6 +1443,43 @@ object LlmOps {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    // T16: the merge loop replayed as a recursive CTE — each step merges
+    // the leftmost occurrence of the lowest-rank adjacent pair (ORDER BY
+    // rank, i LIMIT 1), terminating at the no-pair fixpoint, exactly the
+    // kernel's step. Runs over DISTINCT words, then joins per-doc (every
+    // corpus doc has >= 1 token; an all-whitespace doc would need a left
+    // join).
+    "t16_bpe_tokens" ->
+      s"""WITH RECURSIVE
+        |merges(a, b, rank) AS (VALUES ${graft.functions.Bpe.mergeValuesSql()}),
+        |words AS (
+        |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+        |  FROM documents
+        |),
+        |state AS (
+        |  SELECT w, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM words
+        |  UNION ALL
+        |  SELECT s.w,
+        |    s.toks[1:p.i-1] || [s.toks[p.i] || s.toks[p.i+1]] || s.toks[p.i+2:] AS toks
+        |  FROM state s
+        |  JOIN LATERAL (
+        |    SELECT i FROM unnest(range(1, len(s.toks))) AS t(i)
+        |    JOIN merges m ON m.a = s.toks[i] AND m.b = s.toks[i+1]
+        |    ORDER BY m.rank, i LIMIT 1
+        |  ) p ON true
+        |),
+        |final AS (
+        |  SELECT w, len(toks) AS n FROM state s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM unnest(range(1, len(s.toks))) AS t(i)
+        |    JOIN merges m ON m.a = s.toks[i] AND m.b = s.toks[i+1])
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_true_tokens
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+        |      FROM documents) dw
+        |JOIN final USING (w)
+        |GROUP BY doc_id""".stripMargin,
 
     "t5_tfidf" ->
       """WITH toks AS (
