@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -19,6 +19,10 @@ object VectorExpressions {
 
   def hyperplaneBucketNative(v: Column, bits: Int, dim: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(v), bits, dim, seed))
+
+  /** Top-m centroid ids by cosine, (sim desc, cid asc) — see TopCentroids. */
+  def topCentroidsNative(v: Column, centroids: Seq[Array[Double]], m: Int): Column =
+    ColumnBridge.column(TopCentroids(ColumnBridge.expression(v), centroids, m))
 
   private[functions] def isVec(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
@@ -156,4 +160,109 @@ case class HyperplaneBucket(child: Expression, bits: Int, dim: Int, seed: Int)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
+}
+
+/** Top-`m` nearest centroids of a vector by cosine, as an array of centroid
+  * ids ordered (sim desc, cid asc). The codebook is a codegen REFERENCE
+  * OBJECT, not literal sub-expressions: the earlier formulation built
+  * `greatest(struct(cosine(v, lit(c_i)), i) ...)` over every centroid —
+  * k×dim literal doubles inlined into the plan, generated-code size (and
+  * janino compile time) linear in k, hard-capping practical cell counts.
+  * One kernel call keeps plans O(1) in k, which is what lets IVF cell
+  * counts follow the sqrt(n) sizing rule (IvfAnn.ivfPlan) instead of
+  * staying test-sized. Cosine accumulation order matches CosineSimilarity
+  * exactly (ascending i, dot/(sqrt(na)*sqrt(nb))), so assignments agree
+  * bit-for-bit with the literal formulation it replaces. */
+case class TopCentroids(child: Expression, centroids: Seq[Array[Double]], m: Int)
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  require(centroids.nonEmpty, "TopCentroids needs at least one centroid")
+  require(m >= 1, s"m must be >= 1, got $m")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topCentroids expects array<float|double>, got ${child.dataType.sql}")
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.clone()).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    new GenericArrayData(TopCentroids.top(vToDoubles(v), cents, m))
+  }
+
+  private def vToDoubles(v: ArrayData): Array[Double] = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = get(child.dataType, v, i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+    val toDouble = child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) => "true"
+      case _ => "false"
+    }
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("varr")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $c.numElements();
+         |double[] $arr = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = $toDouble ? (double) $c.getFloat($i) : $c.getDouble($i);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TopCentroids.top($arr, $cRef, $m));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
+object TopCentroids {
+  /** Static kernel shared by interpreted + codegen paths: cosine to every
+    * centroid, top-m by (sim desc, cid asc) via bounded insertion. */
+  def top(v: Array[Double], cents: Array[Array[Double]], m: Int): Array[Int] = {
+    val k = cents.length
+    val take = math.min(m, k)
+    val topSim = new Array[Double](take)
+    val topCid = new Array[Int](take)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val ct = cents(c)
+      val n = math.min(v.length, ct.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v(i); val y = ct(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (d == 0.0) 0.0 else dot / d
+      // insertion into the (sim desc, cid asc) top list; strict > keeps the
+      // earlier (smaller) cid on ties
+      var pos = filled
+      while (pos > 0 && sim > topSim(pos - 1)) pos -= 1
+      if (pos < take) {
+        val last = math.min(filled, take - 1)
+        var j = last
+        while (j > pos) { topSim(j) = topSim(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topSim(pos) = sim
+        topCid(pos) = c
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(topCid, filled)
+  }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN — the centroid-bucketed scale path (SURVEY §2.3
@@ -17,15 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Cosine similarity of a vector column against a literal centroid. */
-  private def simTo(vec: Column, centroid: Array[Double]): Column =
-    VectorExpressions.cosineNative(vec, lit(centroid))
+  /** Scale-invariant IVF sizing — the S3 counterpart of Similarity.lshPlan.
+    * cells ~ sqrt(n) balances the per-row assignment cost (O(cells) cosine
+    * evals) against per-query probe volume (O(nprobe · n/cells)); probing a
+    * CONSTANT FRACTION of the cells keeps the probed corpus fraction — and
+    * with it isotropic-corpus recall — constant in n, where a fixed nprobe's
+    * probed fraction would vanish as cells grow (the S2 decay, IVF form).
+    * IvfScaleSpec asserts the law across decades of n and measures recall
+    * non-decay cross-SF. Assignment cost stays O(1) in plan size at any
+    * cell count because TopCentroids carries the codebook as a reference
+    * object, not literal sub-expressions. */
+  final case class IvfPlan(cells: Int, nprobe: Int)
+  def ivfPlan(n: Long, probeFraction: Double = 0.35,
+      minCells: Int = 8, maxCells: Int = 4096): IvfPlan = {
+    val cells = math.min(maxCells,
+      math.max(minCells, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
+    IvfPlan(cells, math.max(2, math.ceil(cells * probeFraction).toInt))
+  }
 
-  /** Nearest-centroid id (and similarity) as a struct column. */
-  private def nearest(vec: Column, cents: Seq[Array[Double]]): Column =
-    greatest(cents.zipWithIndex.map { case (c, i) =>
-      struct(simTo(vec, c).as("sim"), lit(i).as("cid"))
-    }: _*)
+  /** Cell ids of the `m` nearest centroids, (sim desc, cid asc) — one
+    * native kernel call; the codebook rides along as a codegen reference
+    * object so plan size and janino cost are O(1) in the cell count (the
+    * literal `greatest(struct(cosine(v, lit(c)), i)…)` formulation this
+    * replaces inlined k×dim doubles into the plan, capping practical k). */
+  private def topCells(vec: Column, cents: Seq[Array[Double]], m: Int): Column =
+    VectorExpressions.topCentroidsNative(vec, cents, m)
+
+  /** Nearest-centroid id. */
+  private def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column =
+    element_at(topCells(vec, cents, 1), 1)
 
   /** Lloyd's k-means over an embedding column. Deterministic: seeds from the
     * first `k` rows by a hash ordering; distances are cosine. Only centroids
@@ -61,7 +80,7 @@ object IvfAnn {
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
       .toSeq
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("cid", nearest(col("v"), cents).getField("cid"))
+      val assigned = vecs.withColumn("cid", nearestCell(col("v"), cents))
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
@@ -81,18 +100,13 @@ object IvfAnn {
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], k: Int = 5, nprobe: Int = 2): DataFrame = {
     val corpusAssigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("cid", nearest(col("__cv"), centroids).getField("cid"))
-    // per query: top-nprobe cells by centroid similarity
+      .withColumn("cid", nearestCell(col("__cv"), centroids))
+    // per query: top-nprobe cells straight from the kernel — no per-cell
+    // explode, no Window (the old rank-over-explode funneled each query's
+    // k cell rows through a window sort; the kernel returns the nprobe ids)
     val probeCells = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-        .withColumn("cid", explode(array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(simTo(col("__qv"), c).as("sim"), lit(i).as("cid"))
-        }: _*)))
-        .select(col("query_id"), col("__qv"), col("cid.sim").as("__csim"), col("cid.cid").as("cid"))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cid"))))
-        .filter(col("__rk") <= nprobe)
-        .drop("__rk", "__csim"))
+        .withColumn("cid", explode(topCells(col("__qv"), centroids, nprobe))))
     val scored = probeCells.join(corpusAssigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
