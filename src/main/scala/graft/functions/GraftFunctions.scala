@@ -65,6 +65,11 @@ object GraftFunctions {
       info("simhash64", "simhash64(token_hashes) - 64-bit SimHash signature"),
       (args: Seq[Expression]) => SimHash64(args(0))),
 
+    (FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count",
+        "bpe_token_count(text) - true merge-table BPE token count (checked-in vocab)"),
+      (args: Seq[Expression]) => BpeTokenCount(args(0), Bpe.merges)),
+
     (FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(tokens, k) - k-word shingle hashes over a token array"),

@@ -228,13 +228,27 @@ object Similarity {
     * release it with `Caches.releaseAll()` after materializing the result.
     */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.99, bits: Int = 0, tables: Int = 4, dim: Int = 64,
-      knownN: Long = -1L): DataFrame = {
+      threshold: Double = 0.99, bits: Int = 0, tables: Int = 0, dim: Int = 64,
+      knownN: Long = -1L, targetRecall: Double = 0.95): DataFrame = {
     val base = Caches.owned(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val b = if (bits > 0) bits
-      else autoBits(if (knownN >= 0) knownN else base.count(), targetBucket = 16, minBits = 8)
+    // tables = 0 auto-sizes with the same binomial planner as lshTopK, at
+    // radius 0 (dedup buckets BOTH sides, so probe masks would square the
+    // candidate volume — growing tables is the recall knob here) and design
+    // similarity = the dedup threshold: a pair at exactly `threshold` is
+    // the hardest pair the operator promises to find, and a fixed table
+    // count's recall for it decays as occupancy-sized bits grow with n.
+    // Exact copies collide in every table at any size (the d5 gate's
+    // planted structure is sizing-independent).
+    val plan =
+      if (bits > 0 && tables > 0) LshPlan(bits, 0, tables, Double.NaN)
+      else lshPlan(if (knownN >= 0) knownN else base.count(), dim, k = 1,
+        fixedBits = bits, fixedTables = tables, fixedRadius = 0,
+        targetRecall = targetRecall, designSim = threshold,
+        targetBucket = 16, minBits = 8)
+    val b = plan.bits
+    val nTables = plan.tables
     val buckets = base.select(col("id"),
-      explode(array((0 until tables).map(t =>
+      explode(array((0 until nTables).map(t =>
         struct(lit(t).as("table"), hyperplaneBucket(col("vec"), b, dim, seed = 2000 + t).as("bucket"))): _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val pairs = buckets.select(col("table"), col("bucket"), col("id").as("id_a"))

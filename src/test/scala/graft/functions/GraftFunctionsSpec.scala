@@ -35,6 +35,15 @@ class GraftFunctionsSpec extends SparkSpec {
     viaSql shouldBe viaCols
   }
 
+  test("bpe_token_count works in SQL and matches the Column API") {
+    docs.createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql("SELECT id, bpe_token_count(text) AS n FROM fn_docs")
+      .as[(Long, Long)].collect().toSet
+    val viaCols = docs.select(col("id"), Bpe.tokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toSet
+    viaSql shouldBe viaCols
+  }
+
   test("cosine_sim and hyperplane_bucket work in SQL with literal params") {
     val row = spark.sql(
       """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
