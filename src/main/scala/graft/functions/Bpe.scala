@@ -43,11 +43,15 @@ object Bpe {
   def tokenCount(text: Column, mergeTable: Seq[(String, String)] = merges): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), mergeTable))
 
-  /** The VALUES list for a DuckDB oracle over the same table. */
-  def mergeValuesSql(mergeTable: Seq[(String, String)] = merges): String =
+  /** The VALUES list for a DuckDB oracle over the same table (single
+    * quotes doubled — a custom table learned over text with apostrophes
+    * must not break the oracle SQL). */
+  def mergeValuesSql(mergeTable: Seq[(String, String)] = merges): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
     mergeTable.zipWithIndex
-      .map { case ((a, b), r) => s"('$a','$b',$r)" }
+      .map { case ((a, b), r) => s"(${q(a)},${q(b)},$r)" }
       .mkString(", ")
+  }
 }
 
 /** Row kernel shared by the interpreted and codegen paths. Static (object)
@@ -89,9 +93,13 @@ object BpeKernel {
   /** Total BPE token count of a text: lowercase, pre-tokenize into letter
     * runs / digit runs / single symbols (whitespace separates), merge each
     * pre-token. Mirrors the oracle's
-    * `regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')`
-    * (ASCII semantics; the corpus is ASCII). A per-call memo collapses the
-    * heavy repetition natural-language text has. */
+    * `regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')` under
+    * RE2 semantics: `\s` is RE2's ASCII class [\t\n\f\r ] (NOT Java's
+    * Unicode-wide isWhitespace — an ideographic space is a symbol token on
+    * both sides), and the symbol branch advances by CODE POINT so a
+    * non-BMP character (emoji) is one token on both sides, not two
+    * surrogate halves. A per-call memo collapses the heavy repetition
+    * natural-language text has. */
   def count(u: UTF8String, ranks: java.util.HashMap[String, Integer]): Long = {
     val text = u.toString.toLowerCase(java.util.Locale.ROOT)
     val memo = new java.util.HashMap[String, Integer]()
@@ -100,19 +108,25 @@ object BpeKernel {
     val n = text.length
     def isLetter(c: Char) = c >= 'a' && c <= 'z'
     def isDigit(c: Char) = c >= '0' && c <= '9'
-    def isWs(c: Char) = Character.isWhitespace(c)
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
     while (i < n) {
       val c = text.charAt(i)
       if (isWs(c)) i += 1
-      else {
+      else if (isLetter(c) || isDigit(c)) {
         val start = i
         if (isLetter(c)) { while (i < n && isLetter(text.charAt(i))) i += 1 }
-        else if (isDigit(c)) { while (i < n && isDigit(text.charAt(i))) i += 1 }
-        else i += 1
+        else { while (i < n && isDigit(text.charAt(i))) i += 1 }
         val word = text.substring(start, i)
         var cnt = memo.get(word)
         if (cnt == null) { cnt = wordTokens(word, ranks); memo.put(word, cnt) }
         total += cnt.intValue()
+      } else {
+        // symbol pre-token = exactly one code point = exactly one token
+        // (no intra-token pair can exist, so the merge loop is a no-op;
+        // counting directly also keeps surrogate pairs at 1, matching the
+        // oracle's character-indexed split)
+        i += Character.charCount(text.codePointAt(i))
+        total += 1
       }
     }
     total

@@ -171,8 +171,13 @@ case class HyperplaneBucket(child: Expression, bits: Int, dim: Int, seed: Int)
   * One kernel call keeps plans O(1) in k, which is what lets IVF cell
   * counts follow the sqrt(n) sizing rule (IvfAnn.ivfPlan) instead of
   * staying test-sized. Cosine accumulation order matches CosineSimilarity
-  * exactly (ascending i, dot/(sqrt(na)*sqrt(nb))), so assignments agree
-  * bit-for-bit with the literal formulation it replaces. */
+  * exactly (ascending i, dot/(sqrt(na)*sqrt(nb))), so SIMILARITIES agree
+  * bit-for-bit with the literal formulation this replaces. Tie-break on
+  * equal similarity is smallest-cid — deterministic, and the ordering the
+  * probe-selection window used; note the old ASSIGNMENT path
+  * (`greatest(struct(sim, cid))`) broke ties toward the LARGEST cid, so a
+  * zero vector or duplicate centroids may assign to a different (equally
+  * near) cell than before. */
 case class TopCentroids(child: Expression, centroids: Seq[Array[Double]], m: Int)
     extends UnaryExpression {
   import VectorExpressions._

@@ -3,10 +3,13 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Transitive property-path closure — the `wdt:P279*` / `wdt:P31/wdt:P279*`
-  * query shape (reference README.md:129-156 does single-step conjunctive
-  * claims; SPARQL's `*` paths are the natural next ask of the same entity
-  * table). `QueryApi.pathClosure` wires it to the wd2sql surface.
+/** Transitive property-path closure — the `wdt:P279+` reachability core of
+  * the `wdt:P279*` / `wdt:P31/wdt:P279*` query shape (reference
+  * README.md:129-156 does single-step conjunctive claims; SPARQL's paths
+  * are the natural next ask of the same entity table). NOTE: `closure`
+  * returns pairs at >= 1 hops (`+` semantics); SPARQL `*` additionally
+  * includes the zero-hop (x, x) pairs — `QueryApi.pathClosure`, which
+  * wires this to the wd2sql surface, adds them by default.
   *
   * Algorithm: path doubling. Round k holds every (src, dst) pair within
   * 2^k hops, so the fixpoint lands in O(log diameter) rounds — a frontier

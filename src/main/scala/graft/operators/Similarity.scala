@@ -187,11 +187,20 @@ object Similarity {
       knownN: Long = -1L, probes: Int = -1,
       targetRecall: Double = 0.95, designSim: Double = Double.NaN): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    require(probes <= 3, s"probeMasks supports Hamming radius <= 3, got probes=$probes")
     val plan =
       if (bits > 0 && tables > 0 && probes >= 0) LshPlan(bits, probes, tables, Double.NaN)
-      else lshPlan(if (knownN >= 0) knownN else c.count(), dim, k,
-        fixedBits = bits, fixedTables = tables, fixedRadius = probes,
-        targetRecall = targetRecall, designSim = designSim)
+      else {
+        // explicit bits without knownN: invert the occupancy rule
+        // (bits ≈ log2(n/64)) instead of paying a corpus count() — the
+        // documented pass-bits-explicitly escape hatch must stay pass-free
+        val n = if (knownN >= 0) knownN
+          else if (bits > 0) (1L << math.min(bits, 50)) * 64
+          else c.count()
+        lshPlan(n, dim, k,
+          fixedBits = bits, fixedTables = tables, fixedRadius = probes,
+          targetRecall = targetRecall, designSim = designSim)
+      }
     val b = plan.bits
     val nTables = plan.tables
     def bucketed(df: DataFrame, id: String, vec: String, masks: Seq[Int]): DataFrame =

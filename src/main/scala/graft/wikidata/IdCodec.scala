@@ -91,38 +91,32 @@ object IdCodec {
     * and codegen paths: Long.MinValue = malformed (never a valid id — all
     * encodings are small positive sums). Semantics mirror the SQL
     * formulation in `encodeTextColSql` exactly: number fields are parsed
-    * with Spark cast-to-long rules (surrounding ASCII-space trim, optional
-    * sign, digits) over at most 18 characters, the lexeme number comes from
-    * before the FIRST dash, the sub-id from after the LAST. */
+    * with Spark's own ANSI cast-to-long (UTF8String.toLongExact — the
+    * try_cast path: whitespace/ISO-control trim, optional sign, decimal
+    * tails rejected) over at most 18 characters, the lexeme number comes
+    * from before the FIRST dash, the sub-id from after the LAST. */
   val Invalid: Long = Long.MinValue
   def encodePrim(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    import org.apache.spark.unsafe.types.UTF8String
     val n = u.numBytes()
     if (n < 1) return Invalid
     def upper(b: Byte): Int = if (b >= 'a' && b <= 'z') b - 32 else b.toInt
-    // Spark-cast-compatible long parse over bytes [from, until) capped at 18
-    // chars (the substring(_, 2, 18) bound of the SQL formulation)
+    // Cast-to-long of bytes [from, until) capped at 18 chars (the
+    // substring(_, 2, 18) bound of the SQL formulation), DELEGATED to
+    // Spark's own UTF8String.toLongExact — the ANSI try_cast path the SQL
+    // formulation uses — so whitespace/ISO-control trimming, signs, and
+    // decimal-tail REJECTION ("1.5" → null) match by construction rather
+    // than by reimplementation (a hand parse diverged on "Q\t42", and the
+    // legacy toLong would diverge the other way on "Q1.5").
     def num(from0: Int, until0: Int): Long = {
-      var from = from0
-      var until = math.min(until0, from0 + 18)
-      while (from < until && u.getByte(from) == ' ') from += 1
-      while (until > from && u.getByte(until - 1) == ' ') until -= 1
-      if (from >= until) return Invalid
-      var neg = false
-      u.getByte(from) match {
-        case '+' => from += 1
-        case '-' => neg = true; from += 1
-        case _   =>
-      }
-      if (from >= until) return Invalid
-      var v = 0L
-      var i = from
-      while (i < until) {
-        val b = u.getByte(i)
-        if (b < '0' || b > '9') return Invalid
-        v = v * 10 + (b - '0')
-        i += 1
-      }
-      if (neg) -v else v
+      val until = math.min(until0, from0 + 18)
+      if (from0 >= until) return Invalid
+      val len = until - from0
+      val bytes = new Array[Byte](len)
+      var i = 0
+      while (i < len) { bytes(i) = u.getByte(from0 + i); i += 1 }
+      try UTF8String.fromBytes(bytes).toLongExact
+      catch { case _: NumberFormatException => Invalid }
     }
     var firstDash = -1
     var lastDash = -1

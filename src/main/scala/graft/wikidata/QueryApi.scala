@@ -32,20 +32,32 @@ final case class QueryApi(tables: WikidataTables) {
         col("id") === col("match_id"), "left_semi")
     }
 
-  /** `wdt:P279*`-style transitive closure over ONE property's entity
-    * edges: every (id, ancestor_id) pair reachable through chained claims
-    * of `propertyId` — the SPARQL `*` path the reference's single-step
+  /** `wdt:P279*` transitive closure over ONE property's entity edges:
+    * every (id, ancestor_id) pair reachable through chained claims of
+    * `propertyId` — the SPARQL `*` path the reference's single-step
     * conjunctive search (README.md:129-156) naturally grows into. The
     * entity table is filtered to the property FIRST, so the doubling runs
     * on the ontology-sized subgraph, never the full claim set; compose with
     * [[conjunctiveEntitySearch]] by semi-joining against the closure
     * (e.g. "instance of any subclass of Q"). O(log diameter) rounds —
-    * see [[graft.operators.PropertyPath]]. */
-  def pathClosure(propertyId: Long, reliable: Boolean = false): DataFrame =
-    graft.operators.PropertyPath.closure(
-      tables.entity.filter(col("property_id") === propertyId)
-        .select(col("id"), col("entity_id")),
-      reliable = reliable)
+    * see [[graft.operators.PropertyPath]].
+    *
+    * `reflexive = true` (default) is the SPARQL `*` semantics: zero-hop
+    * (id, id) pairs for every node in the subgraph are included, so
+    * "instance of any subclass of Q" keeps Q's DIRECT instances. Pass
+    * false for strict `+` (>= 1 hop) reachability. */
+  def pathClosure(propertyId: Long, reliable: Boolean = false,
+      reflexive: Boolean = true): DataFrame = {
+    val edges = tables.entity.filter(col("property_id") === propertyId)
+      .select(col("id"), col("entity_id"))
+    val plus = graft.operators.PropertyPath.closure(edges, reliable = reliable)
+    if (!reflexive) plus
+    else plus.unionByName(
+      edges.select(col("id").cast("long").as("src"))
+        .unionByName(edges.select(col("entity_id").cast("long").as("src")))
+        .filter(col("src").isNotNull).distinct()
+        .select(col("src"), col("src").as("dst")))
+  }
 
   /** Entities whose textual id matches, e.g. byId("Q42"). */
   def byId(textId: String): DataFrame = {

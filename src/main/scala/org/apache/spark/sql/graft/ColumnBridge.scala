@@ -21,16 +21,29 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
 
-  /** Release the storage blocks behind a `localCheckpoint(eager = true)`'d
+  /** Release the storage behind a `checkpoint`/`localCheckpoint(eager)`'d
     * frame. `Dataset.unpersist` only talks to the CacheManager and cannot
-    * reach checkpoint blocks; the RDD handle lives inside the `LogicalRDD`
-    * the checkpoint rewrote the plan to. No-op for non-checkpointed frames.
+    * reach checkpoint storage; the RDD handle lives inside the `LogicalRDD`
+    * the checkpoint rewrote the plan to. Local checkpoints release their
+    * block-manager blocks; RELIABLE checkpoints additionally delete their
+    * files from the checkpoint filesystem — Spark itself only cleans those
+    * via ContextCleaner when `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` is set (default false) and only after GC, so an
+    * iterative algorithm's superseded rounds would otherwise accumulate
+    * rounds × data-set bytes on the shared filesystem. No-op for
+    * non-checkpointed frames.
     * CAUTION: a checkpointed frame has truncated lineage — after this call
     * it can never be computed again; only release frames whose consumers
     * are finished (e.g. superseded rounds of an iterative loop). */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     logicalPlan(df) match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          val path = new org.apache.hadoop.fs.Path(dir)
+          val conf = df.sparkSession.sparkContext.hadoopConfiguration
+          path.getFileSystem(conf).delete(path, true): Unit
+        }
       case _ => ()
     }
 }

@@ -47,12 +47,21 @@ class PropertyPathSpec extends SparkSpec {
   }
 
   test("reliable checkpoint variant produces identical results (W20 + D6)") {
-    spark.sparkContext.setCheckpointDir(graft.Scratch.fresh("reliable_ckpt"))
+    val ckptRoot = graft.Scratch.fresh("reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptRoot)
     val local = PropertyPath.closure(dagEdges.toDF("child", "parent"))
       .as[(Long, Long)].collect().toSet
     val reliable = PropertyPath.closure(dagEdges.toDF("child", "parent"), reliable = true)
       .as[(Long, Long)].collect().toSet
     reliable shouldBe local
+    // superseded rounds' checkpoint FILES must be deleted as the loop
+    // advances (Spark's own cleaner only runs with cleanCheckpoints=true
+    // and after GC) — only the returned fixpoint frame's rdd dir survives
+    def rddDirs: Seq[java.io.File] =
+      Option(new java.io.File(ckptRoot).listFiles()).toSeq.flatten
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    rddDirs.size shouldBe 1
 
     // same flag on connected components (undirected pair graph)
     val pairs = dagEdges.toDF("a", "b")

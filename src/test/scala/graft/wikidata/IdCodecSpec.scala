@@ -71,7 +71,9 @@ class IdCodecSpec extends SparkSpec {
       "", "Q", "P", "L", "-", "Q-", "L-", "L-F2", "L1-", "L1-F", "L1-X2",
       "Q-42", "Q+42", "P+7", "Q 42", "q 9 ", "L1-F2-S3", "L1--F2", "--",
       "Q" + "9" * 18, "Q" + "9" * 19, "L" + "8" * 18 + "-F2",
-      "Qbroken", "QQ1", "L1-f2", "l1-s2", "P31x", " Q42")
+      "Qbroken", "QQ1", "L1-f2", "l1-s2", "P31x", " Q42",
+      // cast-semantics edges: decimal-tail truncation and control-char trim
+      "Q1.5", "Q\t42", "Q42\n", "P7.9", "L2.5-F1", "Q.", "Q-1.5")
     val fuzz = Seq.fill(400)(Seq.fill(1 + rng.nextInt(10))(
       "QPLFSqplfs-+ 0123456789x".charAt(rng.nextInt(24))).mkString)
     val ids = edge ++ fuzz
