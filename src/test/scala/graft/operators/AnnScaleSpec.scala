@@ -41,6 +41,29 @@ class AnnScaleSpec extends SparkSpec {
     }
   }
 
+  test("planner sheds bits when caps cannot reach the target (the n^rho fallback)") {
+    // a brutally far design point (cos 0.15 -> p ~ 0.45): even radius 3 at
+    // max tables cannot reach 0.95 at occupancy bits for a huge corpus, so
+    // the planner must trade bucket size for recall instead of silently
+    // returning a config it predicts will miss
+    val plan = Similarity.lshPlan(1_000_000_000L, dim = 64, k = 10, designSim = 0.15)
+    val occupancyBits = Similarity.autoBits(1_000_000_000L, targetBucket = 64, minBits = 4)
+    withClue(s"plan=$plan occupancyBits=$occupancyBits: ") {
+      plan.bits should be < occupancyBits
+      // either the shed recovered the target, or it bottomed out at
+      // minBits with the config maxed — never a quiet middle ground
+      if (plan.predictedRecall < 0.95) {
+        plan.bits shouldBe 4
+        plan.tables shouldBe 48
+        plan.radius shouldBe 3
+      }
+    }
+    // pinned tables disable shedding: the caller owns that trade
+    val pinned = Similarity.lshPlan(1_000_000_000L, dim = 64, k = 10,
+      designSim = 0.15, fixedTables = 4)
+    pinned.bits shouldBe occupancyBits
+  }
+
   test("measured LSH recall >= 0.9 at sf0.001 and sf0.1 and does not decay across 100x (S2)") {
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")
     assume(dirs.forall(d => new java.io.File(d).exists()), "testdata not present")
