@@ -38,6 +38,16 @@ object EtlProbe {
     time("entity table count")(t.entity.count())
     val cached = WikidataEtl.claimCore(parsed).cache()
     time("core cache materialize")(cached.count())
+    // run(cache=true) caches the PARSED structs, not the exploded core —
+    // A/B the encode cost of that cache under the columnar-cache knobs
+    for ((label, compressed) <- Seq(("compressed", "true"), ("raw", "false"))) {
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", compressed)
+      val p = DumpReader.read(spark, path).cache()
+      time(s"parsed cache materialize ($label)")(p.count())
+      time(s"parsed cache re-read core ($label)")(WikidataEtl.claimCore(p).count())
+      p.unpersist(true)
+    }
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
     val t2 = WikidataEtl.run(parsed)
     val out = java.nio.file.Files.createTempDirectory("etlprobe").toString
     time("writeParquet all 8 (shuffled)")(t2.writeParquet(out, 32))
