@@ -340,6 +340,15 @@ object LlmOps {
         TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
     },
 
+    // T17: deterministic global shuffle — keys are pure md5(seed:id), so
+    // the oracle re-derives them exactly; the total-order materialization
+    // (range partition + local sort, no single-partition funnel) is
+    // spec-asserted in SamplingSpec.
+    "t17_global_shuffle" -> { (s, dir) =>
+      Sampling.globalShuffle(Tables(s, dir).documents.select("doc_id"), "doc_id", seed = 7L)
+        .select("doc_id", "shuffle_key")
+    },
+
     // T16: true merge-table BPE (T3's regex count is the pre-tokenizer;
     // this applies the checked-in 40-merge table per pre-token). The
     // DuckDB oracle replays the merge loop as a recursive CTE over the
@@ -1437,6 +1446,10 @@ object LlmOps {
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     "t2_quality" -> t2OracleSql,
+
+    "t17_global_shuffle" ->
+      """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents""".stripMargin,
 
     "t3_tokens" ->
       """SELECT doc_id,

@@ -40,6 +40,33 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** T17: deterministic global corpus shuffle — the training-order
+    * operation every pretraining pipeline runs before packing: examples
+    * must arrive in a reproducible pseudorandom order (same order on any
+    * cluster size, any rerun, any retry — a per-partition RNG gives none
+    * of that), and changing `seed` gives an independent order for the next
+    * epoch without touching the data.
+    *
+    * The order IS the key: shuffle_key = md5(seed ':' id), a pure function
+    * of (seed, id). Materialization is range-partition by key + sort
+    * within partitions — a TOTAL order across output files (file i's keys
+    * all precede file i+1's), so a sequential reader consumes the corpus
+    * in shuffle order with zero coordination, while the sort itself is
+    * distributed (no global window, no single-partition funnel — ordering
+    * by row_number() would ship the corpus through one task).
+    */
+  def shuffleKey(id: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed), id.cast("string")))
+
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+      partitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+    val ranged = if (partitions > 0)
+      keyed.repartitionByRange(partitions, col("shuffle_key"))
+    else keyed.repartitionByRange(col("shuffle_key"))
+    ranged.sortWithinPartitions("shuffle_key")
+  }
+
   /** Deterministic stratified sample: exactly `n` rows per stratum (fewer if
     * the stratum is smaller), chosen by md5(id) order — the training-data
     * "balance by language/source" operation. Membership is a pure function of

@@ -139,4 +139,38 @@ class SamplingSpec extends SparkSpec {
       out(i)._2 shouldBe t6(i)
     }
   }
+
+  test("global shuffle: reproducible, partitioning-invariant, seed-sensitive, totally ordered (T17)") {
+    import spark.implicits._
+    val base = spark.range(0, 1000).select(col("id").as("doc_id"))
+    def order(input: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      // collect() preserves partition order and within-partition order, so
+      // with range partitioning + local sort this IS the total order
+      Sampling.globalShuffle(input, "doc_id", seed).select("doc_id")
+        .as[Long].collect().toSeq
+    val a = order(base.repartition(3), 7L)
+    val b = order(base.repartition(11), 7L)
+    a shouldBe b                       // input partitioning is irrelevant
+    a should not be order(base, 8L)    // next epoch = new order
+    a.sorted shouldBe (0L until 1000L) // a permutation, nothing lost
+    // and it matches an in-memory sort by the same key — the order is the
+    // key, materialization just arranges it
+    val expected = (0L until 1000L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    a shouldBe expected
+    // total order ACROSS partitions: every partition's max key precedes the
+    // next partition's min key (sequential file readers see shuffle order)
+    val bounds = Sampling.globalShuffle(base, "doc_id", 7L)
+      .select("shuffle_key").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val keys = it.map(_.getString(0)).toSeq
+        if (keys.isEmpty) Iterator.empty
+        else Iterator((i, keys.min, keys.max))
+      }.collect().sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Array((_, _, hiPrev), (_, loNext, _)) => assert(hiPrev <= loNext)
+      case _ =>
+    }
+  }
 }
