@@ -379,6 +379,25 @@ object LlmOps {
         .select("doc_id", "split")
     },
 
+    "p6_ontology_curation" -> { (s, dir) =>
+      // ontology-aware curation: W20's closure over the deterministic
+      // binary-tree ontology (child i -> parent i div 2, leaves
+      // 2048..4095) selects docs whose topic sits under root node 2
+      // (half the leaf space — topics are hash-spread, so the selection
+      // bites at every SF), then splits by the depth-3 ancestor tier
+      // (nodes 8..15; under root 2 that's 8..11). Topic, ancestor and
+      // split are all pure functions of doc_id, so DuckDB re-derives the
+      // whole pipeline via a recursive CTE + the shared md5 fragments.
+      val docs = Tables(s, dir).documents
+      val topics = docs.select(col("doc_id"),
+        (lit(2048L) + pmod(Sampling.hashUnit(col("doc_id")), lit(2048L))).as("topic"))
+      val edges = s.range(2, 4096).select(col("id").as("src"), expr("id div 2").as("dst"))
+      val groups = s.range(8, 16).select(col("id").as("node"))
+      Sampling.ontologySafeSplits(topics, "topic", edges, root = 2L, groups, SplitSpec)
+        .select("doc_id", "topic", "component", "split")
+        .orderBy("doc_id")
+    },
+
     "t7_stratified_sample" -> { (s, dir) =>
       // deterministic per-language quota (the "balance by language/source"
       // op): 5 docs per lang chosen by md5(id) order — pure function of the
@@ -953,6 +972,34 @@ object LlmOps {
     "t6_hash_split" -> t6OracleSql,
     "p3_prep_pipeline" -> p3OracleSql,
     "p5_curation_v2" -> p5OracleSql,
+
+    // P6: W20's recursive-CTE closure fragment + T6's shared md5
+    // fragments, chained — topic spread, root-2 selection, depth-3
+    // ancestor grouping and the split case all re-derived exactly.
+    "p6_ontology_curation" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT id AS src, id // 2 AS dst FROM range(2, 4096) t(id)
+         |), cl AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
+         |), topics AS (
+         |  SELECT doc_id, 2048 + (${md5UnitSql("doc_id")} % 2048) AS topic
+         |  FROM documents
+         |), sel AS (
+         |  SELECT doc_id, topic FROM topics
+         |  WHERE topic IN (SELECT src FROM cl WHERE dst = 2)
+         |), comp AS (
+         |  SELECT doc_id, topic,
+         |    coalesce((SELECT min(m.dst) FROM (
+         |      SELECT src, dst FROM cl WHERE dst BETWEEN 8 AND 15
+         |      UNION SELECT id AS src, id AS dst FROM range(8, 16) t(id)) m
+         |      WHERE m.src = sel.topic), topic) AS component
+         |  FROM sel
+         |)
+         |SELECT doc_id, topic, component, $splitCaseSql AS split
+         |FROM (SELECT doc_id, topic, component, ${md5UnitSql("component")} AS u
+         |      FROM comp)""".stripMargin,
 
     // X5 batch equivalent: the planted subset of keep-first-per-simhash
     // drops is structurally the full copy set (see the gate comment).

@@ -161,6 +161,49 @@ object Sampling {
         "component", splits)
       .withColumnRenamed("id", idCol)
 
+  /** P6: ontology-aware curation — the topical analogue of T15. Select the
+    * documents whose `topicCol` is transitively under `root` in a
+    * (child, parent) category ontology (W20's closure — the wdt:P279+
+    * shape), then assign train/val/test by each topic's ancestor among
+    * `groupNodes` (a chosen mid-level category tier): every document in
+    * the same fine-grained category subtree inherits ONE split, so
+    * near-paraphrase families that live inside a narrow topic can't leak
+    * across the train/eval boundary even when no textual near-dup edge
+    * connects them (the failure T15's pair graph can't see).
+    *
+    * Contract: selection is strict `+` descendants of `root` (a doc whose
+    * topic IS the root is out — topics are normally leaves; pre-union the
+    * reflexive pair if needed). A topic maps to its minimum ancestor-or-
+    * self in `groupNodes` (min makes nested group tiers deterministic);
+    * a topic with no group ancestor keys on itself — T15's singleton rule.
+    *
+    * Scale shape: the closure materializes once over the ONTOLOGY subgraph
+    * (classes, not the 100 TB corpus) with W20's checkpointed doubling;
+    * both derived sides (`root` descendants, group mapping) are
+    * category-sized, so the corpus-side joins are a semi-join and a left
+    * join that AQE broadcasts at runtime — no static hint, per the T11
+    * rule: a hint would be wrong if a category tier ever outgrows the
+    * broadcast budget. The corpus itself never shuffles; the split is
+    * T6's codegen'd projection. */
+  def ontologySafeSplits(docs: DataFrame, topicCol: String, edges: DataFrame,
+      root: Long, groupNodes: DataFrame, splits: Seq[(String, Double)]): DataFrame = {
+    val cl = PropertyPath.closure(edges)
+    val under = cl.filter(col("dst") === root).select(col("src").as(topicCol))
+    val gcol = groupNodes.columns.head
+    val gn = groupNodes.select(col(gcol).cast("long").as("dst"))
+    val mapping = cl.unionByName(gn.select(col("dst").as("src"), col("dst")))
+      .join(gn, Seq("dst"), "left_semi")
+      .groupBy(col("src").as("__topic")).agg(min(col("dst")).as("component"))
+      .select(col("__topic"), col("component"))
+    val selected = docs.join(under, Seq(topicCol), "left_semi")
+    val labeled = selected
+      .join(mapping, selected(topicCol) === mapping("__topic"), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(topicCol).cast("long")))
+      .drop("__topic")
+    assignSplits(labeled, "component", splits)
+  }
+
   /** (name, exclusive upper bound in [0, 2^32]) per split, cumulative. */
   def cumulativeThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     var acc = 0.0

@@ -140,6 +140,65 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("ontologySafeSplits: root selection, group-tier components, singleton fallback (P6)") {
+    import spark.implicits._
+    // ontology:      1
+    //             2     3
+    //           4   5     7        (6 intentionally absent: 7's only child)
+    //          8 9 10      14      group tier = {4, 5, 99}
+    val edges = Seq((2L,1L),(3L,1L),(4L,2L),(5L,2L),(7L,3L),
+      (8L,4L),(9L,4L),(10L,5L),(14L,7L)).toDF("child", "parent")
+    val groups = Seq(4L, 5L, 99L).toDF("node")
+    val docs = Seq(
+      (100L, 8L), (101L, 9L),   // leaves under group 4
+      (102L, 10L),              // leaf under group 5
+      (103L, 4L),               // topic IS a group node -> itself
+      (104L, 5L),
+      (105L, 2L),               // topic == root -> excluded (`+` semantics)
+      (106L, 14L),              // under root 3, not root 2 -> excluded
+      (107L, 42L)               // not in the ontology -> excluded
+    ).toDF("doc_id", "topic")
+    val out = Sampling.ontologySafeSplits(docs, "topic", edges, root = 2L,
+        groups, Seq("train" -> 0.8, "val" -> 0.2))
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    out.map(_._1).toSeq shouldBe Seq(100L, 101L, 102L, 103L, 104L)
+    val comp = out.map(r => r._1 -> r._2).toMap
+    comp(100L) shouldBe 4L; comp(101L) shouldBe 4L   // same subtree
+    comp(102L) shouldBe 5L
+    comp(103L) shouldBe 4L; comp(104L) shouldBe 5L   // ancestor-or-self
+    // same component -> same split, and split ≡ T6 assignment on component
+    val splits = out.map(r => r._2 -> r._3).distinct.groupBy(_._1)
+    splits.values.foreach(_.length shouldBe 1)
+    val expected = Sampling.assignSplits(
+        Seq(4L, 5L).toDF("component"), "component", Seq("train" -> 0.8, "val" -> 0.2))
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (_, c, sp) => sp shouldBe expected(c) }
+    // singleton fallback: with an empty group tier every topic keys on itself
+    val solo = Sampling.ontologySafeSplits(docs, "topic", edges, root = 2L,
+        Seq.empty[Long].toDF("node"), Seq("train" -> 0.8, "val" -> 0.2))
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    solo shouldBe Map(100L -> 8L, 101L -> 9L, 102L -> 10L, 103L -> 4L, 104L -> 5L)
+  }
+
+  test("ontologySafeSplits: corpus-side joins broadcast at runtime via AQE, unhinted (P6 scale shape)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).exists(), "testdata not present")
+    // the operator carries NO static broadcast hint (a category tier can
+    // outgrow the budget — the t11 rule); the category-sized sides must
+    // instead convert to broadcast at runtime once AQE sees their size
+    val df = graft.SparkEntry.queries("p6_ontology_curation")(spark, dir)
+    df.collect()
+    // adaptive toString appends the pre-AQE "== Initial Plan ==" (which
+    // rightly still says SortMergeJoin) — assert on the final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    withClue(s"executed final plan:\n$plan\n") {
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+    }
+  }
+
   test("global shuffle: reproducible, partitioning-invariant, seed-sensitive, totally ordered (T17)") {
     import spark.implicits._
     val base = spark.range(0, 1000).select(col("id").as("doc_id"))
