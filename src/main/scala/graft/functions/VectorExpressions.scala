@@ -24,6 +24,14 @@ object VectorExpressions {
   def topCentroidsNative(v: Column, centroids: Seq[Array[Double]], m: Int): Column =
     ColumnBridge.column(TopCentroids(ColumnBridge.expression(v), centroids, m))
 
+  /** Two-level top-m: scan `superCents`, descend into the `sprobe` nearest
+    * super-cells' member centroids only — see TopCentroidsHier. */
+  def topCentroidsHierNative(v: Column, superCents: Seq[Array[Double]],
+      members: Seq[Array[Int]], centroids: Seq[Array[Double]],
+      sprobe: Int, m: Int): Column =
+    ColumnBridge.column(TopCentroidsHier(ColumnBridge.expression(v),
+      superCents, members, centroids, sprobe, m))
+
   private[functions] def isVec(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
     case _                                    => false
@@ -267,6 +275,130 @@ object TopCentroids {
         if (filled < take) filled += 1
       }
       c += 1
+    }
+    java.util.Arrays.copyOf(topCid, filled)
+  }
+}
+
+/** Two-level (coarse-quantized) variant of [[TopCentroids]], the assignment
+  * kernel that keeps IVF viable past ~4096 cells: a flat scan is O(cells)
+  * cosine evals PER ROW, so at cells = sqrt(n) the assignment pass itself
+  * becomes the 100 TB bottleneck. Here the row is scored against
+  * `superCents` (≈ sqrt(cells) of them), and only the member centroids of
+  * its `sprobe` nearest super-cells are scanned — O(sqrt(cells)) per row at
+  * sprobe ~ const·sqrt(cells)/sqrt(cells). All three tables ride along as
+  * codegen reference objects (plan size O(1) in cell count, the
+  * TopCentroids rule).
+  *
+  * Semantics: approximate — the true nearest cell can hide in an unprobed
+  * super-cell. EXACTNESS INVARIANT (spec'd): with sprobe >= superCents
+  * length every cell is scanned exactly once (membership partitions the
+  * codebook), and the explicit (sim desc, cid asc) tie-break makes the
+  * result identical to the flat kernel's — the hier path degrades to flat,
+  * never to something third. */
+case class TopCentroidsHier(child: Expression, superCents: Seq[Array[Double]],
+    members: Seq[Array[Int]], centroids: Seq[Array[Double]], sprobe: Int, m: Int)
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  require(superCents.nonEmpty && centroids.nonEmpty,
+    "TopCentroidsHier needs at least one super-centroid and one centroid")
+  require(members.length == superCents.length,
+    s"members (${members.length}) must align with superCents (${superCents.length})")
+  require(sprobe >= 1 && m >= 1, s"sprobe/m must be >= 1, got $sprobe/$m")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topCentroidsHier expects array<float|double>, got ${child.dataType.sql}")
+
+  @transient private lazy val supers: Array[Array[Double]] = superCents.map(_.clone()).toArray
+  @transient private lazy val mems: Array[Array[Int]] = members.map(_.clone()).toArray
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.clone()).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) { arr(i) = get(child.dataType, v, i); i += 1 }
+    new GenericArrayData(TopCentroidsHier.top(arr, supers, mems, cents, sprobe, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("ivfSuperCents", supers, "double[][]")
+    val mRef = ctx.addReferenceObj("ivfMembers", mems, "int[][]")
+    val cRef = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+    val toDouble = child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) => "true"
+      case _ => "false"
+    }
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("varr")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $c.numElements();
+         |double[] $arr = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = $toDouble ? (double) $c.getFloat($i) : $c.getDouble($i);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TopCentroidsHier.top($arr, $sRef, $mRef, $cRef, $sprobe, $m));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroidsHier =
+    copy(child = newChild)
+}
+
+object TopCentroidsHier {
+  /** Static kernel shared by interpreted + codegen paths. Member scan order
+    * follows the probed super-cells, NOT ascending cid, so the tie-break is
+    * explicit (sim desc, cid asc) — this is what makes full-sprobe output
+    * identical to [[TopCentroids.top]], whose ascending scan + strict `>`
+    * encodes the same ordering implicitly. */
+  def top(v: Array[Double], supers: Array[Array[Double]],
+      members: Array[Array[Int]], cents: Array[Array[Double]],
+      sprobe: Int, m: Int): Array[Int] = {
+    val sTop = TopCentroids.top(v, supers, math.min(sprobe, supers.length))
+    val take = math.min(m, cents.length)
+    val topSim = new Array[Double](take)
+    val topCid = new Array[Int](take)
+    var filled = 0
+    var si = 0
+    while (si < sTop.length) {
+      val mem = members(sTop(si))
+      var mi = 0
+      while (mi < mem.length) {
+        val cid = mem(mi)
+        val ct = cents(cid)
+        val n = math.min(v.length, ct.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = v(i); val y = ct(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val d = math.sqrt(na) * math.sqrt(nb)
+        val sim = if (d == 0.0) 0.0 else dot / d
+        var pos = filled
+        while (pos > 0 && (sim > topSim(pos - 1) ||
+            (sim == topSim(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+        if (pos < take) {
+          val last = math.min(filled, take - 1)
+          var j = last
+          while (j > pos) { topSim(j) = topSim(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+          topSim(pos) = sim
+          topCid(pos) = cid
+          if (filled < take) filled += 1
+        }
+        mi += 1
+      }
+      si += 1
     }
     java.util.Arrays.copyOf(topCid, filled)
   }

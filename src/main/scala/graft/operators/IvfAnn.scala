@@ -28,11 +28,18 @@ object IvfAnn {
     * object, not literal sub-expressions. */
   final case class IvfPlan(cells: Int, nprobe: Int)
   def ivfPlan(n: Long, probeFraction: Double = 0.35,
-      minCells: Int = 8, maxCells: Int = 4096): IvfPlan = {
+      minCells: Int = 8, maxCells: Int = 1 << 20): IvfPlan = {
     val cells = math.min(maxCells,
       math.max(minCells, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
     IvfPlan(cells, math.max(2, math.ceil(cells * probeFraction).toInt))
   }
+
+  /** Above this cell count the flat per-row codebook scan (O(cells) cosine
+    * evals) is itself the scale bottleneck and [[topK]] switches to the
+    * two-level TopCentroidsHier kernel — O(sqrt(cells)) per row. The former
+    * ivfPlan maxCells=4096 cap existed only to bound that flat scan; with
+    * the hier path cells follow sqrt(n) to 2^20 (n ~ 10^12). */
+  val FlatScanCap = 4096
 
   /** Cell ids of the `m` nearest centroids, (sim desc, cid asc) — one
     * native kernel call; the codebook rides along as a codegen reference
@@ -96,17 +103,81 @@ object IvfAnn {
     cents
   }
 
-  /** S3: IVF top-k — probe the `nprobe` nearest cells per query. */
+  /** Driver-side coarse quantizer OVER the codebook: Lloyd on the centroids
+    * themselves (they are already driver-resident — trainCentroids collects
+    * exactly this matrix), superK ~ sqrt(cells). Deterministic: seeds are
+    * evenly strided cids, cosine metric with the kernel's own (sim desc,
+    * id asc) tie-break, fixed iterations. Returns (superCents, members)
+    * where `members` partitions 0..cells-1 (every cell in exactly one
+    * super-cell — the hier kernel's full-probe exactness depends on it). */
+  def coarsen(cents: Seq[Array[Double]], superK: Int = 0,
+      iters: Int = 3): (Seq[Array[Double]], Seq[Array[Int]]) = {
+    val ca = cents.toArray
+    val k = ca.length
+    val s = math.min(k,
+      if (superK > 0) superK else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt))
+    var supers = Array.tabulate(s)(j => ca(j * k / s).clone())
+    var assign = new Array[Int](k)
+    for (round <- 0 to iters) {
+      var i = 0
+      while (i < k) {
+        assign(i) = graft.functions.TopCentroids.top(ca(i), supers, 1)(0)
+        i += 1
+      }
+      // the last pass only (re)assigns against the final supers — members
+      // must reflect the centroids actually shipped in the kernel
+      if (round < iters) {
+        val sums = Array.fill(s)(null: Array[Double])
+        val counts = new Array[Int](s)
+        i = 0
+        while (i < k) {
+          val j = assign(i)
+          if (sums(j) == null) sums(j) = new Array[Double](ca(i).length)
+          val v = ca(i)
+          var d = 0
+          while (d < math.min(v.length, sums(j).length)) { sums(j)(d) += v(d); d += 1 }
+          counts(j) += 1
+          i += 1
+        }
+        supers = Array.tabulate(s)(j =>
+          if (counts(j) == 0) supers(j)  // empty super-cells keep their centroid
+          else sums(j).map(_ / counts(j)))
+      }
+    }
+    val members = Array.fill(s)(Vector.newBuilder[Int])
+    assign.indices.foreach(i => members(assign(i)) += i)
+    (supers.toSeq, members.map(_.result().toArray).toSeq)
+  }
+
+  /** S3: IVF top-k — probe the `nprobe` nearest cells per query. Above
+    * [[FlatScanCap]] cells both assignment and probe selection go through
+    * the two-level kernel: `sprobe` super-cells are descended into
+    * (default a constant fraction of them — the same constant-probed-
+    * fraction law that keeps nprobe recall scale-invariant, one level up;
+    * pass `sprobe >= superK` to force exact flat-equivalent assignment). */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Array[Double]], k: Int = 5, nprobe: Int = 2): DataFrame = {
+      centroids: Seq[Array[Double]], k: Int = 5, nprobe: Int = 2,
+      sprobe: Int = 0, superProbeFraction: Double = 0.5,
+      flatScanCap: Int = FlatScanCap): DataFrame = {
+    val coarse = if (centroids.length <= flatScanCap) None else {
+      val (supers, members) = coarsen(centroids)
+      val sp = if (sprobe > 0) sprobe
+        else math.max(2, math.ceil(supers.length * superProbeFraction).toInt)
+      Some((supers, members, sp))
+    }
+    def cellsOf(vec: Column, m: Int): Column = coarse match {
+      case Some((sup, mem, sp)) =>
+        VectorExpressions.topCentroidsHierNative(vec, sup, mem, centroids, sp, m)
+      case None => topCells(vec, centroids, m)
+    }
     val corpusAssigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("cid", nearestCell(col("__cv"), centroids))
+      .withColumn("cid", element_at(cellsOf(col("__cv"), 1), 1))
     // per query: top-nprobe cells straight from the kernel — no per-cell
     // explode, no Window (the old rank-over-explode funneled each query's
     // k cell rows through a window sort; the kernel returns the nprobe ids)
     val probeCells = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-        .withColumn("cid", explode(topCells(col("__qv"), centroids, nprobe))))
+        .withColumn("cid", explode(cellsOf(col("__qv"), nprobe))))
     val scored = probeCells.join(corpusAssigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -16,14 +16,17 @@ class IvfScaleSpec extends SparkSpec {
     val plans = Seq(1e3, 1e4, 1e6, 1e8, 1e10).map { n =>
       val p = IvfAnn.ivfPlan(n.toLong)
       withClue(s"n=$n plan=$p: ") {
-        p.cells should be <= 4096
+        // the cap is no longer the flat-scan bound (4096): past
+        // FlatScanCap cells topK assigns through the two-level kernel,
+        // so cells keep following sqrt(n) to 2^20
+        p.cells should be <= (1 << 20)
         p.cells should be >= 8
         // probed corpus fraction = nprobe/cells stays in a fixed band —
         // this is the recall invariant (a fixed nprobe would vanish)
         val frac = p.nprobe.toDouble / p.cells
         frac should be >= 0.3
         frac should be <= 0.5
-        if (n >= 1e4 && n <= 4096.0 * 4096.0) {
+        if (n >= 1e4 && n <= 1024.0 * 1024.0 * 1024.0 * 1024.0) {
           p.cells shouldBe math.ceil(math.sqrt(n)).toInt
         }
       }
@@ -54,6 +57,56 @@ class IvfScaleSpec extends SparkSpec {
     }
     recalls.foreach(_ should be >= 0.55)
     recalls(1) should be >= recalls(0) - 0.05
+  }
+
+  test("hier kernel: full super-probe EXACTLY reproduces the flat kernel; planned probe finds the planted cell") {
+    import graft.functions.{TopCentroids, TopCentroidsHier}
+    val rnd = new scala.util.Random(12345)
+    val dim = 16
+    val cents: Array[Array[Double]] = Array.fill(5000)(Array.fill(dim)(rnd.nextGaussian()))
+    val (supSeq, memSeq) = IvfAnn.coarsen(cents.toSeq)
+    val sup = supSeq.toArray
+    val mem = memSeq.toArray
+    // membership PARTITIONS the codebook — full-probe exactness depends on it
+    mem.map(_.length).sum shouldBe 5000
+    mem.flatten.toSet.size shouldBe 5000
+    // degradation contract: probing every super-cell scans every cell once,
+    // and the explicit (sim desc, cid asc) tie-break makes the result
+    // bit-identical to the flat kernel — hier degrades to flat, never to
+    // something third
+    for (_ <- 0 until 50) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      TopCentroidsHier.top(v, sup, mem, cents, sup.length, 5).toSeq shouldBe
+        TopCentroids.top(v, cents, 5).toSeq
+    }
+    // assignment quality at the planned sprobe: a query sitting next to a
+    // centroid must find that centroid's cell through the coarse level
+    val sp = math.max(2, math.ceil(sup.length * 0.5).toInt)
+    val hits = (0 until 200).count { _ =>
+      val c = rnd.nextInt(5000)
+      val v = cents(c).map(x => x + 0.05 * rnd.nextGaussian())
+      TopCentroidsHier.top(v, sup, mem, cents, sp, 1).head ==
+        TopCentroids.top(v, cents, 1).head
+    }
+    hits.toDouble / 200 should be >= 0.9
+  }
+
+  test("topK hier path at full super-probe ≡ flat path end to end (S3 assignment exactness)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).exists(), "testdata not present")
+    val base = graft.Tables(spark, dir).embeddings
+    val queries = base.filter(col("vec_id") < 8)
+    val cents = IvfAnn.trainCentroids(base, "embedding", k = 23, iters = 2, knownN = 500L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flat = rows(IvfAnn.topK(queries, base, "vec_id", "embedding", cents, k = 5, nprobe = 8))
+    // flatScanCap = 1 forces the two-level kernel on the same 23-cell
+    // codebook; sprobe >= superK probes every super-cell → must be
+    // identical (same assignment, same probe set, same cosine bits)
+    val hier = rows(IvfAnn.topK(queries, base, "vec_id", "embedding", cents,
+      k = 5, nprobe = 8, sprobe = 23, flatScanCap = 1))
+    hier shouldBe flat
   }
 
   test("probe path has no Window node (S3 scale shape)") {
