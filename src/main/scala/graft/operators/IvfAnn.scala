@@ -67,7 +67,8 @@ object IvfAnn {
     * supplies the corpus row count for the sampling decision (catalog stats
     * / parquet footers); when absent one count() pass determines it. */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
-      sampleCap: Long = 200000, knownN: Long = -1L): Seq[Array[Double]] = {
+      sampleCap: Long = 200000, knownN: Long = -1L,
+      flatScanCap: Int = FlatScanCap): Seq[Array[Double]] = {
     val all = df.select(col(vecCol).as("v"))
     val n = if (knownN >= 0) knownN else all.count()
     val sampled = if (n <= sampleCap) all else {
@@ -87,7 +88,20 @@ object IvfAnn {
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
       .toSeq
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("cid", nearestCell(col("v"), cents))
+      // above flatScanCap the Lloyd assignment itself goes two-level
+      // (re-coarsened each iteration — the codebook moved): approximate
+      // assignment during training is the standard big-codebook k-means
+      // trade; the sampled objective tolerates it and the cost drops
+      // O(sample·k) → O(sample·sqrt(k)) per iteration
+      val assignCol = if (cents.length <= flatScanCap)
+        nearestCell(col("v"), cents)
+      else {
+        val (sup, mem) = coarsen(cents)
+        val sp = math.max(2, math.ceil(sup.length * 0.5).toInt)
+        element_at(VectorExpressions.topCentroidsHierNative(
+          col("v"), sup, mem, cents, sp, 1), 1)
+      }
+      val assigned = vecs.withColumn("cid", assignCol)
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))

@@ -109,6 +109,30 @@ class IvfScaleSpec extends SparkSpec {
     hier shouldBe flat
   }
 
+  test("hier-assigned Lloyd training still yields a working quantizer (S3 training path)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).exists(), "testdata not present")
+    val base = graft.Tables(spark, dir).embeddings
+    val queries = base.filter(col("vec_id") < 16)
+    // flatScanCap = 1 forces every Lloyd iteration through the two-level
+    // assignment; the trained quantizer must still separate the corpus
+    // well enough for planned-nprobe recall (same 0.55 isotropic bound as
+    // the cross-SF test — approximate training assignment may cost a
+    // little recall but must not break the quantizer)
+    val cents = IvfAnn.trainCentroids(base, "embedding", k = 23, iters = 3,
+      knownN = 500L, flatScanCap = 1)
+    cents.length shouldBe 23
+    val exact = Similarity.bruteForceTopK(queries, base, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfAnn.topK(queries, base, "vec_id", "embedding", cents, k = 10, nprobe = 9)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"hier-trained recall=$recall%.4f")
+    recall should be >= 0.55
+  }
+
   test("probe path has no Window node (S3 scale shape)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).exists(), "testdata not present")
