@@ -130,20 +130,22 @@ object IvfAnn {
     val k = ca.length
     val s = math.min(k,
       if (superK > 0) superK else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt))
-    var supers = Array.tabulate(s)(j => ca(j * k / s).clone())
-    var assign = new Array[Int](k)
+    // j.toLong: j * k reaches 2^40 at the 2^20 cell cap — Int would wrap
+    var supers = Array.tabulate(s)(j => ca((j.toLong * k / s).toInt).clone())
+    val assign = new Array[Int](k)
     for (round <- 0 to iters) {
-      var i = 0
-      while (i < k) {
-        assign(i) = graft.functions.TopCentroids.top(ca(i), supers, 1)(0)
-        i += 1
+      // the O(k·s·dim) assignment pass dominates coarsen; indices write
+      // disjoint slots, so a parallel stream is safe and deterministic
+      val sup = supers
+      java.util.stream.IntStream.range(0, k).parallel().forEach { i =>
+        assign(i) = graft.functions.TopCentroids.top(ca(i), sup, 1)(0)
       }
       // the last pass only (re)assigns against the final supers — members
       // must reflect the centroids actually shipped in the kernel
       if (round < iters) {
         val sums = Array.fill(s)(null: Array[Double])
         val counts = new Array[Int](s)
-        i = 0
+        var i = 0
         while (i < k) {
           val j = assign(i)
           if (sums(j) == null) sums(j) = new Array[Double](ca(i).length)
