@@ -28,12 +28,34 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  /** The maintained-sum contract requires associative, exact addition: the
+    * n==0 residual guard in [[applyDelta]] compares sums accumulated in
+    * different orders, which only holds bit-exactly for integral/DECIMAL
+    * types. Reject float/double at call time so the contract violation is
+    * an immediate API error, not a spurious mid-stream raise_error on a
+    * legitimately-emptied group with ~1e-16 roundoff residue. */
+  private def requireExactSumTypes(df: DataFrame, sumCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val bad = sumCols.filter { c =>
+      df.schema(c).dataType match {
+        case DoubleType | FloatType => true
+        case _ => false
+      }
+    }
+    require(bad.isEmpty,
+      s"IncrementalAgg sum columns must be exact (integral/DECIMAL) types; " +
+        s"floating-point sums drift by accumulation order and break the " +
+        s"emptied-group residual check: ${bad.mkString(", ")} — cast to DECIMAL first")
+  }
+
   /** Build the initial maintained state: one row per key combination with
     * `n` (live row count) and `sum_<c>` per value column. */
-  def sumState(rows: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
+  def sumState(rows: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    requireExactSumTypes(rows, sumCols)
     rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+  }
 
   /** Merge one CDC changeset into the maintained state. `changes` carries
     * the key columns, the value columns, and `opCol` ∈ {"I", "D"} (updates
@@ -41,6 +63,7 @@ object IncrementalAgg {
     * schema as [[sumState]]; groups with no surviving rows are dropped. */
   def applyDelta(state: DataFrame, changes: DataFrame, keys: Seq[String],
       opCol: String, sumCols: Seq[String]): DataFrame = {
+    requireExactSumTypes(changes, sumCols)
     val sign = when(col(opCol) === "D", lit(-1)).otherwise(lit(1))
     val delta = changes.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("__dn"),

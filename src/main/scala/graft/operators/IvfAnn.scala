@@ -74,7 +74,7 @@ object IvfAnn {
     val sampled = if (n <= sampleCap) all else {
       // uniform in [0, 2^32) from the vector itself (no id column needed);
       // threshold sampling as Sampling.hashUnit
-      val u = pmod(xxhash64(to_json(col("v"))), lit(4294967296L))
+      val u = pmod(xxhash64(col("v")), lit(4294967296L))
       all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
     }
     // persisted across Lloyd iterations: seeding + every iteration is an
@@ -82,7 +82,7 @@ object IvfAnn {
     val vecs = sampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[Array[Double]] = vecs
-      .withColumn("__h", xxhash64(to_json(col("v"))))
+      .withColumn("__h", xxhash64(col("v")))
       .orderBy("__h").limit(k)
       .collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
@@ -160,9 +160,17 @@ object IvfAnn {
           else sums(j).map(_ / counts(j)))
       }
     }
-    val members = Array.fill(s)(Vector.newBuilder[Int])
-    assign.indices.foreach(i => members(assign(i)) += i)
-    (supers.toSeq, members.map(_.result().toArray).toSeq)
+    val builders = Array.fill(s)(Vector.newBuilder[Int])
+    assign.indices.foreach(i => builders(assign(i)) += i)
+    val memberLists = builders.map(_.result().toArray)
+    // Drop super-cells no cell assigned to (stale seed centroids): probing
+    // one contributes no candidates, and a query whose ENTIRE probe set were
+    // empty supers would get an empty kernel result — element_at(..., 1)
+    // then errors under ANSI (or yields null cid non-ANSI, silently dropping
+    // the row from the index). Empty supers carry zero information; removing
+    // them keeps `members` a partition of 0..cells-1 and every probe useful.
+    val kept = memberLists.indices.filter(memberLists(_).nonEmpty)
+    (kept.map(supers(_)).toSeq, kept.map(memberLists(_)).toSeq)
   }
 
   /** S3: IVF top-k — probe the `nprobe` nearest cells per query. Above

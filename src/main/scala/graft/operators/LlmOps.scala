@@ -1507,9 +1507,10 @@ object LlmOps {
     // T16: the merge loop replayed as a recursive CTE — each step merges
     // the leftmost occurrence of the lowest-rank adjacent pair (ORDER BY
     // rank, i LIMIT 1), terminating at the no-pair fixpoint, exactly the
-    // kernel's step. Runs over DISTINCT words, then joins per-doc (every
-    // corpus doc has >= 1 token; an all-whitespace doc would need a left
-    // join).
+    // kernel's step. Runs over DISTINCT words, then LEFT-joins per-doc from
+    // the documents table so the oracle is total over docs — an empty or
+    // all-whitespace doc counts 0, matching the kernel, instead of
+    // vanishing from the result.
     "t16_bpe_tokens" ->
       s"""WITH RECURSIVE
         |merges(a, b, rank) AS (VALUES ${graft.functions.Bpe.mergeValuesSql()}),
@@ -1535,11 +1536,12 @@ object LlmOps {
         |    SELECT 1 FROM unnest(range(1, len(s.toks))) AS t(i)
         |    JOIN merges m ON m.a = s.toks[i] AND m.b = s.toks[i+1])
         |)
-        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_true_tokens
-        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
-        |      FROM documents) dw
-        |JOIN final USING (w)
-        |GROUP BY doc_id""".stripMargin,
+        |SELECT d.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS bpe_true_tokens
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+        |           FROM documents) dw ON dw.doc_id = d.doc_id
+        |LEFT JOIN final f ON f.w = dw.w
+        |GROUP BY d.doc_id""".stripMargin,
 
     "t5_tfidf" ->
       """WITH toks AS (

@@ -63,7 +63,7 @@ object ProductQuantizer {
     val subDim = dim / m
     val n = if (knownN >= 0) knownN else all.count()
     val sampled = if (n <= sampleCap) all else {
-      val u = pmod(xxhash64(to_json(col("v"))), lit(4294967296L))
+      val u = pmod(xxhash64(col("v")), lit(4294967296L))
       all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
     }
     // one row per (subspace, subvector); persisted — seeding + every Lloyd
@@ -74,7 +74,7 @@ object ProductQuantizer {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seeds = graft.plans.TopK.perGroupOrdered(
-          subs.withColumn("__h", xxhash64(to_json(col("s")))),
+          subs.withColumn("__h", xxhash64(col("s"))),
           Seq("j"), Seq("__h" -> true), k)
         .select("j", "s").collect()
         .groupBy(_.getInt(0))

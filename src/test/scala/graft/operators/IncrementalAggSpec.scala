@@ -68,6 +68,22 @@ class IncrementalAggSpec extends SparkSpec {
     ex.getMessage should include("inconsistent delta")
   }
 
+  test("floating-point sum columns are rejected at call time, not mid-stream (R31)") {
+    // double sums accumulate in nondeterministic order, so the emptied-group
+    // residual guard would raise on legitimate streams — reject up front
+    val base = Seq(("X", 3.0), ("Y", 4.0)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAgg.sumState(base, Seq("k"), Seq("v"))
+    }
+    ex.getMessage should include("exact")
+    val state = IncrementalAgg.sumState(
+      base.select(col("k"), col("v").cast(DecimalType(18, 2)).as("v")), Seq("k"), Seq("v"))
+    val changes = Seq(("X", 3.0f, "D")).toDF("k", "v", "op")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyDelta(state, changes, Seq("k"), "op", Seq("v"))
+    }
+  }
+
   test("maintenance over a chain of deltas equals recompute at every step (R31)") {
     val rnd = new scala.util.Random(42)
     var rows = (0 until 200).map(i => (s"g${i % 7}", dec((i % 13).toString + ".25")))

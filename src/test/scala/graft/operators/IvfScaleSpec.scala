@@ -143,4 +143,22 @@ class IvfScaleSpec extends SparkSpec {
     plan should include("TopKPerGroup")
     (plan should not).include("Window")
   }
+
+  test("coarsen drops empty super-cells: every returned super has members (S3 ANSI safety)") {
+    // a near-degenerate codebook (many duplicated centroids plus a handful
+    // of distinct ones) collapses most coarse assignments onto few supers,
+    // leaving stride-seeded supers with zero members; those must not reach
+    // the kernel — a probe set of only-empty supers returns an empty array
+    // and element_at(..., 1) errors under ANSI
+    val rnd = new scala.util.Random(7)
+    val hub = Array.fill(8)(rnd.nextGaussian())
+    val cents: Seq[Array[Double]] =
+      Seq.fill(120)(hub.clone()) ++ Seq.fill(8)(Array.fill(8)(rnd.nextGaussian()))
+    val (sup, mem) = IvfAnn.coarsen(cents, superK = 16)
+    mem.foreach(_.length should be > 0)
+    sup.length shouldBe mem.length
+    // still a partition of the full codebook
+    mem.map(_.length).sum shouldBe cents.length
+    mem.flatten.toSet.size shouldBe cents.length
+  }
 }

@@ -69,14 +69,19 @@ class CrashRecoverySpec extends SparkSpec {
     val refState = graft.Scratch.fresh("crash_ivm_ref")
     val crashState = graft.Scratch.fresh("crash_ivm_crash")
     // X9 changes: I/D only, updates arrive as D-old + I-new
-    val base = (1L to 40L).map(k => (s"g${k % 4}", k * 1.0, "I")).toDF("g", "v", "op")
-    val updOld = (1L to 40L).filter(_ % 3 == 0).map(k => (s"g${k % 4}", k * 1.0, "D"))
-      .toDF("g", "v", "op")
-    val updNew = (1L to 40L).filter(_ % 3 == 0).map(k => (s"g${k % 4}", k * 1.0 + 7, "I"))
-      .toDF("g", "v", "op")
-    val del = (1L to 40L).filter(_ % 5 == 0)
+    // DECIMAL values: IncrementalAgg rejects floating-point sum columns at
+    // the API (exact-accumulation contract)
+    def dec(df: org.apache.spark.sql.DataFrame) = df.select(col("g"),
+      col("v").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)).as("v"),
+      col("op"))
+    val base = dec((1L to 40L).map(k => (s"g${k % 4}", k * 1.0, "I")).toDF("g", "v", "op"))
+    val updOld = dec((1L to 40L).filter(_ % 3 == 0).map(k => (s"g${k % 4}", k * 1.0, "D"))
+      .toDF("g", "v", "op"))
+    val updNew = dec((1L to 40L).filter(_ % 3 == 0).map(k => (s"g${k % 4}", k * 1.0 + 7, "I"))
+      .toDF("g", "v", "op"))
+    val del = dec((1L to 40L).filter(_ % 5 == 0)
       .map(k => (s"g${k % 4}", if (k % 3 == 0) k * 1.0 + 7 else k * 1.0, "D"))
-      .toDF("g", "v", "op")
+      .toDF("g", "v", "op"))
     base.coalesce(1).write.mode("append").parquet(watch)
     updOld.unionByName(updNew).coalesce(1).write.mode("append").parquet(watch)
     del.coalesce(1).write.mode("append").parquet(watch)
