@@ -203,22 +203,32 @@ object Similarity {
       }
     val b = plan.bits
     val nTables = plan.tables
+    // ship ids, not payloads (SURVEY §5): the bucketed frames carry only
+    // (id, table, bucket) — a vector riding the candidate dedup exchange
+    // costs dim×8 bytes per bucket collision; the id costs 8
     def bucketed(df: DataFrame, id: String, vec: String, masks: Seq[Int]): DataFrame =
       df.select(col(id), col(vec),
         explode(array((for (t <- 0 until nTables; m <- masks) yield
           struct(lit(t).as("table"),
             hyperplaneBucket(col(vec), b, dim, seed = 1000 + t).bitwiseXOR(lit(m))
               .as("bucket"))): _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
 
-    val q = bucketed(
-      broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
-      "query_id", "__qv", probeMasks(b, plan.radius))
-    val candidates = q.join(bucketed(c, "neighbor_id", "__cv", Seq(0)), Seq("table", "bucket"))
+    val qFrame = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // corpus side is consumed twice (bucketize + payload re-join) — one
+    // Caches-owned scan, the embeddingDedup discipline
+    val cBase = Caches.owned(c)
+    val q = bucketed(broadcast(qFrame), "query_id", "__qv", probeMasks(b, plan.radius))
+    val candidates = q.join(bucketed(cBase, "neighbor_id", "__cv", Seq(0)), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    // only surviving pairs re-attach their vectors: corpus by one id-keyed
+    // join (one copy of each vector, vs every bucket collision), queries
+    // from the same broadcast frame
     val scored = candidates
+      .join(cBase, Seq("neighbor_id"))
+      .join(broadcast(qFrame), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cosine"))
     topKFinish(scored, k)
   }

@@ -69,6 +69,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshTopK ships ids, not vectors, through the candidate dedup (S2 scale shape)") {
+    // the pair-dedup exchange must carry (query_id, neighbor_id) only: a
+    // vector riding it costs dim×8 bytes per bucket collision. The old plan
+    // materialized first(__qv)/first(__cv) through the dedup aggregate;
+    // vectors now re-attach per SURVIVING pair (corpus by id-keyed join,
+    // queries re-broadcast)
+    val df = Similarity.lshTopK(vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding",
+      k = 5, bits = 4, tables = 6, dim = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    (plan should not).include("first(__qv")
+    (plan should not).include("first(__cv")
+    graft.operators.Caches.releaseAll()
+  }
+
   test("int8 quantization bounds error by scale/2 and preserves direction (S4)") {
     val out = vecs
       .withColumn("s", VectorFunctions.int8Scale(col("embedding")))
