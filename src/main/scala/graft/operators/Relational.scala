@@ -710,6 +710,28 @@ object Relational {
         .orderBy("src", "dst")
     },
 
+    "w21_path_compose" -> { (s, dir) =>
+      // composed property path `(P31|P101)/P279*` — "instance (or field-of-
+      // work) of any subclass of", the reference README's own SPARQL
+      // comparison pattern (README.md:146-152) that single-property closure
+      // (w20) cannot express. Deterministic mini ontology: P279 = 1023-node
+      // binary class tree (id -> id div 2), P31 = 5000 instances spread over
+      // the classes, P101 = a sparse second instance property exercising
+      // alternation. The zero-hop rewrite (a/b* = a/b+ ∪ a) keeps instances
+      // of leaf classes with no outgoing P279 edges — the oracle recursive
+      // CTE seeds with the 1-step pairs, the same semantics.
+      def edgesOf(pid: Long): DataFrame = pid match {
+        case 279L => s.range(2, 1025).select(col("id").as("src"), expr("id div 2").as("dst"))
+        case 31L => s.range(0, 5000).select(
+          (col("id") + 100000L).as("src"), (col("id") % 1023 + 2).as("dst"))
+        case 101L => s.range(0, 1000).filter(col("id") % 7 === 0).select(
+          (col("id") + 100000L).as("src"), (col("id") * 3 % 1023 + 2).as("dst"))
+        case other => sys.error(s"no edges for P$other")
+      }
+      graft.operators.PathAlgebra.eval("(P31|P101)/P279*", edgesOf)
+        .orderBy("src", "dst")
+    },
+
     "w16_claim_filter" -> { (s, dir) =>
       // claim-value lookup with property filter: claims(id, property, value)
       // ≙ lineitem(l_orderkey, l_partkey, l_quantity) + label join.
@@ -1098,6 +1120,24 @@ object Relational {
         |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
         |)
         |SELECT src, dst FROM cl""".stripMargin,
+
+    // W21: (P31|P101)/P279* — seed with the alternation's 1-step pairs
+    // (zero P279 hops), then extend through the class tree; UNION dedups,
+    // so the fixpoint is the reachability set
+    "w21_path_compose" ->
+      """WITH RECURSIVE p279 AS (
+        |  SELECT id AS src, id // 2 AS dst FROM range(2, 1025) t(id)
+        |), step1 AS (
+        |  SELECT 100000 + i AS src, 2 + (i % 1023) AS dst FROM range(0, 5000) t(i)
+        |  UNION
+        |  SELECT 100000 + i AS src, 2 + ((i * 3) % 1023) AS dst
+        |  FROM range(0, 1000) t(i) WHERE i % 7 = 0
+        |), reach AS (
+        |  SELECT src, dst FROM step1
+        |  UNION
+        |  SELECT reach.src, p279.dst FROM reach JOIN p279 ON reach.dst = p279.src
+        |)
+        |SELECT src, dst FROM reach""".stripMargin,
 
     "w16_claim_filter" ->
       """SELECT l_orderkey AS id, p_name AS label, l_quantity AS quantity

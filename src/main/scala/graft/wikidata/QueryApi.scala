@@ -59,6 +59,22 @@ final case class QueryApi(tables: WikidataTables) {
         .select(col("src"), col("src").as("dst")))
   }
 
+  /** Composed property-path query (SPARQL 1.1 paths over the claim table):
+    * `path("P31/P279*")` answers "instance of any subclass of" — the
+    * reference README's own SPARQL comparison (README.md:146-152) — and the
+    * full algebra (`/` sequence, `|` alternation, `^` inverse, `* + ?`
+    * closures) composes from the same leaves. Each leaf filters the entity
+    * claims to ONE property before any join or closure runs, so path
+    * evaluation touches ontology-sized subgraphs, never the full claim set.
+    * Returns (src, dst) pairs; see [[graft.operators.PathAlgebra]] for
+    * zero-hop semantics. [[pathClosure]] remains the single-property
+    * fast path (`path("P279*")` ≡ `pathClosure(279)`). */
+  def path(expr: String, reliable: Boolean = false): DataFrame =
+    graft.operators.PathAlgebra.eval(graft.operators.PathAlgebra.parse(expr),
+      pid => tables.entity.filter(col("property_id") === pid)
+        .select(col("id"), col("entity_id")),
+      reliable = reliable)
+
   /** Entities whose textual id matches, e.g. byId("Q42"). */
   def byId(textId: String): DataFrame = {
     val encoded = IdCodec.encodeText(textId)
