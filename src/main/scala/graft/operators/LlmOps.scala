@@ -350,7 +350,7 @@ object LlmOps {
     },
 
     // T16: true merge-table BPE (T3's regex count is the pre-tokenizer;
-    // this applies the checked-in 40-merge table per pre-token). The
+    // this applies the checked-in 8192-merge table per pre-token). The
     // DuckDB oracle replays the merge loop as a recursive CTE over the
     // DISTINCT corpus words, then joins counts back per doc — same
     // leftmost-lowest-rank-single-merge semantics as the kernel.

@@ -55,9 +55,39 @@ class BpeSpec extends SparkSpec {
   test("checked-in table tokenizes trained words to single tokens") {
     val out = Seq("batch", "customer", "column", "small", "the", "data")
       .toDF("text").select(Bpe.tokenCount(col("text")).as("n")).as[Long].collect()
-    // batch/customer/column/small fully merge; 'the' was never merged
-    // (t-h/h-e aren't in the table); 'data' → d|at|a
-    out.toSeq shouldBe Seq(1L, 1L, 1L, 1L, 3L, 3L)
+    // at 8k merges every common corpus word fully merges; an out-of-corpus
+    // word still splits
+    out.toSeq shouldBe Seq(1L, 1L, 1L, 1L, 1L, 1L)
+    val oov = Seq("zyxwvu").toDF("text")
+      .select(Bpe.tokenCount(col("text")).as("n")).as[Long].collect()
+    oov.head should be > 1L
+  }
+
+  test("merge table is realistic-vocab scale and the rank map stays off the plan (T16)") {
+    Bpe.merges.length should be >= 8000
+    // the table rides as a codegen reference object: plan SIZE must not
+    // scale with table size (the S5-codebook Janino lesson) — the canonical
+    // string of the expression stays small
+    val e = graft.functions.BpeTokenCount(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), Bpe.merges)
+    e.toString.length should be < 100000
+  }
+
+  test("merge loop is heap-driven, not rescan-quadratic, on long pre-tokens (T16 perf)") {
+    // a digit-heavy table fully merges long digit runs; per-word cost must
+    // be O(L log L). 200 distinct 2000-char runs (memoization can't help —
+    // all distinct) complete in well under the rescan formulation's time
+    // (O(L²) ≈ 4M pair scans × 200 words); the generous bound only catches
+    // a complexity regression, not host jitter
+    val rng = new scala.util.Random(5)
+    val ranks = BpeKernel.rankMap(Bpe.merges)
+    val words = Seq.fill(200)(Seq.fill(2000)(rng.nextInt(10)).mkString)
+    val t0 = System.nanoTime()
+    val counts = words.map(w => BpeKernel.count(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w), ranks))
+    val dt = (System.nanoTime() - t0) / 1e9
+    counts.foreach(c => c should be < 2000L)
+    dt should be < 10.0
   }
 
   test("null text yields null, empty text yields 0") {
