@@ -368,6 +368,22 @@ object Relational {
       s.read.parquet(out)
     },
 
+    "r40_snapshot_commit" -> { (s, dir) =>
+      // atomic manifest-log commits + time travel: three commits (base,
+      // append, overwrite), then read pinned at v2 — the overwrite in v3
+      // must be invisible, and the returned content is exactly commits
+      // 1+2 (hash-exact vs the oracle's reconstruction). Crash atomicity
+      // (kill mid-commit → old or new, never a mix) is SnapshotTableSpec's
+      // injected-crash test.
+      val t = graft.Scratch.fresh("r40_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 1),
+        mode = SnapshotTable.Append)
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 2))
+      SnapshotTable.read(s, t, version = 2L)
+    },
+
     "r27_rolling_window" -> { (s, dir) =>
       // time-RANGE rolling aggregate (r8's running agg is row-framed): each
       // event's trailing 1-hour sum/count per user. Range frames are
@@ -914,6 +930,12 @@ object Relational {
 
     "r26_compaction" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // R40: version 2 = commit 1 (keys ≡0 mod 3) + appended commit 2 (≡1);
+    // the v3 overwrite (≡2) is pinned out by the time-travel read
+    "r40_snapshot_commit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
 
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,

@@ -1,0 +1,189 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** R40: atomic multi-file commits with snapshot isolation and time travel —
+  * a minimal manifest-log table format over parquet (the Delta/Iceberg
+  * core idea, reduced to its commit protocol).
+  *
+  * R25 upsert, R26 compaction, R28 partitioned writes and R29 schema
+  * evolution all rewrite directories non-atomically: a reader racing the
+  * rewrite lists a directory that is half old files, half new. The fix is
+  * indirection — readers never list the data directory; they read a
+  * VERSIONED MANIFEST naming the exact file set of one table version:
+  *
+  *   table/data/c<version>-<uuid>/part-*.parquet   immutable data files
+  *   table/_log/v<%016d>.json                      manifest: files of that version
+  *
+  * Commit protocol (the X8 version-dir discipline generalized):
+  *   1. write the new data files under `data/` — INVISIBLE until published
+  *      (no manifest references them);
+  *   2. compose the manifest (append: parent's files + new; overwrite: new);
+  *   3. publish by HARD-LINKING the temp file to `_log/v<next>.json` —
+  *      link(2) is atomic AND fails if the target exists (POSIX rename
+  *      would silently replace it), so one syscall is both the all-or-
+  *      nothing publish and the put-if-absent that makes concurrent
+  *      committers safe: exactly one link wins a version; the loser gets
+  *      [[ConcurrentCommitException]] and retries against the new parent.
+  *
+  * A crash at ANY point leaves either no new manifest (the commit never
+  * happened — orphan data files await [[vacuum]]) or the complete manifest
+  * (the commit happened). Readers pin a manifest, and since published data
+  * files are immutable, a pinned snapshot stays consistent under any
+  * concurrent commit — snapshot isolation without locks. Old versions stay
+  * readable ([[read]] with `version`) until [[vacuum]] drops them.
+  *
+  * Scale shape: the manifest holds file PATHS, not rows — commit cost is
+  * O(files touched), a metadata rename, never proportional to table size;
+  * readers plan a file-list scan (partition pruning and pushdown intact).
+  * At 100 TB the log is megabytes. On object stores without atomic rename
+  * the publish step maps to the store's put-if-absent / conditional-put —
+  * the protocol is unchanged (this implementation targets POSIX/HDFS
+  * semantics, which the test and local[*] environments provide).
+  */
+object SnapshotTable {
+
+  final class ConcurrentCommitException(version: Long)
+    extends RuntimeException(
+      s"version $version was committed concurrently; re-read and retry")
+
+  sealed trait Mode
+  case object Overwrite extends Mode
+  case object Append extends Mode
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+  private def manifestPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"v$v%016d.json")
+
+  /** Committed versions, ascending (empty for a nonexistent table). */
+  def versions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong
+        }.toSeq.sorted
+    } finally s.close()
+  }
+
+  /** Latest committed version, if any. */
+  def latestVersion(table: String): Option[Long] = versions(table).lastOption
+
+  /** The data files of one version (relative to the table root). */
+  private[operators] def manifestFiles(table: String, v: Long): Seq[String] = {
+    val json = new String(Files.readAllBytes(manifestPath(table, v)), "UTF-8")
+    // manifest JSON is written by this object — a flat, known shape; the
+    // files array holds relative paths that never contain quotes
+    val files = "\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    "\"([^\"]*)\"".r.findAllMatchIn(files).map(_.group(1)).toSeq
+  }
+
+  /** Commit `df` as the next version. `expectedVersion` (CAS): fail with
+    * [[ConcurrentCommitException]] unless the parent is exactly that
+    * version (-1 = require a fresh table). `beforePublish` runs after the
+    * data files are durable but before the manifest rename — the crash
+    * window the CrashRecoverySpec-style test injects into. Returns the
+    * committed version. */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+      mode: Mode = Overwrite, expectedVersion: Long = Long.MinValue,
+      beforePublish: () => Unit = () => ()): Long = {
+    val parent = latestVersion(table)
+    if (expectedVersion != Long.MinValue &&
+        parent.getOrElse(-1L) != expectedVersion)
+      throw new ConcurrentCommitException(parent.getOrElse(-1L))
+    val version = parent.getOrElse(0L) + 1
+    // 1. data files, invisible until a manifest names them
+    val commitDir = f"data/c$version%016d-${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"$table/$commitDir")
+    val written = {
+      val d = Paths.get(table, commitDir)
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .toSeq.sorted.map(n => s"$commitDir/$n")
+      } finally s.close()
+    }
+    val files = mode match {
+      case Overwrite => written
+      case Append => parent.map(manifestFiles(table, _)).getOrElse(Seq.empty) ++ written
+    }
+    // 2. manifest to a temp name nobody reads
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
+    val json = files.map(f => "\"" + f + "\"").mkString(
+      s"""{"version":$version,"parent":${parent.getOrElse(-1L)},""" +
+        s""""mode":"$mode","files":[""", ",", "]}")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    beforePublish()
+    // 3. atomic publish-if-absent; losing a race surfaces as FileAlreadyExists
+    try {
+      Files.createLink(manifestPath(table, version), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(version)
+    }
+    version
+  }
+
+  /** Read the table at `version` (default: latest). The returned plan scans
+    * exactly that version's file list — immutable under later commits. */
+  def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version
+      else latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+    val files = manifestFiles(table, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+  }
+
+  /** Drop manifests below `keepFrom` and delete data files no retained
+    * version references — bounded storage for long-lived tables. Safe
+    * against the commit protocol: an in-flight commit's files are either
+    * unreferenced AND newer than every retained version's files (their
+    * commit dir encodes a version > latest, so they are kept by the
+    * version guard), or already published. */
+  def vacuum(table: String, keepFrom: Long): Unit = {
+    val vs = versions(table)
+    val (drop, keep) = vs.partition(_ < keepFrom)
+    val live = keep.flatMap(manifestFiles(table, _)).toSet
+    val latest = vs.lastOption.getOrElse(0L)
+    val dataDir = Paths.get(table, "data")
+    if (Files.isDirectory(dataDir)) {
+      val s = Files.list(dataDir)
+      val dirs = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+      } finally s.close()
+      dirs.foreach { d =>
+        val name = d.getFileName.toString
+        val dirVersion = name.stripPrefix("c").takeWhile(_.isDigit)
+        val inFlight = dirVersion.nonEmpty && dirVersion.toLong > latest
+        val referenced = {
+          val fs = Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            fs.iterator().asScala.exists(f => live.contains(s"data/$name/${f.getFileName}"))
+          } finally fs.close()
+        }
+        if (!inFlight && !referenced) {
+          val walk = Files.walk(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+      }
+    }
+    drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
+  }
+}

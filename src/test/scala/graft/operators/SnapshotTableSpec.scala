@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** R40: manifest-log commit protocol — atomic swap, snapshot isolation,
+  * time travel, CAS, crash atomicity, vacuum. */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+  import SnapshotTable._
+
+  private def rows(table: String, v: Long = -1L): Set[(Long, String)] =
+    read(spark, table, v).as[(Long, String)].collect().toSet
+
+  test("commit/append/overwrite with time travel at every version (R40)") {
+    val t = graft.Scratch.fresh("snap_basic")
+    val v1 = commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = commit(spark, t, Seq((3L, "c")).toDF("k", "v"), mode = Append)
+    val v3 = commit(spark, t, Seq((9L, "z")).toDF("k", "v"))
+    (v1, v2, v3) shouldBe ((1L, 2L, 3L))
+    rows(t, 1) shouldBe Set((1L, "a"), (2L, "b"))
+    rows(t, 2) shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+    rows(t, 3) shouldBe Set((9L, "z"))
+    rows(t) shouldBe Set((9L, "z")) // latest
+    versions(t) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("a crash before publish leaves the old version intact; retry succeeds (R40)") {
+    val t = graft.Scratch.fresh("snap_crash")
+    commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    // kill between data-file write and manifest rename — the X8 crash window
+    intercept[RuntimeException] {
+      commit(spark, t, Seq((2L, "b")).toDF("k", "v"), mode = Append,
+        beforePublish = () => sys.error("injected crash: data written, manifest not published"))
+    }
+    // reader sees EXACTLY the old version — not a mix, not the orphan files
+    rows(t) shouldBe Set((1L, "a"))
+    latestVersion(t) shouldBe Some(1L)
+    // the clean retry lands as v2 with both rows
+    commit(spark, t, Seq((2L, "b")).toDF("k", "v"), mode = Append) shouldBe 2L
+    rows(t) shouldBe Set((1L, "a"), (2L, "b"))
+  }
+
+  test("a reader pinned mid-commit sees the parent snapshot (R40 isolation)") {
+    val t = graft.Scratch.fresh("snap_iso")
+    commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    // read from inside the commit window: new data files exist on disk but
+    // no manifest names them — the snapshot must be the parent's
+    commit(spark, t, Seq((2L, "b")).toDF("k", "v"), mode = Append,
+      beforePublish = () => rows(t) shouldBe Set((1L, "a")))
+    rows(t) shouldBe Set((1L, "a"), (2L, "b"))
+  }
+
+  test("optimistic CAS: stale expectedVersion fails; manifest rename races lose cleanly (R40)") {
+    val t = graft.Scratch.fresh("snap_cas")
+    commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    intercept[ConcurrentCommitException] {
+      commit(spark, t, Seq((2L, "b")).toDF("k", "v"), expectedVersion = 0L)
+    }
+    // two committers race the same version: the one whose rename lands
+    // second must get ConcurrentCommitException, not overwrite the winner
+    intercept[ConcurrentCommitException] {
+      commit(spark, t, Seq((2L, "b")).toDF("k", "v"),
+        beforePublish = () =>
+          commit(spark, t, Seq((3L, "c")).toDF("k", "v")))
+    }
+    rows(t, 2) shouldBe Set((3L, "c")) // the winner's content
+  }
+
+  test("vacuum drops old manifests and unreferenced files, keeps retained versions exact (R40)") {
+    val t = graft.Scratch.fresh("snap_vacuum")
+    commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    commit(spark, t, Seq((2L, "b")).toDF("k", "v"), mode = Append)
+    commit(spark, t, Seq((9L, "z")).toDF("k", "v")) // overwrite orphans v1/v2 files
+    vacuum(t, keepFrom = 3L)
+    versions(t) shouldBe Seq(3L)
+    rows(t, 3) shouldBe Set((9L, "z"))
+    // v1's commit dir is gone from data/
+    val dataDirs = Option(new java.io.File(s"$t/data").listFiles()).toSeq.flatten
+    dataDirs.map(_.getName).count(_.startsWith("c0000000000000001")) shouldBe 0
+  }
+}
