@@ -44,6 +44,22 @@ object AnnRecallProbe {
         val recall = (exact intersect approx).size.toDouble / exact.size
         println(f"[annrecall] $dir n=$n ivf k=$k nprobe=$nprobe recall=$recall%.4f")
       }
+      // S6 IVF-PQ: same cells/nprobe as the s3 gate row, plus shortlist —
+      // with exact re-rank the gap to the ivf row above isolates ADC
+      // shortlist loss (true neighbors pushed below `shortlist` by
+      // quantization noise)
+      for ((m, pk, shortlist) <- Seq((4, 16, 128), (8, 16, 128), (8, 64, 128), (8, 256, 128), (8, 64, 64))) {
+        val index = IvfPq.build(vecs, "embedding", cells = 8, m = m, k = pk,
+          knownN = n)
+        val enc = IvfPq.encode(vecs, "vec_id", "embedding", index)
+        val approx = IvfPq.search(queries, enc, vecs, "vec_id", "embedding", index,
+            k = 10, nprobe = 3, shortlist = shortlist)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exact intersect approx).size.toDouble / exact.size
+        println(f"[annrecall] $dir n=$n ivfpq cells=8 nprobe=3 m=$m k=$pk " +
+          f"shortlist=$shortlist recall=$recall%.4f")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -173,6 +173,25 @@ object IvfAnn {
     (kept.map(supers(_)).toSeq, kept.map(memberLists(_)).toSeq)
   }
 
+  /** Top-`m` probe-cell column under this codebook: the flat kernel below
+    * `flatScanCap` cells, the two-level hier kernel above. Shared by S3
+    * [[topK]] and the S6 IVF-PQ index ([[IvfPq]]) — index-build assignment
+    * and search-time probe selection must agree bit-for-bit, so both sides
+    * take the SAME selector. */
+  private[operators] def cellSelector(centroids: Seq[Array[Double]],
+      sprobe: Int = 0, superProbeFraction: Double = 0.5,
+      flatScanCap: Int = FlatScanCap): (Column, Int) => Column = {
+    if (centroids.length <= flatScanCap) {
+      (vec, m) => topCells(vec, centroids, m)
+    } else {
+      val (supers, members) = coarsen(centroids)
+      val sp = if (sprobe > 0) sprobe
+        else math.max(2, math.ceil(supers.length * superProbeFraction).toInt)
+      (vec, m) =>
+        VectorExpressions.topCentroidsHierNative(vec, supers, members, centroids, sp, m)
+    }
+  }
+
   /** S3: IVF top-k — probe the `nprobe` nearest cells per query. Above
     * [[FlatScanCap]] cells both assignment and probe selection go through
     * the two-level kernel: `sprobe` super-cells are descended into
@@ -183,17 +202,7 @@ object IvfAnn {
       centroids: Seq[Array[Double]], k: Int = 5, nprobe: Int = 2,
       sprobe: Int = 0, superProbeFraction: Double = 0.5,
       flatScanCap: Int = FlatScanCap): DataFrame = {
-    val coarse = if (centroids.length <= flatScanCap) None else {
-      val (supers, members) = coarsen(centroids)
-      val sp = if (sprobe > 0) sprobe
-        else math.max(2, math.ceil(supers.length * superProbeFraction).toInt)
-      Some((supers, members, sp))
-    }
-    def cellsOf(vec: Column, m: Int): Column = coarse match {
-      case Some((sup, mem, sp)) =>
-        VectorExpressions.topCentroidsHierNative(vec, sup, mem, centroids, sp, m)
-      case None => topCells(vec, centroids, m)
-    }
+    val cellsOf = cellSelector(centroids, sprobe, superProbeFraction, flatScanCap)
     val corpusAssigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("cid", element_at(cellsOf(col("__cv"), 1), 1))
     // per query: top-nprobe cells straight from the kernel — no per-cell

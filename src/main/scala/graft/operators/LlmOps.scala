@@ -278,6 +278,53 @@ object LlmOps {
             .as("recall_ok"))
     },
 
+    // S6 structural gate, the s3/s5 constructions composed: the index is
+    // trained on the BASE corpus, the planted exact-copy corpus is encoded
+    // and searched. A query and its copy share the nearest-centroid cell
+    // (deterministic assignment), hence the same residual, hence the same
+    // PQ codes (first-index argmin) — so the copy sits in the rank-1 probed
+    // cell with the minimal-possible ADC distance neighborhood, survives
+    // any sane shortlist, and the exact re-rank puts it at top-1, cosine 1.
+    "s6_ivfpq_ann" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      val index = IvfPq.build(base, "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      val enc = IvfPq.encode(vecs, "vec_id", "embedding", index)
+      IvfPq.search(vecs.filter(col("vec_id") < 32), enc, vecs, "vec_id", "embedding",
+          index, k = 1, nprobe = 3, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // S6 recall vs the exact S1 scan on the natural corpus, the s3_recall
+    // construction. With an exact re-rank the only recall losses are (a)
+    // cell probing — identical to S3 at the same cells/nprobe, measured
+    // 0.634-0.666 — and (b) a true neighbor pushed below `shortlist` by ADC
+    // noise, which shrinks with code bits (AnnRecallProbe: at sf0.1 m=4/k=16
+    // loses 0.22 of recall to (b), m=8/k=64 loses 0.04). At m=8/k=64/
+    // shortlist=128 measured recall is 0.628-0.663 across all three SFs, so
+    // the gate reuses S3's >= 0.55 bound (above the 0.375 of probing 3
+    // random cells of 8, margin >= 0.078 under every measurement).
+    "s6_recall" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+      val vecs = base.repartition(parallelism(s))
+      val n = base.count()
+      val queries = vecs.filter(col("vec_id") < 32)
+      val index = IvfPq.build(vecs, "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      val enc = IvfPq.encode(vecs, "vec_id", "embedding", index)
+      val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = IvfPq.search(queries, enc, vecs, "vec_id", "embedding", index,
+          k = 10, nprobe = 3, shortlist = 128)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= 0.55)
+            .as("recall_ok"))
+    },
+
     "s4_quantize_int8" -> { (s, dir) =>
       // int8 scalar quantization of the embedding store: codes, scale and
       // max reconstruction error are all order-independent element-wise
@@ -1490,6 +1537,16 @@ object LlmOps {
 
     "s3_ivf_ann" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s6: same planted-copy top-1 construction as s2/s3 — copies share cell
+    // AND PQ codes, and the exact re-rank makes the final ranking cosine's
+    "s6_ivfpq_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    "s6_recall" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     "t2_quality" -> t2OracleSql,

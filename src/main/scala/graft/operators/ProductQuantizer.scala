@@ -44,16 +44,17 @@ object ProductQuantizer {
   private def bookLit(book: Seq[Array[Double]]): Column =
     array(book.map(c => array(c.map(lit): _*)): _*)
 
-  /** 0-based index of the nearest centroid in `book` (first wins on ties —
-    * deterministic, and identical inputs always code identically). */
-  private def nearestCode(sub: Column, book: Seq[Array[Double]]): Column = {
-    val dists = transform(bookLit(book), c => sqDist(sub, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
-
   /** Train PQ codebooks: `m` subspaces × `k` centroids, Lloyd `iters`
     * rounds, all subspaces in the same cluster passes. Deterministic:
-    * seeds are the first `k` subvectors per subspace in xxhash64 order. */
+    * seeds are the first `k` subvectors per subspace in xxhash64 order.
+    *
+    * Assignment runs through the native [[graft.functions.PqKernel]] argmin
+    * (codebooks as codegen reference objects): the earlier per-subspace
+    * CASE chain over `bookLit` literals inlined m×k×subDim doubles into the
+    * generated code, Janino-capping practical codebook sizes well below the
+    * realistic m=8/k=256 — the same lesson as TopCentroids, PQ form. The
+    * kernel's strict `<` argmin keeps the old first-index tie-break, so
+    * trained codebooks and codes are unchanged. */
   def train(df: DataFrame, vecCol: String, m: Int, k: Int, iters: Int = 5,
       sampleCap: Long = 200000, knownN: Long = -1L): Codebooks = {
     require(m > 0 && k > 0 && iters > 0, s"need m/k/iters > 0, got $m/$k/$iters")
@@ -66,15 +67,17 @@ object ProductQuantizer {
       val u = pmod(xxhash64(col("v")), lit(4294967296L))
       all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
     }
-    // one row per (subspace, subvector); persisted — seeding + every Lloyd
-    // round is an action over this frame
-    val subs = sampled
-      .select(explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
-      .select(col("j"), slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("s"))
+    // persisted — seeding + every Lloyd round is an action over this frame
+    val vecs = sampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // seeds: first k subvectors per subspace in xxhash64 order (the
+      // exploded frame exists only for this one bounded-heap pass)
       val seeds = graft.plans.TopK.perGroupOrdered(
-          subs.withColumn("__h", xxhash64(col("s"))),
+          vecs.select(explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+            .select(col("j"),
+              slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("s"))
+            .withColumn("__h", xxhash64(col("s"))),
           Seq("j"), Seq("__h" -> true), k)
         .select("j", "s").collect()
         .groupBy(_.getInt(0))
@@ -86,9 +89,13 @@ object ProductQuantizer {
       var books: Seq[Seq[Array[Double]]] =
         (0 until m).map(j => seeds(j).padTo(k, seeds(j).head))
       for (_ <- 0 until iters) {
-        val assign = subs.withColumn("c", nearestFor(col("j"), col("s"), books))
-        val updated = assign
-          .select(col("j"), col("c"), posexplode(col("s")).as(Seq("p", "x")))
+        val coded = vecs.withColumn("codes",
+          graft.functions.PqExpressions.pqEncodeRaw(col("v"), books))
+        val updated = coded
+          .select(posexplode(col("codes")).as(Seq("j", "c")), col("v"))
+          .select(col("j"), col("c"),
+            posexplode(slice(col("v"), col("j") * subDim + 1, lit(subDim)))
+              .as(Seq("p", "x")))
           .groupBy("j", "c", "p").agg(avg(col("x")).as("mu"))
           .collect()
           .groupBy(r => (r.getInt(0), r.getInt(1)))
@@ -99,26 +106,15 @@ object ProductQuantizer {
           (0 until k).map(c => updated.getOrElse((j, c), books(j)(c))))
       }
       Codebooks(m, k, subDim, books)
-    } finally { subs.unpersist(false): Unit }
+    } finally { vecs.unpersist(false): Unit }
   }
 
-  /** Nearest-code expression dispatching on the subspace column (small `m`:
-    * one chained CASE, fully codegen'd). */
-  private def nearestFor(j: Column, sub: Column,
-      books: Seq[Seq[Array[Double]]]): Column =
-    books.zipWithIndex.foldLeft(lit(-1)) { case (acc, (book, idx)) =>
-      when(j === idx, nearestCode(sub, book)).otherwise(acc)
-    }
-
-  /** Append `codesCol`: the m-element int code array for each vector. */
+  /** Append `codesCol`: the m-element int code array for each vector
+    * (native kernel — reference-object codebooks, O(1) plan size). */
   def encode(df: DataFrame, vecCol: String, cb: Codebooks,
-      codesCol: String = "pq_codes"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val codes = array((0 until cb.m).map { j =>
-      nearestCode(slice(v, j * cb.subDim + 1, cb.subDim), cb.books(j))
-    }: _*)
-    df.withColumn(codesCol, codes)
-  }
+      codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(codesCol, graft.functions.PqExpressions.pqEncodeRaw(
+      col(vecCol).cast("array<double>"), cb.books))
 
   /** Per-row squared reconstruction error ‖v − decode(codes)‖² — the
     * quantization-quality metric (spec-gated; the driver gate uses the
