@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.operators.SnapshotTable
+import graft.wikidata.{IncrementalEtl, WikidataTables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** X12: continuous incremental ingestion — the production refresh loop the
+  * reference cannot run at all (it rebuilds from a full dump every time,
+  * src/main.rs:98-104): entity-revision changeset shards land in a watched
+  * directory, each micro-batch applies them to the published tables with
+  * W22's LWW semantics, and every table version is an atomic R40 snapshot
+  * commit.
+  *
+  * Cross-batch LWW is the part W22's within-batch `max_by` cannot see: a
+  * stale revision arriving in a LATER batch must lose to the newer one
+  * already applied. The guard is a ninth snapshot table, `revisions`
+  * (id, lastrevid) — the per-entity high-water mark, tombstone revids
+  * included so a late put cannot resurrect a deleted entity. Batch winners
+  * are admitted only when their revid exceeds the mark; equal revids are
+  * rejected, which makes a replayed batch (foreachBatch is at-least-once)
+  * a content no-op — crash-recovery idempotency by construction, X8's
+  * discipline without bespoke state. A corollary: ANY partition of a
+  * changeset into batches, in ANY order, converges to the same final
+  * tables.
+  *
+  * Scale shape per batch: winners are batch-bounded and broadcast; the
+  * guard join probes the revisions table against that broadcast (map-only,
+  * BuildLeft right-outer — the table never shuffles), and the eight merges
+  * are W22's broadcast anti-joins. Every non-empty batch commits all nine
+  * tables exactly once, so version numbers stay aligned across tables:
+  * "read every table at version V" is a consistent cross-table cut, which
+  * is how a reader escapes the per-table-only atomicity of the commits.
+  */
+object IncrementalEtlStream {
+
+  private val names = IncrementalEtl.tableNames
+
+  /** Publish initial full-ETL tables as version 1 of each snapshot table,
+    * plus an empty `revisions` mark (full-dump entities carry rev 0: any
+    * changeset revision outranks them). */
+  def bootstrap(spark: SparkSession, tableRoot: String, tables: WikidataTables): Unit = {
+    tables.byName.foreach { case (n, df) =>
+      SnapshotTable.commit(spark, s"$tableRoot/$n", df)
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lastrevid", org.apache.spark.sql.types.LongType))))
+    SnapshotTable.commit(spark, s"$tableRoot/revisions", empty)
+  }
+
+  /** One micro-batch: frame the lines, resolve within-batch winners, admit
+    * only revisions above the persisted high-water mark, merge + commit.
+    * Empty or fully-stale batches commit nothing (version alignment across
+    * tables is preserved because NO table commits). */
+  def applyBatch(spark: SparkSession, lines: DataFrame, tableRoot: String): Unit = {
+    val win = IncrementalEtl.winners(IncrementalEtl.changesFrom(lines))
+    val revPath = s"$tableRoot/revisions"
+    val current = SnapshotTable.read(spark, revPath)
+    // map-only guard, formulated so the broadcast side is always the inner
+    // side of a supported BroadcastHashJoin shape (an outer join that KEEPS
+    // the broadcast side cannot broadcast): the revisions table probes the
+    // batch winners inner (matches are winner-bounded), the at-or-below-mark
+    // matches become the stale set, and winners anti-join it — unmarked
+    // entities (no revisions row) pass untouched, i.e. mark 0
+    val stale = current.withColumnRenamed("lastrevid", "__cur")
+      .join(broadcast(win), Seq("id"))
+      .filter(coalesce(col("c.lastrevid"), lit(0L)) <= col("__cur"))
+      .select("id")
+    val guarded = win.join(broadcast(stale), Seq("id"), "left_anti").cache()
+    try {
+      if (!guarded.isEmpty) {
+        val base = names.map(n => n -> SnapshotTable.read(spark, s"$tableRoot/$n")).toMap
+        val next = IncrementalEtl.applyWinners(base, guarded)
+        try next.byName.foreach { case (n, df) =>
+          SnapshotTable.commit(spark, s"$tableRoot/$n", df)
+        } finally next.unpersist()
+        val marks = current
+          .join(broadcast(guarded.select("id")), Seq("id"), "left_anti")
+          .unionByName(guarded.select(col("id"),
+            coalesce(col("c.lastrevid"), lit(0L)).as("lastrevid")))
+        SnapshotTable.commit(spark, revPath, marks)
+      }
+    } finally guarded.unpersist()
+  }
+
+  /** Watch `inDir` for changeset shards; apply each micro-batch to the
+    * snapshot tables under `tableRoot` (which must be [[bootstrap]]ped).
+    * `maxFilesPerTrigger > 0` caps shards per batch (tests use 1 to force
+    * multi-batch runs; convergence is batch-split-independent regardless). */
+  def start(spark: SparkSession, inDir: String, tableRoot: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    reader.text(inDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyBatch(spark, batch.toDF(), tableRoot)
+      }
+      .start()
+  }
+}

@@ -34,6 +34,11 @@ import org.apache.spark.sql.types._
   */
 object IncrementalEtl {
 
+  /** The 8 published table names, in [[WikidataTables.byName]] key order
+    * contract. */
+  val tableNames: Seq[String] = Seq("meta", "string", "entity", "coordinates",
+    "quantity", "time", "none", "unknown")
+
   /** Changeset entity schema: the pruned dump entity plus revision metadata.
     * A deletion marker carries only (id, lastrevid, deleted). */
   val changeSchema: StructType = StructType(
@@ -73,8 +78,14 @@ object IncrementalEtl {
     * names). Returns the next version of all 8 frames; call `unpersist()`
     * on the result once sinks are done (the delta core is cached, as in the
     * full ETL). */
-  def applyChangeset(base: Map[String, DataFrame], changes: DataFrame): WikidataTables = {
-    val win = winners(changes)
+  def applyChangeset(base: Map[String, DataFrame], changes: DataFrame): WikidataTables =
+    applyWinners(base, winners(changes))
+
+  /** Apply an already-resolved winners frame (`id`, `c`) — one row per
+    * entity — to base tables. Split out so the streaming path
+    * ([[graft.streaming.IncrementalEtlStream]]) can interpose its
+    * cross-batch revision guard between [[winners]] and the merge. */
+  def applyWinners(base: Map[String, DataFrame], win: DataFrame): WikidataTables = {
     // surviving revisions, reshaped to DumpReader's pruned entity struct so
     // the delta tables come from the SAME routing code as a full rebuild —
     // incremental and full cannot drift
@@ -106,9 +117,7 @@ object IncrementalEtl {
   /** File-level apply: parquet tables at `baseDir` + changeset dump at
     * `changesetPath` → next-version frames. */
   def applyFile(spark: SparkSession, baseDir: String, changesetPath: String): WikidataTables = {
-    val base = Seq("meta", "string", "entity", "coordinates", "quantity",
-      "time", "none", "unknown")
-      .map(n => n -> spark.read.parquet(s"$baseDir/$n")).toMap
+    val base = tableNames.map(n => n -> spark.read.parquet(s"$baseDir/$n")).toMap
     applyChangeset(base, readChangeset(spark, changesetPath))
   }
 
