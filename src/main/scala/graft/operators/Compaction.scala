@@ -26,12 +26,26 @@ object Compaction {
     * `ZOrder.writeClustered` instead when the layout itself is the problem. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    withBinPackedScan(spark, targetBytes) {
+      spark.read.parquet(inDir).write.mode("overwrite").parquet(outDir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Run `f` with the scan conf tuned so parquet scans bin-pack whole input
+    * files into ~`targetBytes` partitions, restoring the prior conf after.
+    * minPartitionNum defaults to the session parallelism, which FLOORS the
+    * partition count — the scan would split the bins right back apart to
+    * keep every core busy. Correct for queries, wrong for compaction: set
+    * it to 1 so bins are sized purely by targetBytes (parallelism then
+    * comes from the number of bins, which is what compaction wants).
+    * Shared with R41's snapshot OPTIMIZE, whose commit-side write runs
+    * inside this window. */
+  def withBinPackedScan[T](spark: SparkSession, targetBytes: Long)(f: => T): T = {
     val conf = spark.conf
-    // minPartitionNum defaults to the session parallelism, which FLOORS the
-    // partition count — the scan would split the bins right back apart to
-    // keep every core busy. Correct for queries, wrong for compaction: set
-    // it to 1 so bins are sized purely by targetBytes (parallelism then
-    // comes from the number of bins, which is what compaction wants).
     val saved = Seq("spark.sql.files.maxPartitionBytes",
         "spark.sql.files.openCostInBytes", "spark.sql.files.minPartitionNum")
       .map(k => k -> conf.getOption(k))
@@ -42,14 +56,10 @@ object Compaction {
       conf.set("spark.sql.files.openCostInBytes",
         math.min(4L * 1024 * 1024, targetBytes / 16).toString)
       conf.set("spark.sql.files.minPartitionNum", "1")
-      spark.read.parquet(inDir).write.mode("overwrite").parquet(outDir)
+      f
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
     }
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .count(s => s.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -384,6 +384,19 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r41_optimize" -> { (s, dir) =>
+      // R41: snapshot-preserving OPTIMIZE — commit a deliberately
+      // 64-fragmented table, z-order-optimize it into the next version,
+      // read the result. Content must be byte-identical to the source
+      // (the oracle never sees the maintenance op); file-count shrink,
+      // version lineage, CAS loss and vacuum are SnapshotOptimizeSpec's.
+      val t = graft.Scratch.fresh("r41_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.repartition(64))
+      SnapshotTable.optimize(s, t, zorderCols = Seq("o_custkey", "o_orderkey"))
+      SnapshotTable.read(s, t)
+    },
+
     "r27_rolling_window" -> { (s, dir) =>
       // time-RANGE rolling aggregate (r8's running agg is row-framed): each
       // event's trailing 1-hour sum/count per user. Range frames are
@@ -936,6 +949,10 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R41: OPTIMIZE is invisible to readers — same rows, better layout
+    "r41_optimize" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
 
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,

@@ -186,4 +186,41 @@ object SnapshotTable {
     }
     drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
   }
+
+  /** Total on-disk bytes of one version's data files. */
+  private def versionBytes(table: String, v: Long): Long =
+    manifestFiles(table, v).map(f => Files.size(Paths.get(table, f))).sum
+
+  /** R41: OPTIMIZE — rewrite the current version's rows into ~`targetBytes`
+    * files (bin-packed compaction by default; z-order clustering when
+    * `zorderCols` is given) and commit them as the next version. The
+    * committed frame IS the pinned read of the observed version, so the
+    * operation is content-preserving by construction; readers keep snapshot
+    * isolation throughout (the fragmented version stays current until the
+    * manifest lands), and the CAS on the observed version means a racing
+    * writer WINS — the maintenance job gets [[ConcurrentCommitException]]
+    * and retries later, it can never clobber data. This is the atomicity
+    * R26/R21's bare directory rewrites cannot offer: a reader mid-scan
+    * during those sees partial state, here it sees exactly one version.
+    * Run [[vacuum]] once old versions age out to reclaim the fragments. */
+  def optimize(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024, zorderCols: Seq[String] = Nil,
+      bitsPerCol: Int = 12, beforePublish: () => Unit = () => ()): Long = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    if (zorderCols.isEmpty)
+      // scan-side bin packing sizes the output files: the commit's write
+      // runs inside the conf window, so its input partitions ARE the bins
+      Compaction.withBinPackedScan(spark, targetBytes) {
+        commit(spark, table, read(spark, table, v),
+          expectedVersion = v, beforePublish = beforePublish)
+      }
+    else {
+      val parts = math.max(1L,
+        (versionBytes(table, v) + targetBytes - 1) / targetBytes).toInt
+      commit(spark, table,
+        ZOrder.clusteredFrame(read(spark, table, v), zorderCols, parts, bitsPerCol),
+        expectedVersion = v, beforePublish = beforePublish)
+    }
+  }
 }

@@ -51,16 +51,41 @@ object ZOrder {
       floor((c.cast("double") - lit(mn)) / lit(mx - mn) * top).cast("long")))
   }
 
-  /** Shared write tail: interleave the ranks, one range shuffle on the
+  /** Shared clustering tail: interleave the ranks, one range shuffle on the
     * z-value, per-partition sort, drop the key (projection preserves the
-    * sort, so row-group stats come out tight in every clustered dim). */
-  private def writeByRanks(df: DataFrame, ranks: Seq[Column], out: String,
-      partitions: Int, bitsPerCol: Int): Unit =
+    * sort, so row-group stats come out tight in every clustered dim).
+    * Returned as a FRAME so sinks that control their own write — R41's
+    * snapshot OPTIMIZE commits through the manifest log — reuse the exact
+    * layout the direct writers produce. */
+  private[operators] def frameByRanks(df: DataFrame, ranks: Seq[Column],
+      partitions: Int, bitsPerCol: Int): DataFrame =
     df.withColumn("__z", zvalue(ranks, bitsPerCol))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  private def writeByRanks(df: DataFrame, ranks: Seq[Column], out: String,
+      partitions: Int, bitsPerCol: Int): Unit =
+    frameByRanks(df, ranks, partitions, bitsPerCol)
       .write.mode("overwrite").parquet(out)
+
+  /** The uniform-rank clustered frame of [[writeClustered]], unwritten. */
+  def clusteredFrame(df: DataFrame, cols: Seq[String], partitions: Int,
+      bitsPerCol: Int = 12,
+      knownStats: Option[Seq[(Double, Double)]] = None): DataFrame = {
+    val stats = knownStats.getOrElse(columnStats(df, cols))
+    val ranks = cols.zip(stats).map { case (c, (mn, mx)) =>
+      bucketRank(col(c), mn, mx, bitsPerCol)
+    }
+    frameByRanks(df, ranks, partitions, bitsPerCol)
+  }
+
+  private def columnStats(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      .zipWithIndex.map { case (c, i) => c.as(s"s$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+  }
 
   /** Write `df` as parquet clustered on `cols` with UNIFORM min/max bucket
     * ranks — right for roughly-uniform keys; heavily skewed columns want
@@ -68,18 +93,9 @@ object ZOrder {
     * the stats pass. */
   def writeClustered(df: DataFrame, cols: Seq[String], out: String,
       partitions: Int, bitsPerCol: Int = 12,
-      knownStats: Option[Seq[(Double, Double)]] = None): Unit = {
-    val stats = knownStats.getOrElse {
-      val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        .zipWithIndex.map { case (c, i) => c.as(s"s$i") }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
-    }
-    val ranks = cols.zip(stats).map { case (c, (mn, mx)) =>
-      bucketRank(col(c), mn, mx, bitsPerCol)
-    }
-    writeByRanks(df, ranks, out, partitions, bitsPerCol)
-  }
+      knownStats: Option[Seq[(Double, Double)]] = None): Unit =
+    clusteredFrame(df, cols, partitions, bitsPerCol, knownStats)
+      .write.mode("overwrite").parquet(out)
 
   /** Skew-resistant variant: bucket ranks from approx-quantile boundaries
     * instead of uniform min/max quantization. On a long-tailed column
