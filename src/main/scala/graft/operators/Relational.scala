@@ -397,6 +397,22 @@ object Relational {
       SnapshotTable.read(s, t)
     },
 
+    "r42_stats_skipping" -> { (s, dir) =>
+      // R42: manifest-level data skipping — commit orders range-clustered
+      // on o_orderkey (footer stats per file land in the sidecar), then
+      // readPruned a selective key range: the scan plans only the files
+      // whose (min, max) intersect, the residual filter makes it exact, so
+      // the result must equal the oracle's plain WHERE. File-count shrink,
+      // conservatism on unsupported predicates, string/Or/In shapes and
+      // the R41-optimize interplay are SnapshotStatsSpec's.
+      val t = graft.Scratch.fresh("r42_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t,
+        o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      SnapshotTable.readPruned(s, t,
+        col("o_orderkey") >= 500 && col("o_orderkey") <= 2500)
+    },
+
     "r27_rolling_window" -> { (s, dir) =>
       // time-RANGE rolling aggregate (r8's running agg is row-framed): each
       // event's trailing 1-hour sum/count per user. Range frames are
@@ -953,6 +969,11 @@ object Relational {
     // R41: OPTIMIZE is invisible to readers — same rows, better layout
     "r41_optimize" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // R42: skipping is invisible to readers — same rows, fewer files read
+    "r42_stats_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 500 AND 2500""".stripMargin,
 
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,

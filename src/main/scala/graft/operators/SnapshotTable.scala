@@ -111,6 +111,18 @@ object SnapshotTable {
           .toSeq.sorted.map(n => s"$commitDir/$n")
       } finally s.close()
     }
+    // R42: per-file column ranges from the freshly-written footers, into a
+    // stats.json sidecar beside the data files — atomic with the commit
+    // (invisible until the manifest publishes). Best-effort: any failure
+    // just disables skipping for these files, never the commit.
+    try {
+      SnapshotStats.write(Paths.get(table, commitDir), written.map { f =>
+        val name = f.split('/').last
+        name -> SnapshotStats.fileStats(s"$table/$f")
+      })
+    } catch { case e: Exception =>
+      System.err.println(s"[snapshot] stats capture skipped: $e")
+    }
     val files = mode match {
       case Overwrite => written
       case Append => parent.map(manifestFiles(table, _)).getOrElse(Seq.empty) ++ written
@@ -190,6 +202,52 @@ object SnapshotTable {
   /** Total on-disk bytes of one version's data files. */
   private def versionBytes(table: String, v: Long): Long =
     manifestFiles(table, v).map(f => Files.size(Paths.get(table, f))).sum
+
+  /** R42: the version's file list split by `pred` into (kept, skipped)
+    * using each commit directory's stats sidecar — files without stats are
+    * always kept. Exposed so specs and planners can assert skipping. */
+  def prunedFiles(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column,
+      version: Long = -1L): (Seq[String], Seq[String]) = {
+    val v = if (version >= 0) version
+      else latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+    val files = manifestFiles(table, v)
+    val statsByDir = files.map(f => f.take(f.lastIndexOf('/'))).distinct
+      .map(d => d -> SnapshotStats.load(Paths.get(table, d, "stats.json"))).toMap
+    // resolve the predicate against the table's schema through the
+    // analyzer + optimizer: the raw Column converts to a lazy ColumnNode
+    // wrapper (unmatchable), while the optimized Filter condition carries
+    // typed comparisons with casts folded — exactly what the range check
+    // wants. No Filter survives (predicate folded away) → no pruning.
+    val cond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      read(spark, table, v).filter(pred).queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    files.partition { f =>
+      val dir = f.take(f.lastIndexOf('/'))
+      val name = f.split('/').last
+      (statsByDir(dir).get(name), cond) match {
+        case (Some(st), Some(c)) => SnapshotStats.mayContain(c, st)
+        case _ => true
+      }
+    }
+  }
+
+  /** R42: read with file skipping — scan only the files whose (min, max)
+    * ranges can satisfy `pred`, then apply `pred` as the residual filter
+    * (skipping is best-effort; the filter makes the result exact). On a
+    * layout that clusters the predicate columns (sorted writes, R41 z-order
+    * OPTIMIZE) a selective read plans a handful of files instead of the
+    * table. */
+  def readPruned(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, version: Long = -1L): DataFrame = {
+    val (kept, _) = prunedFiles(spark, table, pred, version)
+    val scan =
+      if (kept.isEmpty) read(spark, table, version).limit(0)
+      else spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+    scan.filter(pred)
+  }
 
   /** R41: OPTIMIZE — rewrite the current version's rows into ~`targetBytes`
     * files (bin-packed compaction by default; z-order clustering when

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** R42: manifest-level data skipping — footer-stat capture, conservative
+  * predicate pruning, exactness via the residual filter, and the R41
+  * interplay (z-order OPTIMIZE turns an unprunable layout prunable). */
+class SnapshotStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import SnapshotTable._
+
+  /** id 0..n-1 range-clustered on k, plus a string and a double column. */
+  private def clustered(name: String, n: Int = 10000, parts: Int = 20): String = {
+    val t = graft.Scratch.fresh(name)
+    val df = spark.range(n.toLong).select(
+      col("id").as("k"),
+      format_string("s%05d", col("id")).as("s"),
+      (col("id") * 7 % 1000).cast("double").as("x"))
+    commit(spark, t, df.repartitionByRange(parts, col("k")).sortWithinPartitions("k"))
+    t
+  }
+
+  private def keptOf(t: String, pred: org.apache.spark.sql.Column): (Int, Int) = {
+    val (kept, skipped) = prunedFiles(spark, t, pred)
+    (kept.size, kept.size + skipped.size)
+  }
+
+  test("selective range reads plan a fraction of the files, rows exact (R42)") {
+    val t = clustered("stats_range")
+    val pred = col("k") >= 4000 && col("k") < 4500
+    val (kept, total) = keptOf(t, pred)
+    total shouldBe 20
+    kept should be <= 3
+    readPruned(spark, t, pred).agg(count("*"), sum("k")).as[(Long, Long)].head() shouldBe
+      ((500L, (4000L until 4500L).sum))
+  }
+
+  test("string, Or, In and literal-first shapes prune; point miss plans zero files (R42)") {
+    val t = clustered("stats_shapes")
+    keptOf(t, col("s") < "s00500")._1 should be <= 2
+    keptOf(t, col("k") === 123 || col("k") === 9876)._1 should be <= 2
+    keptOf(t, col("k").isin(5, 9995))._1 should be <= 2
+    keptOf(t, lit(100L) > col("k"))._1 should be <= 1
+    // a key past every range: zero files, empty-but-typed result
+    val none = col("k") === 123456789L
+    keptOf(t, none)._1 shouldBe 0
+    readPruned(spark, t, none).count() shouldBe 0L
+    readPruned(spark, t, none).columns.toSeq shouldBe Seq("k", "s", "x")
+  }
+
+  test("unsupported predicates and stat-less columns keep every file (R42 conservatism)") {
+    val t = clustered("stats_conserve")
+    keptOf(t, col("k") + 1 === 5)._1 shouldBe 20          // expression over attr
+    keptOf(t, col("s").contains("s01"))._1 shouldBe 20    // non-range shape
+    keptOf(t, col("k").isNull)._1 shouldBe 20             // null test
+    // results still exact when nothing prunes
+    readPruned(spark, t, col("k") + 1 === 5).as[(Long, String, Double)].head()._1 shouldBe 4L
+  }
+
+  test("hash-fragmented table prunes nothing until R41 z-order OPTIMIZE, then almost everything (R41×R42)") {
+    val t = graft.Scratch.fresh("stats_optimize")
+    val df = spark.range(20000L).select(col("id").as("k"),
+      (col("id") % 100).as("g"), (col("id") * 13 % 997).cast("double").as("x"))
+    commit(spark, t, df.repartition(24)) // hash layout: every file spans the range
+    val pred = col("k") >= 1000 && col("k") < 1400
+    val before = keptOf(t, pred)
+    before._1 shouldBe before._2 // nothing prunable
+    optimize(spark, t, targetBytes = 64L * 1024, zorderCols = Seq("k"))
+    val (kept, total) = keptOf(t, pred)
+    assert(kept * 3 < total, s"kept $kept of $total after optimize")
+    readPruned(spark, t, pred).agg(sum("k")).as[Long].head() shouldBe
+      (1000L until 1400L).sum
+  }
+}
