@@ -37,19 +37,36 @@ object IncrementalEtlStream {
 
   private val names = IncrementalEtl.tableNames
 
+  /** The nine commits of a batch target nine DISTINCT table directories —
+    * independent jobs, so they are submitted concurrently (the
+    * `WikidataTables.writeParquet` discipline): serial submission leaves
+    * the cluster idle between ~job-scheduling-sized writes, which at
+    * mini-batch grain IS the wall time. */
+  private def commitAll(spark: SparkSession, pairs: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(pairs.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(pairs.map { case (t, df) =>
+      Future { SnapshotTable.commit(spark, t, df): Unit }
+    }), Duration.Inf): Unit
+    finally pool.shutdown()
+  }
+
   /** Publish initial full-ETL tables as version 1 of each snapshot table,
     * plus an empty `revisions` mark (full-dump entities carry rev 0: any
     * changeset revision outranks them). */
   def bootstrap(spark: SparkSession, tableRoot: String, tables: WikidataTables): Unit = {
-    tables.byName.foreach { case (n, df) =>
-      SnapshotTable.commit(spark, s"$tableRoot/$n", df)
-    }
+    tables.core.foreach(_.count()) // materialize the shared cache once
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("lastrevid", org.apache.spark.sql.types.LongType))))
-    SnapshotTable.commit(spark, s"$tableRoot/revisions", empty)
+    commitAll(spark,
+      tables.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df } :+
+        (s"$tableRoot/revisions" -> empty))
   }
 
   /** One micro-batch: frame the lines, resolve within-batch winners, admit
@@ -57,7 +74,9 @@ object IncrementalEtlStream {
     * Empty or fully-stale batches commit nothing (version alignment across
     * tables is preserved because NO table commits). */
   def applyBatch(spark: SparkSession, lines: DataFrame, tableRoot: String): Unit = {
-    val win = IncrementalEtl.winners(IncrementalEtl.changesFrom(lines))
+    // cached: the winners frame feeds the stale probe, the admitted set,
+    // the touched-id anti-joins and the revision marks
+    val win = IncrementalEtl.winners(IncrementalEtl.changesFrom(lines)).cache()
     val revPath = s"$tableRoot/revisions"
     val current = SnapshotTable.read(spark, revPath)
     // map-only guard, formulated so the broadcast side is always the inner
@@ -75,16 +94,18 @@ object IncrementalEtlStream {
       if (!guarded.isEmpty) {
         val base = names.map(n => n -> SnapshotTable.read(spark, s"$tableRoot/$n")).toMap
         val next = IncrementalEtl.applyWinners(base, guarded)
-        try next.byName.foreach { case (n, df) =>
-          SnapshotTable.commit(spark, s"$tableRoot/$n", df)
-        } finally next.unpersist()
         val marks = current
           .join(broadcast(guarded.select("id")), Seq("id"), "left_anti")
           .unionByName(guarded.select(col("id"),
             coalesce(col("c.lastrevid"), lit(0L)).as("lastrevid")))
-        SnapshotTable.commit(spark, revPath, marks)
+        try {
+          next.core.foreach(_.count()) // materialize before the fan-out race
+          commitAll(spark,
+            next.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df } :+
+              (revPath -> marks))
+        } finally next.unpersist()
       }
-    } finally guarded.unpersist()
+    } finally { guarded.unpersist(); win.unpersist(): Unit }
   }
 
   /** Watch `inDir` for changeset shards; apply each micro-batch to the

@@ -61,8 +61,9 @@ class IncrementalEtlStreamSpec extends SparkSpec {
     val in   = graft.Scratch.fresh("x12spec_in")
     val root = graft.Scratch.fresh("x12spec_tables")
     val ckpt = graft.Scratch.fresh("x12spec_ckpt")
-    IncrementalEtlStream.bootstrap(spark, root,
-      WikidataEtl.run(DumpReader.read(spark, v1Path), cache = false))
+    val v1 = WikidataEtl.run(DumpReader.read(spark, v1Path), cache = true)
+    IncrementalEtlStream.bootstrap(spark, root, v1)
+    v1.unpersist()
     val lines = Files.readAllLines(Paths.get(csPath)).asScala.toSeq
     val quarter = (lines.size + 3) / 4
     lines.grouped(quarter).zipWithIndex.foreach { case (chunk, i) =>
