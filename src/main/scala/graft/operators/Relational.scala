@@ -413,6 +413,30 @@ object Relational {
         col("o_orderkey") >= 500 && col("o_orderkey") <= 2500)
     },
 
+    "r43_cow_merge" -> { (s, dir) =>
+      // R43: copy-on-write MERGE — commit orders key-clustered, apply a
+      // narrow changeset (updates in [100,200], deletes in [300,350], 5
+      // inserts past the key range); R42's stats confine the rewrite to
+      // the files those keys can live in, every other path carries into
+      // the new manifest verbatim. The oracle replays the merge in SQL —
+      // the result cannot depend on which files were rewritten.
+      // Untouched-path identity + fallback-on-unclustered are
+      // SnapshotMergeSpec's.
+      val t = graft.Scratch.fresh("r43_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t,
+        o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val changes = o.filter(col("o_orderkey").between(100, 200))
+          .withColumn("o_totalprice", lit(-1.0)).withColumn("op", lit("U"))
+        .unionByName(o.filter(col("o_orderkey").between(300, 350))
+          .withColumn("op", lit("D")))
+        .unionByName(s.range(5).select(
+          (col("id") + 10000000L).as("o_orderkey"), lit(1L).as("o_custkey"),
+          lit(5.0).as("o_totalprice"), lit("I").as("op")))
+      SnapshotTable.merge(s, t, changes, Seq("o_orderkey"))
+      SnapshotTable.read(s, t)
+    },
+
     "r27_rolling_window" -> { (s, dir) =>
       // time-RANGE rolling aggregate (r8's running agg is row-framed): each
       // event's trailing 1-hour sum/count per user. Range frames are
@@ -974,6 +998,17 @@ object Relational {
     "r42_stats_skipping" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 500 AND 2500""".stripMargin,
+
+    // R43: the merge replayed in SQL — updates as CASE, deletes as WHERE,
+    // inserts as a UNION'd range
+    "r43_cow_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey BETWEEN 100 AND 200 THEN -1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey NOT BETWEEN 300 AND 350
+        |UNION ALL
+        |SELECT CAST(10000000 + range AS BIGINT), CAST(1 AS BIGINT), 5.0
+        |FROM range(5)""".stripMargin,
 
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,

@@ -148,6 +148,32 @@ object SnapshotStats {
     case _ => None
   }
 
+  /** Comparable rendering of a driver-side runtime value (R43's collected
+    * change keys): BigDecimal for numerics, String for strings. */
+  def toComparable(v: Any): Option[Any] = v match {
+    case null => None
+    case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+              _: java.lang.Long | _: java.lang.Float | _: java.lang.Double) =>
+      Some(new java.math.BigDecimal(n.toString))
+    case d: java.math.BigDecimal => Some(d)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case s: String => Some(s)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case _ => None
+  }
+
+  /** Could a file whose column spans `st` hold ANY of `vals`? Conservative:
+    * an incomparable value answers yes. */
+  def rangeContainsAny(st: ColStats, vals: Iterable[Any]): Boolean =
+    vals.exists { v =>
+      toComparable(v) match {
+        case Some(c) =>
+          (for (a <- cmpVals(c, st.min); b <- cmpVals(c, st.max))
+            yield a >= 0 && b <= 0).getOrElse(true)
+        case None => true
+      }
+    }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)

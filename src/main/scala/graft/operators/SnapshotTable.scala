@@ -49,9 +49,14 @@ object SnapshotTable {
     extends RuntimeException(
       s"version $version was committed concurrently; re-read and retry")
 
-  sealed trait Mode
+  sealed trait Mode { private[operators] def label: String = toString }
   case object Overwrite extends Mode
   case object Append extends Mode
+  /** Copy-on-write: the next manifest keeps exactly `keep` (paths from the
+    * parent version) plus the newly-written files — [[merge]]'s mode. */
+  final case class Replace(keep: Seq[String]) extends Mode {
+    override private[operators] def label: String = "Replace"
+  }
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
@@ -126,13 +131,14 @@ object SnapshotTable {
     val files = mode match {
       case Overwrite => written
       case Append => parent.map(manifestFiles(table, _)).getOrElse(Seq.empty) ++ written
+      case Replace(keep) => keep ++ written
     }
     // 2. manifest to a temp name nobody reads
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
     val json = files.map(f => "\"" + f + "\"").mkString(
       s"""{"version":$version,"parent":${parent.getOrElse(-1L)},""" +
-        s""""mode":"$mode","files":[""", ",", "]}")
+        s""""mode":"${mode.label}","files":[""", ",", "]}")
     Files.write(tmp, json.getBytes("UTF-8"))
     beforePublish()
     // 3. atomic publish-if-absent; losing a race surfaces as FileAlreadyExists
@@ -232,6 +238,50 @@ object SnapshotTable {
         case _ => true
       }
     }
+  }
+
+  /** R43: copy-on-write MERGE — apply a changeset of insert/update/delete
+    * row images ([[Upsert.applyChanges]] semantics: `opCol` ∈ I/U/D, at
+    * most one image per key) to a snapshot table, rewriting ONLY the files
+    * that can contain changed keys. R42's footer stats locate them: a file
+    * whose first-key-column range excludes every change key provably holds
+    * no changed row, so its path carries into the next manifest VERBATIM —
+    * no read, no write, no copy. On a key-clustered layout (sorted writes,
+    * R41 z-order) a narrow changeset rewrites a handful of files out of
+    * thousands; stats-less or unclustered files fall back to rewrite —
+    * conservative, never wrong. The changeset is changeset-bounded on the
+    * driver (its distinct first-key values are collected for pruning — the
+    * same contract Upsert documents) and broadcast into the anti-join, so
+    * the touched files stream map-only. Commit is CAS'd on the observed
+    * version: a racing writer wins, the merge retries. This is the Delta/
+    * Hudi MERGE INTO shape the plain-directory R25 cannot offer. */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+      keyCols: Seq[String], opCol: String = "op",
+      beforePublish: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val files = manifestFiles(table, v)
+    val k0 = keyCols.head
+    val keyVals = changes.select(col(k0)).distinct().collect().map(_.get(0)).toSeq
+    val statsByDir = files.map(f => f.take(f.lastIndexOf('/'))).distinct
+      .map(d => d -> SnapshotStats.load(Paths.get(table, d, "stats.json"))).toMap
+    val (touched, untouched) = files.partition { f =>
+      val dir = f.take(f.lastIndexOf('/'))
+      val name = f.split('/').last
+      statsByDir(dir).get(name).flatMap(_.get(k0)) match {
+        case Some(st) => SnapshotStats.rangeContainsAny(st, keyVals)
+        case None => true // no stats for the key column: must rewrite
+      }
+    }
+    val touchedDf =
+      if (touched.isEmpty) read(spark, table, v).limit(0)
+      else spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+    val rewritten = touchedDf
+      .join(broadcast(changes.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+    commit(spark, table, rewritten, mode = Replace(untouched),
+      expectedVersion = v, beforePublish = beforePublish)
   }
 
   /** R42: read with file skipping — scan only the files whose (min, max)
