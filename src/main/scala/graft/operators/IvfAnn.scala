@@ -71,12 +71,7 @@ object IvfAnn {
       flatScanCap: Int = FlatScanCap): Seq[Array[Double]] = {
     val all = df.select(col(vecCol).as("v"))
     val n = if (knownN >= 0) knownN else all.count()
-    val sampled = if (n <= sampleCap) all else {
-      // uniform in [0, 2^32) from the vector itself (no id column needed);
-      // threshold sampling as Sampling.hashUnit
-      val u = pmod(xxhash64(col("v")), lit(4294967296L))
-      all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
-    }
+    val sampled = hashSample(all, sampleCap, n)
     // persisted across Lloyd iterations: seeding + every iteration is an
     // action over this frame — unpersisted, each would re-scan the sample
     val vecs = sampled
@@ -172,6 +167,18 @@ object IvfAnn {
     val kept = memberLists.indices.filter(memberLists(_).nonEmpty)
     (kept.map(supers(_)).toSeq, kept.map(memberLists(_)).toSeq)
   }
+
+  /** Deterministic hash sample of ~`cap` of `n` rows of a vector column
+    * `v`: membership a pure function of the vector itself (the T6 rule —
+    * no id column needed; uniform in [0, 2^32) via xxhash64, threshold
+    * sampling as `Sampling.hashUnit`). The ONE sampler shared by the IVF,
+    * PQ and IVF-PQ training paths, so the seeding discipline cannot drift
+    * between them. */
+  private[operators] def hashSample(all: DataFrame, cap: Long, n: Long): DataFrame =
+    if (n <= cap) all else {
+      val u = pmod(xxhash64(col("v")), lit(4294967296L))
+      all.filter(u < lit(math.round(cap.toDouble / n * 4294967296.0)))
+    }
 
   /** Top-`m` probe-cell column under this codebook: the flat kernel below
     * `flatScanCap` cells, the two-level hier kernel above. Shared by S3

@@ -55,10 +55,7 @@ object IvfPq {
     val cents = IvfAnn.trainCentroids(corpus, vecCol, cells, iters, sampleCap, knownN)
     val all = corpus.select(col(vecCol).cast("array<double>").as("v"))
     val n = if (knownN >= 0) knownN else all.count()
-    val sampled = if (n <= sampleCap) all else {
-      val u = pmod(xxhash64(col("v")), lit(4294967296L))
-      all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
-    }
+    val sampled = IvfAnn.hashSample(all, sampleCap, n)
     val cellsOf = IvfAnn.cellSelector(cents)
     val resid = sampled
       .withColumn("cid", element_at(cellsOf(col("v"), 1), 1))

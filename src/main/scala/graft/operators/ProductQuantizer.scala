@@ -63,10 +63,7 @@ object ProductQuantizer {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val n = if (knownN >= 0) knownN else all.count()
-    val sampled = if (n <= sampleCap) all else {
-      val u = pmod(xxhash64(col("v")), lit(4294967296L))
-      all.filter(u < lit(math.round(sampleCap.toDouble / n * 4294967296.0)))
-    }
+    val sampled = IvfAnn.hashSample(all, sampleCap, n)
     // persisted — seeding + every Lloyd round is an action over this frame
     val vecs = sampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

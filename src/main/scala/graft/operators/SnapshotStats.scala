@@ -130,19 +130,34 @@ object SnapshotStats {
   // ------------------------------------------------------------ pruning
 
   /** Stat value vs literal value, when comparable: numerics via BigDecimal
-    * (exact — a double compare could mis-prune longs past 2^53), strings
-    * lexicographically (parquet orders UTF-8 binary the same way). */
+    * (exact — a double compare could mis-prune longs past 2^53), strings by
+    * UNSIGNED UTF-8 BYTE order — the order parquet computed the footer
+    * min/max in. Java `String.compareTo` (UTF-16 code-unit order) disagrees
+    * with it for supplementary-plane characters vs U+E000–U+FFFF, which
+    * would mis-prune; comparing the encoded bytes matches the stats'
+    * ordering exactly. */
   private def cmpVals(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8")))
     case _ => None
+  }
+
+  /** NaN/Infinity have no BigDecimal form — and no meaningful place in a
+    * min/max range either (parquet excludes NaN from stats); map them to
+    * incomparable, which every caller treats as "cannot prune". */
+  private def numToDecimal(n: Number): Option[java.math.BigDecimal] = n match {
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float if f.isNaN || f.isInfinite => None
+    case _ => Some(new java.math.BigDecimal(n.toString))
   }
 
   private def litValue(l: Literal): Option[Any] = l.value match {
     case null => None
     case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
               _: java.lang.Long | _: java.lang.Float | _: java.lang.Double) =>
-      Some(new java.math.BigDecimal(n.toString))
+      numToDecimal(n.asInstanceOf[Number])
     case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
     case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
     case _ => None
@@ -154,7 +169,7 @@ object SnapshotStats {
     case null => None
     case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
               _: java.lang.Long | _: java.lang.Float | _: java.lang.Double) =>
-      Some(new java.math.BigDecimal(n.toString))
+      numToDecimal(n.asInstanceOf[Number])
     case d: java.math.BigDecimal => Some(d)
     case d: scala.math.BigDecimal => Some(d.bigDecimal)
     case s: String => Some(s)

@@ -186,19 +186,34 @@ object SnapshotTable {
         val name = d.getFileName.toString
         val dirVersion = name.stripPrefix("c").takeWhile(_.isDigit)
         val inFlight = dirVersion.nonEmpty && dirVersion.toLong > latest
-        val referenced = {
-          val fs = Files.list(d)
-          try {
-            import scala.jdk.CollectionConverters._
-            fs.iterator().asScala.exists(f => live.contains(s"data/$name/${f.getFileName}"))
-          } finally fs.close()
-        }
-        if (!inFlight && !referenced) {
-          val walk = Files.walk(d)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          } finally walk.close()
+        if (!inFlight) {
+          val entries = {
+            val fs = Files.list(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              fs.iterator().asScala.toSeq
+            } finally fs.close()
+          }
+          val referenced = entries.exists(f => live.contains(s"data/$name/${f.getFileName}"))
+          if (!referenced) {
+            val walk = Files.walk(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            } finally walk.close()
+          } else {
+            // partially-referenced dir — R43 Replace manifests keep SOME of
+            // a commit's files live; reclaim the individually-dead parquet
+            // files (sidecars stay: their stale entries are keyed by file
+            // name and never consulted for deleted files)
+            entries
+              .filter { f =>
+                val n = f.getFileName.toString
+                n.startsWith("part-") && n.endsWith(".parquet") &&
+                  !live.contains(s"data/$name/$n")
+              }
+              .foreach(Files.deleteIfExists(_))
+          }
         }
       }
     }

@@ -101,8 +101,14 @@ object IncrementalEtlStream {
         try {
           next.core.foreach(_.count()) // materialize before the fan-out race
           commitAll(spark,
-            next.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df } :+
-              (revPath -> marks))
+            next.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df })
+          // the high-water mark commits STRICTLY AFTER the data tables: a
+          // crash inside the window replays the batch with the OLD mark, so
+          // the re-apply repairs any table the crash left behind (equal
+          // revids then reject the second replay). Committing the mark
+          // concurrently would let it land first and turn the replay into a
+          // no-op with data tables missing the batch forever.
+          SnapshotTable.commit(spark, revPath, marks): Unit
         } finally next.unpersist()
       }
     } finally { guarded.unpersist(); win.unpersist(): Unit }

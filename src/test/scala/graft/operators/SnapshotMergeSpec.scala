@@ -66,6 +66,20 @@ class SnapshotMergeSpec extends SparkSpec {
     read(spark, t, 1L).filter(col("k") === 1005L).select("s").as[String].head() shouldBe "v001005"
   }
 
+  test("vacuum reclaims the dead rewritten files inside partially-referenced dirs (R43 storage bound)") {
+    val t = table("merge_vacuum", clustered = true)
+    val expected = content(Upsert.applyChanges(read(spark, t, 1L), changes(), Seq("k")))
+    merge(spark, t, changes(), Seq("k"))
+    val deadV1 = manifestFilesOf(t, 1L).toSet -- manifestFilesOf(t, 2L).toSet
+    deadV1 should not be empty
+    deadV1.foreach(f => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, f))))
+    vacuum(t, keepFrom = 2L)
+    // the rewritten (dead) files are gone even though their commit dir
+    // still holds files the Replace manifest carried
+    deadV1.foreach(f => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, f)), s"leaked $f"))
+    content(read(spark, t)) shouldBe expected
+  }
+
   test("a racing writer wins the CAS; the merge clobbers nothing (R43)") {
     val t = table("merge_race", clustered = true)
     intercept[ConcurrentCommitException] {

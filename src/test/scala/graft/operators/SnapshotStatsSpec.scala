@@ -58,6 +58,21 @@ class SnapshotStatsSpec extends SparkSpec {
     readPruned(spark, t, col("k") + 1 === 5).as[(Long, String, Double)].head()._1 shouldBe 4L
   }
 
+  test("string pruning uses UTF-8 byte order, not UTF-16; NaN literals disable pruning instead of throwing (R42)") {
+    val t = graft.Scratch.fresh("stats_utf8")
+    // "￿" sorts ABOVE the emoji in UTF-16 code units but BELOW it in
+    // UTF-8 bytes (the order parquet computed the footer max in) — a
+    // compareTo-based range check would prune the file and lose the row
+    val df = Seq(("￿", 1L), ("😀", 2L), ("aaa", 3L)).toDF("s", "k")
+    commit(spark, t, df.coalesce(1))
+    readPruned(spark, t, col("s") === "￿").select("k").as[Long].collect().toSeq shouldBe Seq(1L)
+    // NaN has no BigDecimal form: must degrade to no-pruning, never throw
+    val tn = graft.Scratch.fresh("stats_nan")
+    commit(spark, tn, Seq((1L, 1.5), (2L, Double.NaN)).toDF("k", "x").coalesce(1))
+    readPruned(spark, tn, col("x") === Double.NaN).count() shouldBe
+      read(spark, tn).filter(col("x") === Double.NaN).count()
+  }
+
   test("hash-fragmented table prunes nothing until R41 z-order OPTIMIZE, then almost everything (R41×R42)") {
     val t = graft.Scratch.fresh("stats_optimize")
     val df = spark.range(20000L).select(col("id").as("k"),
