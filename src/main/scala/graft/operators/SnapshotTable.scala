@@ -79,6 +79,38 @@ object SnapshotTable {
   /** Latest committed version, if any. */
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
+  /** The idempotency tag of `version` (default: latest), if that commit
+    * recorded one. */
+  def tagOf(table: String, version: Long = -1L): Option[String] =
+    (if (version >= 0) Some(version) else latestVersion(table)).flatMap { v =>
+      val p = manifestPath(table, v)
+      if (!Files.isRegularFile(p)) None
+      else "\"tag\"\\s*:\\s*\"([^\"]*)\"".r
+        .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+        .map(_.group(1))
+    }
+
+  /** Commit several (table, frame) pairs CONCURRENTLY — distinct table
+    * directories are independent, and serial submission leaves the cluster
+    * idle between ~scheduling-sized write jobs (the
+    * `WikidataTables.writeParquet` discipline). NOT a cross-table
+    * transaction: each table commits atomically on its own; layer an
+    * idempotency [[commit tag]] + per-table replay checks (X13) or version
+    * alignment (X12) on top for cross-table consistency. */
+  def commitAll(spark: SparkSession, pairs: Seq[(String, DataFrame)],
+      mode: Mode = Overwrite, tag: Option[String] = None): Unit = {
+    if (pairs.isEmpty) return // fully-replayed batch: nothing pending
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(pairs.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(pairs.map { case (t, df) =>
+      Future { commit(spark, t, df, mode = mode, tag = tag): Unit }
+    }), Duration.Inf): Unit
+    finally pool.shutdown()
+  }
+
   /** The data files of one version (relative to the table root). */
   private[operators] def manifestFiles(table: String, v: Long): Seq[String] = {
     val json = new String(Files.readAllBytes(manifestPath(table, v)), "UTF-8")
@@ -93,11 +125,14 @@ object SnapshotTable {
     * [[ConcurrentCommitException]] unless the parent is exactly that
     * version (-1 = require a fresh table). `beforePublish` runs after the
     * data files are durable but before the manifest rename — the crash
-    * window the CrashRecoverySpec-style test injects into. Returns the
-    * committed version. */
+    * window the CrashRecoverySpec-style test injects into. `tag` is an
+    * opaque idempotency marker recorded in the manifest (readable via
+    * [[latestTag]]) — streaming sinks stamp the micro-batch id so a
+    * replayed batch can recognize an already-published commit (X13).
+    * Returns the committed version. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       mode: Mode = Overwrite, expectedVersion: Long = Long.MinValue,
-      beforePublish: () => Unit = () => ()): Long = {
+      beforePublish: () => Unit = () => (), tag: Option[String] = None): Long = {
     val parent = latestVersion(table)
     if (expectedVersion != Long.MinValue &&
         parent.getOrElse(-1L) != expectedVersion)
@@ -136,8 +171,10 @@ object SnapshotTable {
     // 2. manifest to a temp name nobody reads
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
+    val tagField = tag.map(t =>
+      s""""tag":"${t.replace("\\", "").replace("\"", "")}",""").getOrElse("")
     val json = files.map(f => "\"" + f + "\"").mkString(
-      s"""{"version":$version,"parent":${parent.getOrElse(-1L)},""" +
+      s"""{"version":$version,"parent":${parent.getOrElse(-1L)},$tagField""" +
         s""""mode":"${mode.label}","files":[""", ",", "]}")
     Files.write(tmp, json.getBytes("UTF-8"))
     beforePublish()

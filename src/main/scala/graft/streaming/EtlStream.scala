@@ -29,4 +29,47 @@ object EtlStream {
       }
       .start()
   }
+
+  /** X13: the same ingestion, published EXACTLY-ONCE through R40 snapshot
+    * commits. [[start]]'s bare `mode("append")` has two holes at scale: a
+    * reader racing a batch lists half its files, and foreachBatch's
+    * at-least-once replay appends the whole batch AGAIN after a crash.
+    * Here each batch Append-commits every table tagged with the micro-batch
+    * id: readers only ever see whole published batches (manifest atomicity),
+    * and on replay each table whose LATEST tag already equals this batch id
+    * is skipped — per-table, so a crash that published only some tables is
+    * repaired by the replay committing exactly the missing ones.
+    * At-least-once delivery + idempotent tagged publication = exactly-once
+    * table state, X8's discipline at the table-format layer. */
+  def startSnapshot(spark: SparkSession, inDir: String, tableRoot: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val entities = DumpReader.entities(reader.text(inDir))
+    entities.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatch(spark, batch.toDF(), tableRoot, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[startSnapshot]], exposed for direct replay tests. */
+  def commitBatch(spark: SparkSession, parsedBatch: org.apache.spark.sql.DataFrame,
+      tableRoot: String, batchId: Long): Unit = {
+    import graft.operators.SnapshotTable
+    val tables = WikidataEtl.run(parsedBatch)
+    try {
+      tables.core.foreach(_.count()) // materialize before the fan-out race
+      val pending = tables.byName.toSeq.filter { case (name, _) =>
+        !SnapshotTable.tagOf(s"$tableRoot/$name").contains(batchId.toString)
+      }
+      SnapshotTable.commitAll(spark,
+        pending.map { case (name, df) => s"$tableRoot/$name" -> df },
+        mode = SnapshotTable.Append, tag = Some(batchId.toString))
+    } finally tables.unpersist()
+  }
 }

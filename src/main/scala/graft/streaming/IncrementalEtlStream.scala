@@ -37,22 +37,11 @@ object IncrementalEtlStream {
 
   private val names = IncrementalEtl.tableNames
 
-  /** The nine commits of a batch target nine DISTINCT table directories —
-    * independent jobs, so they are submitted concurrently (the
-    * `WikidataTables.writeParquet` discipline): serial submission leaves
-    * the cluster idle between ~job-scheduling-sized writes, which at
-    * mini-batch grain IS the wall time. */
-  private def commitAll(spark: SparkSession, pairs: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
-    import java.util.concurrent.Executors
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(pairs.size)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(pairs.map { case (t, df) =>
-      Future { SnapshotTable.commit(spark, t, df): Unit }
-    }), Duration.Inf): Unit
-    finally pool.shutdown()
-  }
+  /** The data-table commits of a batch target DISTINCT directories — fan
+    * them out via [[SnapshotTable.commitAll]]; the revisions mark then
+    * commits serially after (see [[applyBatch]]). */
+  private def commitAll(spark: SparkSession, pairs: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit =
+    SnapshotTable.commitAll(spark, pairs)
 
   /** Publish initial full-ETL tables as version 1 of each snapshot table,
     * plus an empty `revisions` mark (full-dump entities carry rev 0: any
