@@ -431,7 +431,10 @@ object Relational {
         .unionByName(o.filter(col("o_orderkey").between(300, 350))
           .withColumn("op", lit("D")))
         .unionByName(s.range(5).select(
-          (col("id") + 10000000L).as("o_orderkey"), lit(1L).as("o_custkey"),
+          // +1e9: past any real orderkey at every SF (the r25 discipline) —
+          // 1e7 collides with sparse TPC-H keys at SF ≥ 2, where merge's
+          // upsert semantics and the oracle's plain UNION ALL would diverge
+          (col("id") + 1000000000L).as("o_orderkey"), lit(1L).as("o_custkey"),
           lit(5.0).as("o_totalprice"), lit("I").as("op")))
       SnapshotTable.merge(s, t, changes, Seq("o_orderkey"))
       SnapshotTable.read(s, t)
@@ -1007,7 +1010,7 @@ object Relational {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey NOT BETWEEN 300 AND 350
         |UNION ALL
-        |SELECT CAST(10000000 + range AS BIGINT), CAST(1 AS BIGINT), 5.0
+        |SELECT CAST(1000000000 + range AS BIGINT), CAST(1 AS BIGINT), 5.0
         |FROM range(5)""".stripMargin,
 
     "r27_rolling_window" ->

@@ -72,19 +72,27 @@ object SnapshotStats {
           val st = c.getStatistics
           if (st == null || st.isEmpty || !(isString || isPlainNum)) dropped += name
           else if (st.hasNonNullValue) {
-            val (mn: Any, mx: Any) =
+            // ±Infinity footer min/max (a double column holding a division
+            // overflow) has no BigDecimal form: drop just THIS column —
+            // throwing here would void the sidecar for the whole commit
+            val pair: Option[(Any, Any)] =
               if (isString)
-                (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
-                  st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                Some((st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                  st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
               else
-                (new java.math.BigDecimal(st.genericGetMin.toString),
-                  new java.math.BigDecimal(st.genericGetMax.toString))
-            ranges.get(name) match {
-              case None => ranges(name) = ColStats(mn, mx)
-              case Some(cur) =>
-                ranges(name) = ColStats(
-                  if (cmpVals(mn, cur.min).exists(_ < 0)) mn else cur.min,
-                  if (cmpVals(mx, cur.max).exists(_ > 0)) mx else cur.max)
+                try Some((new java.math.BigDecimal(st.genericGetMin.toString),
+                  new java.math.BigDecimal(st.genericGetMax.toString)))
+                catch { case _: NumberFormatException => None }
+            pair match {
+              case None => dropped += name
+              case Some((mn, mx)) =>
+                ranges.get(name) match {
+                  case None => ranges(name) = ColStats(mn, mx)
+                  case Some(cur) =>
+                    ranges(name) = ColStats(
+                      if (cmpVals(mn, cur.min).exists(_ < 0)) mn else cur.min,
+                      if (cmpVals(mx, cur.max).exists(_ > 0)) mx else cur.max)
+                }
             }
           } // all-null row group: contributes no range, other groups may
         }

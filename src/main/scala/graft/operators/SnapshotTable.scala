@@ -127,9 +127,10 @@ object SnapshotTable {
     * data files are durable but before the manifest rename — the crash
     * window the CrashRecoverySpec-style test injects into. `tag` is an
     * opaque idempotency marker recorded in the manifest (readable via
-    * [[latestTag]]) — streaming sinks stamp the micro-batch id so a
-    * replayed batch can recognize an already-published commit (X13).
-    * Returns the committed version. */
+    * [[tagOf]]; must not contain `"` or `\` — the manifest is flat JSON) —
+    * streaming sinks stamp the micro-batch id so a replayed batch can
+    * recognize an already-published commit (X13). Returns the committed
+    * version. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       mode: Mode = Overwrite, expectedVersion: Long = Long.MinValue,
       beforePublish: () => Unit = () => (), tag: Option[String] = None): Long = {
@@ -171,8 +172,12 @@ object SnapshotTable {
     // 2. manifest to a temp name nobody reads
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
-    val tagField = tag.map(t =>
-      s""""tag":"${t.replace("\\", "").replace("\"", "")}",""").getOrElse("")
+    // reject rather than strip: silently rewriting a tag would let two
+    // DISTINCT tags alias to one recorded value and false-match the
+    // replay-idempotency check
+    tag.foreach(t => require(!t.contains("\"") && !t.contains("\\"),
+      s"""tag must not contain '"' or '\\': $t"""))
+    val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
     val json = files.map(f => "\"" + f + "\"").mkString(
       s"""{"version":$version,"parent":${parent.getOrElse(-1L)},$tagField""" +
         s""""mode":"${mode.label}","files":[""", ",", "]}")
@@ -310,11 +315,24 @@ object SnapshotTable {
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "op",
       beforePublish: () => Unit = () => ()): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val v = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val files = manifestFiles(table, v)
     val k0 = keyCols.head
+    // ONE materialization of the changeset: it feeds the driver-side key
+    // collect, the anti-join and the insert union — re-evaluating a
+    // non-deterministic changeset between those would classify a file as
+    // untouched under one key set and insert images under another,
+    // leaving duplicate rows
+    val pinned = changes.cache()
+    try merge0(spark, table, pinned, keyCols, opCol, beforePublish, v, files, k0)
+    finally { pinned.unpersist(): Unit }
+  }
+
+  private def merge0(spark: SparkSession, table: String, changes: DataFrame,
+      keyCols: Seq[String], opCol: String, beforePublish: () => Unit,
+      v: Long, files: Seq[String], k0: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val keyVals = changes.select(col(k0)).distinct().collect().map(_.get(0)).toSeq
     val statsByDir = files.map(f => f.take(f.lastIndexOf('/'))).distinct
       .map(d => d -> SnapshotStats.load(Paths.get(table, d, "stats.json"))).toMap

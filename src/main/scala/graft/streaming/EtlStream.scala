@@ -61,14 +61,17 @@ object EtlStream {
   def commitBatch(spark: SparkSession, parsedBatch: org.apache.spark.sql.DataFrame,
       tableRoot: String, batchId: Long): Unit = {
     import graft.operators.SnapshotTable
+    // tag check FIRST (cheap manifest reads — table names are static): a
+    // fully-replayed batch must not pay the batch ETL for a guaranteed no-op
+    val pendingNames = graft.wikidata.IncrementalEtl.tableNames.filter { name =>
+      !SnapshotTable.tagOf(s"$tableRoot/$name").contains(batchId.toString)
+    }
+    if (pendingNames.isEmpty) return
     val tables = WikidataEtl.run(parsedBatch)
     try {
       tables.core.foreach(_.count()) // materialize before the fan-out race
-      val pending = tables.byName.toSeq.filter { case (name, _) =>
-        !SnapshotTable.tagOf(s"$tableRoot/$name").contains(batchId.toString)
-      }
       SnapshotTable.commitAll(spark,
-        pending.map { case (name, df) => s"$tableRoot/$name" -> df },
+        pendingNames.map(name => s"$tableRoot/$name" -> tables.byName(name)),
         mode = SnapshotTable.Append, tag = Some(batchId.toString))
     } finally tables.unpersist()
   }

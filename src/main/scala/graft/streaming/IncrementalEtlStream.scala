@@ -26,22 +26,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * tables.
   *
   * Scale shape per batch: winners are batch-bounded and broadcast; the
-  * guard join probes the revisions table against that broadcast (map-only,
-  * BuildLeft right-outer — the table never shuffles), and the eight merges
-  * are W22's broadcast anti-joins. Every non-empty batch commits all nine
-  * tables exactly once, so version numbers stay aligned across tables:
-  * "read every table at version V" is a consistent cross-table cut, which
-  * is how a reader escapes the per-table-only atomicity of the commits.
+  * guard is an inner probe of the revisions table against that broadcast
+  * plus an anti-join of the winners against the stale matches (both
+  * map-only — the table never shuffles), and the eight merges are W22's
+  * broadcast anti-joins. Every non-empty batch commits all nine tables
+  * exactly once, so version numbers stay aligned across tables: "read
+  * every table at version V" is a consistent cross-table cut, which is
+  * how a reader escapes the per-table-only atomicity of the commits.
   */
 object IncrementalEtlStream {
 
   private val names = IncrementalEtl.tableNames
 
-  /** The data-table commits of a batch target DISTINCT directories — fan
-    * them out via [[SnapshotTable.commitAll]]; the revisions mark then
-    * commits serially after (see [[applyBatch]]). */
-  private def commitAll(spark: SparkSession, pairs: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit =
-    SnapshotTable.commitAll(spark, pairs)
 
   /** Publish initial full-ETL tables as version 1 of each snapshot table,
     * plus an empty `revisions` mark (full-dump entities carry rev 0: any
@@ -53,7 +49,7 @@ object IncrementalEtlStream {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("lastrevid", org.apache.spark.sql.types.LongType))))
-    commitAll(spark,
+    SnapshotTable.commitAll(spark,
       tables.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df } :+
         (s"$tableRoot/revisions" -> empty))
   }
@@ -89,7 +85,7 @@ object IncrementalEtlStream {
             coalesce(col("c.lastrevid"), lit(0L)).as("lastrevid")))
         try {
           next.core.foreach(_.count()) // materialize before the fan-out race
-          commitAll(spark,
+          SnapshotTable.commitAll(spark,
             next.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df })
           // the high-water mark commits STRICTLY AFTER the data tables: a
           // crash inside the window replays the batch with the OLD mark, so

@@ -71,6 +71,16 @@ class SnapshotStatsSpec extends SparkSpec {
     commit(spark, tn, Seq((1L, 1.5), (2L, Double.NaN)).toDF("k", "x").coalesce(1))
     readPruned(spark, tn, col("x") === Double.NaN).count() shouldBe
       read(spark, tn).filter(col("x") === Double.NaN).count()
+    // ±Infinity in a column's FOOTER stats drops only that column's ranges —
+    // the sibling columns of the same commit must still prune
+    val ti = graft.Scratch.fresh("stats_inf")
+    commit(spark, ti, spark.range(1000L).select(col("id").as("k"),
+        when(col("id") % 2 === 0, lit(Double.PositiveInfinity))
+          .otherwise(lit(1.0)).as("x")) // Infinity rows
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val (kept, skipped) = prunedFiles(spark, ti, col("k") < 100L)
+    assert(skipped.nonEmpty, "k ranges lost to the Infinity column")
+    readPruned(spark, ti, col("k") < 100L).count() shouldBe 100L
   }
 
   test("hash-fragmented table prunes nothing until R41 z-order OPTIMIZE, then almost everything (R41×R42)") {
