@@ -440,6 +440,63 @@ object Relational {
       SnapshotTable.read(s, t)
     },
 
+    "r44_snapshot_cdc" -> { (s, dir) =>
+      // R44: change-data-feed read — replay r43's merge, then ask the
+      // table WHAT CHANGED between the two versions. The feed must be
+      // exactly the changeset's net effect (I/D plus U_pre+U_post pairs);
+      // the unchanged rows the merge's file rewrites carried along are
+      // suppressed by the image diff — the oracle reconstructs the feed
+      // from the changeset definition alone, so any leakage of carried
+      // rows or missed image fails the hash. Append fast-path (no join),
+      // OPTIMIZE-invisibility, net-collapse semantics and the
+      // apply-forward fold are SnapshotCdcSpec's.
+      val t = graft.Scratch.fresh("r44_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t,
+        o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val changes = o.filter(col("o_orderkey").between(100, 200))
+          .withColumn("o_totalprice", lit(-1.0)).withColumn("op", lit("U"))
+        .unionByName(o.filter(col("o_orderkey").between(300, 350))
+          .withColumn("op", lit("D")))
+        .unionByName(s.range(5).select(
+          (col("id") + 1000000000L).as("o_orderkey"), lit(1L).as("o_custkey"),
+          lit(5.0).as("o_totalprice"), lit("I").as("op")))
+      SnapshotTable.merge(s, t, changes, Seq("o_orderkey"))
+      SnapshotTable.changesBetween(s, t, 1L, 2L, Seq("o_orderkey"))
+    },
+
+    "x14_snapshot_ivm" -> { (s, dir) =>
+      // X14: incremental MV maintenance over the table format — bootstrap
+      // a per-customer (n, sum_price) rollup of a committed orders
+      // snapshot, merge r43's changeset into the base, refresh. The
+      // refresh reads ONLY the changed files (R44) plus the MV state; the
+      // oracle recomputes the rollup from the replayed merge, so any
+      // double-applied, missed, or mis-signed delta fails the hash.
+      // Replay no-op, CAS, emptied groups and multi-cycle equivalence are
+      // SnapshotIvmSpec's.
+      val t = graft.Scratch.fresh("x14_base")
+      val mv = graft.Scratch.fresh("x14_mv")
+      val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+        money(col("o_totalprice")).as("price"))
+      SnapshotTable.commit(s, t,
+        o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      def sync(): Unit = SnapshotIvm.refresh(s, t, mv,
+        rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_custkey"),
+        sumCols = Seq("price")): Unit
+      sync() // bootstrap at base v1
+      val changes = o.filter(col("o_orderkey").between(100, 200))
+          .withColumn("price", money(lit(-1.0))).withColumn("op", lit("U"))
+        .unionByName(o.filter(col("o_orderkey").between(300, 350))
+          .withColumn("op", lit("D")))
+        .unionByName(s.range(5).select(
+          (col("id") + 1000000000L).as("o_orderkey"), lit(1L).as("o_custkey"),
+          money(lit(5.0)).as("price"), lit("I").as("op")))
+      SnapshotTable.merge(s, t, changes, Seq("o_orderkey"))
+      sync() // incremental: changed files + MV state only
+      SnapshotTable.read(s, mv)
+        .select(col("o_custkey"), col("n"), emit(col("sum_price")).as("sum_price"))
+    },
+
     "r27_rolling_window" -> { (s, dir) =>
       // time-RANGE rolling aggregate (r8's running agg is row-framed): each
       // event's trailing 1-hour sum/count per user. Range frames are
@@ -1012,6 +1069,39 @@ object Relational {
         |UNION ALL
         |SELECT CAST(1000000000 + range AS BIGINT), CAST(1 AS BIGINT), 5.0
         |FROM range(5)""".stripMargin,
+
+    // R44: the change feed reconstructed from the changeset definition —
+    // updates contribute a pre and a post image, deletes their old image,
+    // inserts their new one; carried rows contribute NOTHING
+    "r44_snapshot_cdc" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'U_pre' AS op
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, -1.0, 'U_post'
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'D'
+        |FROM orders WHERE o_orderkey BETWEEN 300 AND 350
+        |UNION ALL
+        |SELECT CAST(1000000000 + range AS BIGINT), CAST(1 AS BIGINT), 5.0, 'I'
+        |FROM range(5)""".stripMargin,
+
+    // X14: the maintained rollup must equal a from-scratch aggregate over
+    // the post-merge base state (the merge replayed in SQL as in r43)
+    "x14_snapshot_ivm" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey BETWEEN 100 AND 200
+        |         THEN CAST(-1.0 AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 300 AND 350
+        |  UNION ALL
+        |  SELECT CAST(1000000000 + range AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(5.0 AS DECIMAL(18,2))
+        |  FROM range(5))
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM v2 GROUP BY o_custkey""".stripMargin,
 
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,

@@ -369,6 +369,92 @@ object SnapshotTable {
     scan.filter(pred)
   }
 
+  /** R44: change-data-feed read — the NET row-level changes between two
+    * committed versions, derived from the manifest file diff alone (the
+    * Delta CDF read shape, without requiring writers to stage change
+    * files): files named by both manifests are untouched and contribute
+    * nothing; only files ADDED since `fromVersion` (candidate new images)
+    * and files REMOVED (candidate old images) are read at all. Row images
+    * are keyed and diffed:
+    *
+    *   key only in added files            → `I`  (new image)
+    *   key only in removed files          → `D`  (old image)
+    *   key in both, any non-key col diff  → `U_pre` (old) + `U_post` (new)
+    *   key in both, images identical      → suppressed (a rewrite that
+    *     carried the row — OPTIMIZE, compaction, or a merge's anti-join
+    *     keep — is not a logical change; R41 between two versions yields
+    *     an EMPTY feed)
+    *
+    * Semantics are NET over the version range: a key inserted then deleted
+    * within (from, to] emits nothing; inserted then updated emits one `I`
+    * with the final image. `fromVersion = 0` reads the whole table as `I`
+    * (bootstrap). The fold contract — `applyChanges(read(from), feed)` ≡
+    * `read(to)` — is asserted in `SnapshotCdcSpec`.
+    *
+    * Contract: the table is key-unique per version in `keyCols` (the
+    * [[merge]]/[[Upsert.applyChanges]] discipline).
+    *
+    * Scale shape: cost is proportional to the CHURNED files, never the
+    * table — an Append-only history short-circuits to a join-free scan of
+    * just the new files (plan-asserted in the spec), and the diff join
+    * shuffles only rewritten-file rows. At 100 TB with R42/R43 confining
+    * merges to a handful of files, a CDC read is a handful-of-files scan.
+    * Downstream X14 turns this feed into incremental view maintenance. */
+  def changesBetween(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion)")
+    val fromFiles =
+      if (fromVersion == 0) Set.empty[String]
+      else manifestFiles(table, fromVersion).toSet
+    val toFiles = manifestFiles(table, toVersion).toSet
+    val added = (toFiles -- fromFiles).toSeq.sorted
+    val removed = (fromFiles -- toFiles).toSeq.sorted
+    val schema = read(spark, table, toVersion).schema
+    val dataCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    def scan(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    if (removed.isEmpty)
+      // append-only fast path: every added-file row is an insert — no join,
+      // no shuffle, and an empty diff stays an empty scan
+      scan(added).withColumn(opCol, lit("I"))
+    else {
+      // presence markers, not data-col nulls, decide the side a key hit:
+      // a legitimately-null data column must not masquerade as "missing"
+      val newDf = scan(added).withColumn("__new", lit(true))
+        .select(keyCols.map(col) ++ dataCols.map(c => col(c).as(s"__n_$c"))
+          :+ col("__new"): _*)
+      val oldDf = scan(removed).withColumn("__old", lit(true))
+        .select(keyCols.map(col) ++ dataCols.map(c => col(c).as(s"__o_$c"))
+          :+ col("__old"): _*)
+      val newImg = struct(keyCols.map(col) ++
+        dataCols.map(c => col(s"__n_$c").as(c)): _*)
+      val oldImg = struct(keyCols.map(col) ++
+        dataCols.map(c => col(s"__o_$c").as(c)): _*)
+      val changes = oldDf.join(newDf, keyCols, "full_outer")
+        // suppress rewrite-carried rows first (present on both sides,
+        // image-identical) so every surviving row maps to 1–2 change rows
+        .filter(col("__old").isNull || col("__new").isNull ||
+          !(newImg <=> oldImg))
+        .select(
+          when(col("__old").isNull,
+              array(struct(lit("I").as(opCol), newImg.as("img"))))
+            .when(col("__new").isNull,
+              array(struct(lit("D").as(opCol), oldImg.as("img"))))
+            .otherwise(
+              array(struct(lit("U_pre").as(opCol), oldImg.as("img")),
+                struct(lit("U_post").as(opCol), newImg.as("img"))))
+            .as("ch"))
+        .select(explode(col("ch")).as("c"))
+      changes.select(
+        schema.fieldNames.toSeq.map(c => col(s"c.img.$c").as(c))
+          :+ col(s"c.$opCol").as(opCol): _*)
+    }
+  }
+
   /** R41: OPTIMIZE — rewrite the current version's rows into ~`targetBytes`
     * files (bin-packed compaction by default; z-order clustering when
     * `zorderCols` is given) and commit them as the next version. The
