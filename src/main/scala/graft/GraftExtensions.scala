@@ -12,5 +12,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.definitions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // R45: MV auto-rewrite inside the operator-optimization fixed point,
+    // so the substituted MV scan gets its own pushdown/pruning passes
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule())
   }
 }

@@ -497,6 +497,48 @@ object Relational {
         .select(col("o_custkey"), col("n"), emit(col("sum_price")).as("sum_price"))
     },
 
+    "r45_mv_rewrite" -> { (s, dir) =>
+      // R45: MV auto-rewrite — lineitem (decimal qty) committed as a
+      // snapshot base, its (returnflag, linestatus) rollup maintained by
+      // X14, registered with the optimizer rule; the gate query filters a
+      // group key and aggregates ANOTHER group key over the BASE scan.
+      // The require proves the optimizer answered it from the rollup (mv
+      // path in the optimized plan, base path gone); the oracle computes
+      // the same aggregate from raw lineitem in DuckDB, so a wrong or
+      // stale rewrite fails the hash. Guard shapes (non-group filters,
+      // distinct, untracked columns) and exprId stability are
+      // MvRewriteSpec's.
+      val t = graft.Scratch.fresh("r45_base")
+      val mv = graft.Scratch.fresh("r45_mv")
+      val li = Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), money(col("l_quantity")).as("qty"))
+      SnapshotTable.commit(s, t,
+        li.repartitionByRange(8, col("l_orderkey"), col("l_linenumber")))
+      SnapshotIvm.refresh(s, t, mv,
+        rowKeys = Seq("l_orderkey", "l_linenumber"),
+        groupKeys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq("qty"))
+      graft.plans.MvRewriteRule.attach(s)
+      graft.plans.MvRegistry.register(t, () => SnapshotTable.read(s, mv),
+        Seq("l_returnflag", "l_linestatus"), Seq("qty"))
+      val q = SnapshotTable.read(s, t)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+      val roots = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(roots.exists(_.contains(mv.split('/').last)) &&
+        !roots.exists(_.contains(t.split('/').last)),
+        s"MV rewrite did not fire; scanned: ${roots.take(3).mkString(", ")}")
+      q.select(col("l_returnflag"), col("n_rows"), emit(col("sum_qty")).as("sum_qty"))
+    },
+
     "r27_rolling_window" -> { (s, dir) =>
       // time-RANGE rolling aggregate (r8's running agg is row-framed): each
       // event's trailing 1-hour sum/count per user. Range frames are
@@ -1102,6 +1144,14 @@ object Relational {
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price) AS DOUBLE) AS sum_price
         |FROM v2 GROUP BY o_custkey""".stripMargin,
+
+    // R45: the rewrite must be invisible to results — the oracle aggregates
+    // raw lineitem, never seeing the rollup
+    "r45_mv_rewrite" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin,
 
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,
