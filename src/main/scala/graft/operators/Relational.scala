@@ -903,6 +903,21 @@ object Relational {
         .orderBy("src", "dst")
     },
 
+    "w23_pagerank" -> { (s, dir) =>
+      // entity centrality: 5 integer-unit PageRank steps over a
+      // deterministic claim graph — a 4094-edge class tree (i -> i div 2,
+      // the w20 hierarchy) plus a sparse cross-link family; node 1 (the
+      // root) has no out-edge, exercising the dangling-mass convention.
+      // Every intermediate is floor division on longs, so the DuckDB
+      // oracle unrolling the same 5 steps in SQL is hash-exact on all
+      // 4095 ranks. Fixed points, brute-force equality and dangling
+      // semantics are CentralitySpec's.
+      val tree = s.range(2, 4096).select(col("id").as("src"), expr("id div 2").as("dst"))
+      val cross = s.range(1, 4096).filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), ((col("id") * 7) % 4095 + 1).as("dst"))
+      Centrality.pageRank(tree.unionByName(cross), iterations = 5)
+    },
+
     "w16_claim_filter" -> { (s, dir) =>
       // claim-value lookup with property filter: claims(id, property, value)
       // ≙ lineitem(l_orderkey, l_partkey, l_quantity) + label join.
@@ -1380,6 +1395,30 @@ object Relational {
     "w16_claim_filter" ->
       """SELECT l_orderkey AS id, p_name AS label, l_quantity AS quantity
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE p_brand = 'Brand#3' AND l_quantity >= 50""".stripMargin
+        |WHERE p_brand = 'Brand#3' AND l_quantity >= 50""".stripMargin,
+
+    // W23: the same 5 integer-unit PageRank steps unrolled in SQL — floor
+    // division per edge, so every rank is bit-identical
+    "w23_pagerank" -> {
+      def step(k: Int) =
+        s"""r$k AS (
+           |  SELECT n.id, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM(r.rank // deg.d) AS s
+           |    FROM e JOIN r${k - 1} r ON r.id = e.src JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) c ON c.id = n.id)""".stripMargin
+      """WITH e AS (
+        |  SELECT range AS src, range // 2 AS dst FROM range(2, 4096)
+        |  UNION ALL
+        |  SELECT range AS src, ((range * 7) % 4095) + 1 AS dst
+        |  FROM range(1, 4096) WHERE range % 3 = 0
+        |),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |""".stripMargin +
+        (1 to 5).map(step).mkString(",\n") +
+        "\nSELECT id, rank FROM r5"
+    }
   )
 }
