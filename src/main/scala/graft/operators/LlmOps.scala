@@ -568,6 +568,24 @@ object LlmOps {
         .orderBy("lang", "ngram")
     },
 
+    "t18_bigram_lm" -> { (s, dir) =>
+      // bigram-LM quality scoring: per-doc mean corpus bigram frequency in
+      // integer units — the self-supervised "LM likelihood" curation
+      // signal; every score is long arithmetic, so DuckDB re-derives the
+      // frequency join and division exactly.
+      TextAnalysis.bigramCommonness(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    "t19_weighted_sample" -> { (s, dir) =>
+      // weighted sampling without replacement: 200 docs drawn by integer
+      // weight (derived deterministically from n_chars) via min-of-copy-
+      // hash keys — the Plackett–Luce draw the oracle replays with the
+      // same md5 expansion; membership is pure (seed, id, w) function.
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        ((col("n_chars") % 5) + 1).cast("long").as("wt"))
+      Sampling.weightedSample(docs, "doc_id", "wt", k = 200)
+    },
+
     "t10_chunk" -> { (s, dir) =>
       // sliding-window chunking: 64-token windows, 16-token overlap — the
       // training-sequence prep step; chunk boundaries are pure integer
@@ -1128,6 +1146,33 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
         |  FROM c
         |) WHERE rn <= 5""".stripMargin,
+
+    // T18: same bigram explode as t9, self-joined through the corpus
+    // frequency table; integer division keeps the score engine-exact
+    "t18_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+        |), bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM toks WHERE len(t) >= 2
+        |), cf AS (
+        |  SELECT ngram, CAST(count(*) AS BIGINT) AS cf FROM bi GROUP BY ngram
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST((sum(cf) * 1000) // count(*) AS BIGINT) AS avg_bigram_cf_x1000
+        |FROM bi JOIN cf USING (ngram)
+        |GROUP BY doc_id""".stripMargin,
+
+    // T19: the same md5 copy expansion — min over w copy keys, smallest k
+    "t19_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, CAST((n_chars % 5) + 1 AS BIGINT) AS wt FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, lang, wt,
+        |    list_min(list_transform(range(1, wt + 1),
+        |      j -> md5(7 || ':' || doc_id || ':' || j))) AS wk
+        |  FROM w)
+        |SELECT doc_id, lang, wt FROM keyed ORDER BY wk LIMIT 200""".stripMargin,
 
     // T12: the packing is md5 order + prefix-sum + integer division — all
     // exactly re-derivable (the shard is t6's hex-fold md5 unit mod 4; sums

@@ -204,6 +204,32 @@ object Sampling {
     assignSplits(labeled, "component", splits)
   }
 
+  /** T19: deterministic weighted sampling WITHOUT replacement — k rows
+    * drawn so each successive pick lands on row i with probability
+    * w_i / (remaining weight), the Plackett–Luce scheme behind
+    * quality-weighted corpus subsetting ("sample 10M docs, prefer high
+    * quality score"). Mechanism: expand row i conceptually into w_i
+    * copies, give every copy the deterministic key md5(seed:id:j), and
+    * keep the k rows with the smallest per-row MIN copy key. A uniform
+    * random order over copies, collapsed to first occurrence per row, IS
+    * successive weighted sampling — and min-of-w_i hashes reproduces it
+    * without materializing copies. Everything is a pure function of
+    * (seed, id, w): same k rows on any engine, cluster, or rerun
+    * (the [[hashSample]] reproducibility contract, weight-aware).
+    *
+    * Weights are positive integers (rows with w < 1 are excluded); keep
+    * them modest (≤ ~1000) — each row computes w hashes in one codegen'd
+    * projection. Selection is orderBy+limit, which plans as
+    * TakeOrderedAndProject: a k-heap per partition and a k-merge on the
+    * driver — no global sort shuffle, no single-partition funnel. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 7L): DataFrame = {
+    val keyed = df.filter(col(weightCol) >= 1).withColumn("__wk",
+      array_min(transform(sequence(lit(1), col(weightCol).cast("int")),
+        j => md5(concat_ws(":", lit(seed), col(idCol).cast("string"), j)))))
+    keyed.orderBy(col("__wk")).limit(k).drop("__wk")
+  }
+
   /** (name, exclusive upper bound in [0, 2^32]) per split, cumulative. */
   def cumulativeThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     var acc = 0.0

@@ -167,6 +167,38 @@ object TextAnalysis {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
+  /** T18: bigram-LM document scoring — each document's mean corpus
+    * frequency over its bigram instances, the integerized form of the
+    * CCNet/Gopher "LM-likelihood" quality signal: documents whose word
+    * pairs are common across the corpus score high (boilerplate,
+    * templates, natural prose), documents full of corpus-rare bigrams
+    * score low (garbled text, exotic tokens, OCR noise) — both tails are
+    * curation targets. score = floor(Σ cf(bigram) * scale / n_bigrams),
+    * all in longs, so any engine derives identical scores (a
+    * floating-point perplexity would be accumulation-order-dependent and
+    * unverifiable); docs under 2 tokens have no bigrams and are omitted.
+    *
+    * Scale shape: two partial-aggregated shuffles (corpus bigram counts;
+    * per-doc rollup) plus one shuffle join bigram-instances × counts — the
+    * same frequency-join shape as TF-IDF (T5), no driver state, no UDF.
+    * The model "training" IS the corpus count — self-supervised on the
+    * data it scores, refreshable by re-running one aggregate. */
+  def bigramCommonness(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, scale: Long = 1000L): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = df.select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(2))))).as("ngram"))
+    val cf = grams.groupBy("ngram").agg(count(lit(1)).as("cf"))
+    grams.join(cf, "ngram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("cf").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr(s"(__s * $scale) div n_bigrams").as(s"avg_bigram_cf_x$scale"))
+  }
+
   /** T9: top-k n-grams per group — the corpus-statistics op behind stopword
     * lists, contamination fingerprints and domain-drift dashboards. Shape:
     * explode n-grams (strings, not hashes — the output is human-facing),

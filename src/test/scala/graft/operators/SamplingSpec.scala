@@ -232,4 +232,42 @@ class SamplingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("weightedSample matches the brute-force min-copy-hash draw exactly (T19)") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (0L until 400L).map(i => (i, i % 7 + 1)) // weights 1..7
+    val expected = rows
+      .map { case (id, w) =>
+        id -> (1L to w).map(j => md5hex(s"7:$id:$j")).min }
+      .sortBy(_._2).take(50).map(_._1).toSet
+    val got = Sampling.weightedSample(
+        rows.toDF("doc_id", "wt").repartition(9), "doc_id", "wt", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    got shouldBe expected
+    // partitioning-independent
+    Sampling.weightedSample(rows.toDF("doc_id", "wt").repartition(2),
+      "doc_id", "wt", k = 50).select("doc_id").as[Long].collect().toSet shouldBe expected
+  }
+
+  test("weightedSample prefers heavy rows and excludes non-positive weights (T19)") {
+    // 300 heavy (w=10) + 300 light (w=1): a k=150 draw should skew heavily
+    val rows = (0L until 300L).map(i => (i, 10L)) ++
+      (300L until 600L).map(i => (i, 1L)) ++ Seq((9999L, 0L), (9998L, -3L))
+    val got = Sampling.weightedSample(rows.toDF("doc_id", "wt"),
+        "doc_id", "wt", k = 150)
+      .select("doc_id").as[Long].collect().toSet
+    got should not contain 9999L
+    got should not contain 9998L
+    val heavy = got.count(_ < 300L)
+    val light = got.size - heavy
+    assert(heavy > light * 3,
+      s"heavy=$heavy light=$light — weighted draw not biased as expected")
+    // a different seed draws a different set (same size)
+    val other = Sampling.weightedSample(rows.toDF("doc_id", "wt"),
+        "doc_id", "wt", k = 150, seed = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    other.size shouldBe 150
+    other should not equal got
+  }
 }

@@ -205,4 +205,22 @@ class TextAnalysisSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
     again shouldBe out
   }
+
+  test("bigramCommonness scores by hand-checked corpus frequencies (T18)") {
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams: "a b","b a","a b" — n=3, Σcf=3+1+3=7
+      (2L, "a b"),      // "a b" — n=1, Σcf=3
+      (3L, "x y"),      // "x y" — n=1, Σcf=1
+      (4L, "solo"),     // 1 token: no bigrams, omitted
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCommonness(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out shouldBe Map(
+      1L -> ((3L, 7L * 1000 / 3)), // 2333: floor division
+      2L -> ((1L, 3000L)),
+      3L -> ((1L, 1000L)))
+    // partitioning-independent: counts and integer division are exact
+    TextAnalysis.bigramCommonness(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap shouldBe out
+  }
 }
