@@ -278,6 +278,39 @@ object LlmOps {
             .as("recall_ok"))
     },
 
+    // S7 structural gate: identical vectors quantize to identical int8
+    // codes (element-wise IEEE ops), so a planted copy's integer-dot score
+    // is the self-cosine 1.0 — it heads any shortlist, and the exact
+    // re-rank pins it at top-1. shortlist=∞ ≡ bruteForceTopK is spec'd.
+    "s7_int8_rerank" -> { (s, dir) =>
+      val vecs = plantedVecsExact(s, dir)
+      Similarity.int8TopK(vecs.filter(col("vec_id") < 32), vecs, "vec_id",
+          "embedding", k = 1, shortlist = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // S7 recall vs S1 on the natural corpus: the int8 scan only mis-ranks
+    // within quantization error (~1/127 per element), so a 64-candidate
+    // shortlist for a top-10 cut loses nothing measurable — measured 1.0
+    // at all three SFs; the 0.9 bound leaves margin for corpus refresh
+    // while still catching any scoring/shortlist regression.
+    "s7_recall" -> { (s, dir) =>
+      val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val queries = vecs.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.int8TopK(queries, vecs, "vec_id", "embedding",
+          k = 10, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= 0.9)
+            .as("recall_ok"))
+    },
+
     // S6 structural gate, the s3/s5 constructions composed: the index is
     // trained on the BASE corpus, the planted exact-copy corpus is encoded
     // and searched. A query and its copy share the nearest-centroid cell
@@ -574,6 +607,22 @@ object LlmOps {
       // signal; every score is long arithmetic, so DuckDB re-derives the
       // frequency join and division exactly.
       TextAnalysis.bigramCommonness(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    "p7_quality_weighted_sample" -> { (s, dir) =>
+      // T18 × T19 composed: score every doc by bigram-LM commonness, band
+      // the score into an integer weight (1..8, higher = more natural
+      // prose), draw a 150-doc corpus without replacement under those
+      // weights, and decorate with the doc's language — the "sample by
+      // quality" curation step as ONE deterministic pipeline; the oracle
+      // replays scoring, banding, md5 draw and join in SQL, so every stage
+      // bites on the hash.
+      val docs = Tables(s, dir).documents
+      val scored = TextAnalysis.bigramCommonness(docs, "doc_id", "text")
+        .withColumn("wt", least(lit(8L), lit(1L) + expr("avg_bigram_cf_x1000 div 1000")))
+      Sampling.weightedSample(scored, "doc_id", "wt", k = 150)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_bigrams", "avg_bigram_cf_x1000", "wt")
     },
 
     "t19_weighted_sample" -> { (s, dir) =>
@@ -1163,6 +1212,32 @@ object LlmOps {
         |FROM bi JOIN cf USING (ngram)
         |GROUP BY doc_id""".stripMargin,
 
+    // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
+    // lang join, all replayed in one SQL pipeline
+    "p7_quality_weighted_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+        |), bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM toks WHERE len(t) >= 2
+        |), cf AS (
+        |  SELECT ngram, CAST(count(*) AS BIGINT) AS cf FROM bi GROUP BY ngram
+        |), scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST((sum(cf) * 1000) // count(*) AS BIGINT) AS score
+        |  FROM bi JOIN cf USING (ngram) GROUP BY doc_id
+        |), w AS (
+        |  SELECT doc_id, n_bigrams, score,
+        |    CAST(least(8, 1 + score // 1000) AS BIGINT) AS wt FROM scored
+        |), keyed AS (
+        |  SELECT doc_id, n_bigrams, score, wt,
+        |    list_min(list_transform(range(1, wt + 1),
+        |      j -> md5(7 || ':' || doc_id || ':' || j))) AS wk
+        |  FROM w)
+        |SELECT k.doc_id, d.lang, k.n_bigrams, k.score AS avg_bigram_cf_x1000, k.wt
+        |FROM keyed k JOIN documents d USING (doc_id)
+        |ORDER BY wk LIMIT 150""".stripMargin,
+
     // T19: the same md5 copy expansion — min over w copy keys, smallest k
     "t19_weighted_sample" ->
       """WITH w AS (
@@ -1582,6 +1657,15 @@ object LlmOps {
 
     "s3_ivf_ann" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s7: planted-copy top-1 — identical codes, exact re-rank at cosine 1
+    "s7_int8_rerank" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    "s7_recall" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     // s6: same planted-copy top-1 construction as s2/s3 — copies share cell

@@ -51,6 +51,63 @@ object Similarity {
     topKFinish(scored, k)
   }
 
+  /** S7: int8-quantized scan with exact re-rank — S4's scalar quantization
+    * composed into the S1 search shape, the memory-bound ANN configuration
+    * for corpora that fit a scan but not a float32 store: the scan ranks
+    * int8 CODES (4× smaller: 4× less shuffle, page cache and memory
+    * bandwidth), a `shortlist` of best approximate candidates per query
+    * survives, and only those rows are re-scored against the full float
+    * vectors — exact cosine decides the final k, so quantization error can
+    * only cost recall at the shortlist BOUNDARY, never mis-rank the
+    * shortlisted.
+    *
+    * The approximate score needs no scales at all: cosine of dequantized
+    * vectors = (qs·cs·Σqᵢcᵢ) / (qs·√Σqᵢ²·cs·√Σcᵢ²) — the scales cancel, so
+    * the rank key is Σqᵢcᵢ/√(Σqᵢ²·Σcᵢ²) over pure INTEGER sums: exact,
+    * order-independent, deterministic on any engine or partitioning.
+    * Zero vectors (all-zero codes) have no cosine and drop out, as in S1.
+    *
+    * Scale shape: queries broadcast twice (codes for the scan, floats for
+    * the re-rank); the corpus ships (id, codes) through the scan — never
+    * float vectors — and only shortlist-sized id sets join back for
+    * re-scoring (the "ship ids, not payloads" rule). Both cuts run through
+    * the bounded-heap TopK node; with `shortlist` ≥ corpus size the result
+    * is exactly [[bruteForceTopK]] (spec-asserted). */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    def codes(df: DataFrame, outId: String, idc: String): DataFrame = {
+      val scaled = df.withColumn("__s", int8Scale(col(vecCol)))
+      scaled.select(col(idc).as(outId),
+        quantizeInt8(col(vecCol), col("__s")).as(s"__c_$outId"))
+        .withColumn(s"__n_$outId",
+          aggregate(transform(col(s"__c_$outId"), x => (x * x).cast("long")),
+            lit(0L), (a, x) => a + x))
+    }
+    val qc = codes(queries, "query_id", idCol)
+    val cc = codes(corpus, "neighbor_id", idCol)
+    val scored = broadcast(qc).crossJoin(cc)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("__n_query_id") > 0 && col("__n_neighbor_id") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        (aggregate(zip_with(col("__c_query_id"), col("__c_neighbor_id"),
+            (a, b) => (a * b).cast("long")), lit(0L), (a, x) => a + x)
+          .cast("double") /
+          sqrt((col("__n_query_id") * col("__n_neighbor_id")).cast("double")))
+          .as("cosine"))
+    val short = graft.plans.TopK.perGroupOrdered(scored, Seq("query_id"),
+        Seq("cosine" -> false, "neighbor_id" -> true), shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKFinish(exact, k)
+  }
+
   /** Probe masks for multi-probe LSH: every bucket-id XOR mask within
     * Hamming distance `radius` of zero, over `bits` signature bits. The
     * masks multiply QUERY-side candidate volume only (queries are

@@ -126,4 +126,45 @@ class SimilaritySpec extends SparkSpec {
     // no cross-cluster false positives at this threshold
     pairs.foreach { case (a, b) => ((a % 1000) % 3) shouldBe ((b % 1000) % 3) }
   }
+
+  test("int8TopK with a full-corpus shortlist ≡ bruteForceTopK exactly (S7)") {
+    val queries = vecs.filter(col("vec_id") < 9)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // shortlist ≥ corpus: the exact re-rank sees every candidate — any
+    // difference would mean the re-rank itself diverges from S1
+    val full = Similarity.int8TopK(queries, vecs, "vec_id", "embedding",
+        k = 5, shortlist = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    full shouldBe exact
+  }
+
+  test("int8TopK finds same-cluster neighbors at a narrow shortlist (S7)") {
+    val out = Similarity.int8TopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", k = 5, shortlist = 8)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    byQuery.keySet shouldBe Set(0L, 1L, 2L)
+    for ((q, rows) <- byQuery) {
+      rows.length shouldBe 5
+      rows.foreach { r =>
+        (r.getLong(1) % 3) shouldBe (q % 3)
+        r.getDouble(2) should be > 0.9
+      }
+    }
+  }
+
+  test("int8TopK is partitioning-independent and drops zero vectors (S7)") {
+    val withZero = vecs.unionAll(
+      Seq((500L, Array.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val queries = withZero.filter(col("vec_id") < 6 || col("vec_id") === 500L)
+    val a = Similarity.int8TopK(queries, withZero.repartition(13), "vec_id",
+        "embedding", k = 3, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.int8TopK(queries, withZero.repartition(2), "vec_id",
+        "embedding", k = 3, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    a shouldBe b
+    // the zero vector can neither query nor be found: no cosine exists
+    assert(!a.exists { case (q, n) => q == 500L || n == 500L })
+  }
 }
