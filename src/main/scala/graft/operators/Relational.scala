@@ -539,6 +539,47 @@ object Relational {
       q.select(col("l_returnflag"), col("n_rows"), emit(col("sum_qty")).as("sum_qty"))
     },
 
+    "x15_stream_ivm" -> { (s, dir) =>
+      // X15: the R43×R44×X14 chain driven by a stream — three disjoint CDC
+      // shards (U/D/I, one per micro-batch) merge into the snapshot base
+      // and the rollup refreshes after each batch; the final MV must equal
+      // the same DuckDB replay as x14, whatever the batch split. Replay
+      // idempotency, merge-crash repair and order-insensitivity are
+      // SnapshotIvmStreamSpec's.
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val in = graft.Scratch.fresh("x15_in")
+      val base = graft.Scratch.fresh("x15_base")
+      val mv = graft.Scratch.fresh("x15_mv")
+      val ckpt = graft.Scratch.fresh("x15_ckpt")
+      val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+        money(col("o_totalprice")).as("price"))
+      SnapshotTable.commit(s, base,
+        o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      SnapshotIvm.refresh(s, base, mv, Seq("o_orderkey"), Seq("o_custkey"),
+        Seq("price")): Unit
+      val shards = Seq(
+        o.filter(col("o_orderkey").between(100, 200))
+          .withColumn("price", money(lit(-1.0))).withColumn("op", lit("U")),
+        o.filter(col("o_orderkey").between(300, 350)).withColumn("op", lit("D")),
+        s.range(5).select((col("id") + 1000000000L).as("o_orderkey"),
+          lit(1L).as("o_custkey"), money(lit(5.0)).as("price"), lit("I").as("op")))
+      shards.zipWithIndex.foreach { case (df, i) =>
+        val tmp = graft.Scratch.fresh(s"x15_tmp_$i")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).iterator().asScala
+          .find { p => val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet") }.get
+        Files.move(part, Paths.get(in, f"shard-$i%05d.parquet")): Unit
+      }
+      val q = graft.streaming.SnapshotIvmStream.start(s, in, base, mv, ckpt,
+        shards.head.schema, Seq("o_orderkey"), Seq("o_custkey"), Seq("price"),
+        maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      SnapshotTable.read(s, mv)
+        .select(col("o_custkey"), col("n"), emit(col("sum_price")).as("sum_price"))
+    },
+
     "r27_rolling_window" -> { (s, dir) =>
       // time-RANGE rolling aggregate (r8's running agg is row-framed): each
       // event's trailing 1-hour sum/count per user. Range frames are
@@ -1167,6 +1208,22 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY l_returnflag""".stripMargin,
+
+    // X15: same final state as x14 — the batch split must be invisible
+    "x15_stream_ivm" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey BETWEEN 100 AND 200
+        |         THEN CAST(-1.0 AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 300 AND 350
+        |  UNION ALL
+        |  SELECT CAST(1000000000 + range AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(5.0 AS DECIMAL(18,2))
+        |  FROM range(5))
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM v2 GROUP BY o_custkey""".stripMargin,
 
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,

@@ -314,7 +314,7 @@ object SnapshotTable {
     * Hudi MERGE INTO shape the plain-directory R25 cannot offer. */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "op",
-      beforePublish: () => Unit = () => ()): Long = {
+      beforePublish: () => Unit = () => (), tag: Option[String] = None): Long = {
     val v = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val files = manifestFiles(table, v)
@@ -325,13 +325,13 @@ object SnapshotTable {
     // untouched under one key set and insert images under another,
     // leaving duplicate rows
     val pinned = changes.cache()
-    try merge0(spark, table, pinned, keyCols, opCol, beforePublish, v, files, k0)
+    try merge0(spark, table, pinned, keyCols, opCol, beforePublish, v, files, k0, tag)
     finally { pinned.unpersist(): Unit }
   }
 
   private def merge0(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, beforePublish: () => Unit,
-      v: Long, files: Seq[String], k0: String): Long = {
+      v: Long, files: Seq[String], k0: String, tag: Option[String]): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val keyVals = changes.select(col(k0)).distinct().collect().map(_.get(0)).toSeq
     val statsByDir = files.map(f => f.take(f.lastIndexOf('/'))).distinct
@@ -351,7 +351,7 @@ object SnapshotTable {
       .join(broadcast(changes.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
       .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
     commit(spark, table, rewritten, mode = Replace(untouched),
-      expectedVersion = v, beforePublish = beforePublish)
+      expectedVersion = v, beforePublish = beforePublish, tag = tag)
   }
 
   /** R42: read with file skipping — scan only the files whose (min, max)
