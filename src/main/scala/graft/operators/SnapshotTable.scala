@@ -413,10 +413,15 @@ object SnapshotTable {
     val removed = (fromFiles -- toFiles).toSeq.sorted
     val schema = read(spark, table, toVersion).schema
     val dataCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    // both sides scan under the TARGET version's schema: files committed
+    // before a column was added null-fill it, files carrying a since-dropped
+    // column lose it — so a CDC range spanning schema evolution still diffs
+    // (and its U_pre images render) in the reader's vocabulary instead of
+    // failing on mismatched shapes
     def scan(files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
     if (removed.isEmpty)
       // append-only fast path: every added-file row is an insert — no join,
       // no shuffle, and an empty diff stays an empty scan

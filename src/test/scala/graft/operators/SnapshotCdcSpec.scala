@@ -86,6 +86,21 @@ class SnapshotCdcSpec extends SparkSpec {
     content(feed.drop("op")) shouldBe content(read(spark, t, 1L))
   }
 
+  test("a CDC range spanning schema evolution diffs in the target schema (R44)") {
+    val t = graft.Scratch.fresh("cdc_schema")
+    commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // v2 overwrites with an ADDED column; v1 files lack it entirely
+    commit(spark, t, Seq((1L, "a", 10L), (3L, "c", 30L)).toDF("k", "s", "extra"))
+    val feed = changesBetween(spark, t, 1L, 2L, Seq("k"))
+      .select("k", "s", "extra", "op")
+      .as[(Long, String, Option[Long], String)].collect().toSet
+    feed shouldBe Set(
+      (1L, "a", None, "U_pre"),      // old image null-fills the new column
+      (1L, "a", Some(10L), "U_post"),
+      (2L, "b", None, "D"),
+      (3L, "c", Some(30L), "I"))
+  }
+
   test("fold contract: read(from) + feed ≡ read(to) (R44 apply-forward)") {
     val t = base("cdc_fold")
     val changes = spark.range(500L, 560L).select(col("id").as("k"),
