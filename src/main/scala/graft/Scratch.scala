@@ -22,6 +22,23 @@ object Scratch {
     dir.toString
   }
 
+  /** Write `df` as exactly ONE parquet file at `dest` — the shard shape a
+    * one-file-per-trigger streaming test feeds. Stages through a scratch
+    * dir (repartition(1)), then moves the single part file. */
+  def writeSingleParquet(df: org.apache.spark.sql.DataFrame, dest: Path): Unit = {
+    val tmp = fresh(dest.getFileName.toString + "_stage")
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
+    val s = Files.list(Paths.get(tmp))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.find { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.getOrElse(sys.error(s"no part file written under $tmp"))
+    } finally s.close()
+    Files.move(part, dest): Unit
+  }
+
   private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try {

@@ -1208,7 +1208,9 @@ object LlmOps {
         |  SELECT ngram, CAST(count(*) AS BIGINT) AS cf FROM bi GROUP BY ngram
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST((sum(cf) * 1000) // count(*) AS BIGINT) AS avg_bigram_cf_x1000
+        |  CAST((sum(cf) // count(*)) * 1000
+        |    + ((sum(cf) % count(*)) * 1000) // count(*) AS BIGINT)
+        |    AS avg_bigram_cf_x1000
         |FROM bi JOIN cf USING (ngram)
         |GROUP BY doc_id""".stripMargin,
 
@@ -1224,7 +1226,8 @@ object LlmOps {
         |  SELECT ngram, CAST(count(*) AS BIGINT) AS cf FROM bi GROUP BY ngram
         |), scored AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST((sum(cf) * 1000) // count(*) AS BIGINT) AS score
+        |    CAST((sum(cf) // count(*)) * 1000
+        |      + ((sum(cf) % count(*)) * 1000) // count(*) AS BIGINT) AS score
         |  FROM bi JOIN cf USING (ngram) GROUP BY doc_id
         |), w AS (
         |  SELECT doc_id, n_bigrams, score,

@@ -519,8 +519,11 @@ object Relational {
         rowKeys = Seq("l_orderkey", "l_linenumber"),
         groupKeys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq("qty"))
       graft.plans.MvRewriteRule.attach(s)
+      // versioned registration: only scans of exactly this version's files
+      // rewrite, so a time-travel read of an older version keeps its scan
       graft.plans.MvRegistry.register(t, () => SnapshotTable.read(s, mv),
-        Seq("l_returnflag", "l_linestatus"), Seq("qty"))
+        Seq("l_returnflag", "l_linestatus"), Seq("qty"),
+        exactFiles = SnapshotTable.filesOf(t))
       val q = SnapshotTable.read(s, t)
         .filter(col("l_linestatus") === "F")
         .groupBy("l_returnflag")
@@ -546,8 +549,7 @@ object Relational {
       // the same DuckDB replay as x14, whatever the batch split. Replay
       // idempotency, merge-crash repair and order-insensitivity are
       // SnapshotIvmStreamSpec's.
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
+      import java.nio.file.Paths
       val in = graft.Scratch.fresh("x15_in")
       val base = graft.Scratch.fresh("x15_base")
       val mv = graft.Scratch.fresh("x15_mv")
@@ -565,12 +567,7 @@ object Relational {
         s.range(5).select((col("id") + 1000000000L).as("o_orderkey"),
           lit(1L).as("o_custkey"), money(lit(5.0)).as("price"), lit("I").as("op")))
       shards.zipWithIndex.foreach { case (df, i) =>
-        val tmp = graft.Scratch.fresh(s"x15_tmp_$i")
-        df.repartition(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).iterator().asScala
-          .find { p => val n = p.getFileName.toString
-            n.startsWith("part-") && n.endsWith(".parquet") }.get
-        Files.move(part, Paths.get(in, f"shard-$i%05d.parquet")): Unit
+        graft.Scratch.writeSingleParquet(df, Paths.get(in, f"shard-$i%05d.parquet"))
       }
       val q = graft.streaming.SnapshotIvmStream.start(s, in, base, mv, ckpt,
         shards.head.schema, Seq("o_orderkey"), Seq("o_custkey"), Seq("price"),

@@ -53,8 +53,16 @@ object SnapshotIvm {
       sumCols: Seq[String]): Long = {
     val baseV = SnapshotTable.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $baseTable"))
-    val from = reflectedVersion(mvTable)
+    // ONE observation of the MV: version, reflected-base tag, and the state
+    // read all pin to the same `mvV`. Reading them separately would let a
+    // racing refresher land in between — `from` computed against the OLD
+    // version, state read from the NEW one, and the CAS (against the new
+    // version) would then PASS a double-applied delta instead of failing it.
     val mvV = SnapshotTable.latestVersion(mvTable)
+    val from = mvV.flatMap(v => SnapshotTable.tagOf(mvTable, v))
+      .filter(_.startsWith(TagPrefix))
+      .map(_.stripPrefix(TagPrefix).toLong)
+      .getOrElse(0L)
     if (from == baseV) return mvV.getOrElse(0L) // current: replay no-op
     val state =
       if (mvV.isEmpty)
@@ -69,7 +77,8 @@ object SnapshotIvm {
         val asID = feed.withColumn("op",
           when(col("op").isin("U_pre", "D"), "D").otherwise("I"))
         IncrementalAgg.applyDelta(
-          SnapshotTable.read(spark, mvTable), asID, groupKeys, "op", sumCols)
+          SnapshotTable.read(spark, mvTable, mvV.get), asID, groupKeys, "op",
+          sumCols)
       }
     SnapshotTable.commit(spark, mvTable, state,
       expectedVersion = mvV.getOrElse(-1L), tag = Some(s"$TagPrefix$baseV"))

@@ -90,6 +90,25 @@ object SnapshotTable {
         .map(_.group(1))
     }
 
+  /** The data-file paths (table-root-qualified) of `version` — default
+    * latest. The list a versioned MV registration pins
+    * ([[graft.plans.MvRegistry.register]]'s `exactFiles`). */
+  def filesOf(table: String, version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version
+      else latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+    manifestFiles(table, v).map(f => s"$table/$f")
+  }
+
+  /** Whether ANY retained manifest of `table` records `tag` — the replay
+    * check that stays correct when foreign commits (an OPTIMIZE job, a
+    * vacuum-then-commit) land between a tagged commit and its replay:
+    * checking only the LATEST tag would miss the published batch and
+    * double-apply it. Cost: one small manifest read per retained version,
+    * newest first (the common replay hit is the head). */
+  def hasTag(table: String, tag: String): Boolean =
+    versions(table).reverseIterator.exists(v => tagOf(table, v).contains(tag))
+
   /** Commit several (table, frame) pairs CONCURRENTLY — distinct table
     * directories are independent, and serial submission leaves the cluster
     * idle between ~scheduling-sized write jobs (the

@@ -195,8 +195,15 @@ object TextAnalysis {
     grams.join(cf, "ngram")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("cf").as("__s"))
+      // ≡ (__s * scale) div n, computed WITHOUT the product: Σcf can reach
+      // ~1e17 on a boilerplate-heavy web corpus and ×1000 would wrap a
+      // long (while the SQL oracle's HUGEINT would not — a divergence
+      // exactly at the scale the integer design protects); the quotient/
+      // remainder split keeps every intermediate ≤ max(Σcf, n·scale)
       .select(col(idCol), col("n_bigrams"),
-        expr(s"(__s * $scale) div n_bigrams").as(s"avg_bigram_cf_x$scale"))
+        (expr("__s div n_bigrams") * scale +
+          expr(s"((__s % n_bigrams) * $scale) div n_bigrams"))
+          .as(s"avg_bigram_cf_x$scale"))
   }
 
   /** T9: top-k n-grams per group — the corpus-statistics op behind stopword

@@ -30,9 +30,16 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *   - filters (already pushed toward the scan by earlier batches)
   *     reference only group keys — they survive, remapped onto the MV;
   *   - aggregates are non-distinct, unfiltered `sum` over tracked columns,
-  *     `count( * )`/`count(1)`, or `avg` over tracked columns (rewritten as
-  *     sum(sum_x)/sum(n) — exact, since avg distributes over partial
-  *     sums); plus the grouping columns themselves.
+  *     `count( * )`/`count(1)`, or `avg` over tracked (integral) columns —
+  *     rewritten as sum(sum_x)/sum(n). The rewritten avg divides an EXACT
+  *     long sum; Spark's own Average accumulates integral input in a
+  *     DOUBLE, so the two can differ in the last ulp once the group's sum
+  *     passes 2^53 — but in that regime the unrewritten plan is itself
+  *     partition-order-dependent (double accumulation), so the rewrite is
+  *     the more deterministic of the two, not a deviation from a stable
+  *     answer. Decimal avg is excluded outright (decimal-domain division
+  *     vs double division differ within ordinary ranges); plus the
+  *     grouping columns themselves.
   *
   * The rewritten node keeps the ORIGINAL output attribute ids (each output
   * is re-aliased under the old exprId), so parent operators — joins,
@@ -61,31 +68,51 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object MvRegistry {
 
-  final case class MvDef(baseRoot: String, mv: () => LogicalPlan,
-    groupCols: Seq[String], sumCols: Seq[String])
+  final case class MvDef(baseRoot: String, files: Set[String],
+    mv: () => LogicalPlan, groupCols: Seq[String], sumCols: Seq[String])
 
   @volatile private var defs: List[MvDef] = Nil
 
   /** Register `mv` (a thunk producing the rollup frame — called once per
     * rewrite so each use gets fresh attribute ids) as answering aggregates
-    * over files under `baseRoot`. */
+    * over files under `baseRoot`. For a VERSIONED base (a snapshot table),
+    * pass `exactFiles` = the file list of the version the MV reflects: the
+    * rule then rewrites only scans of exactly those files, so a
+    * time-travel read of an OLDER version — whose files also live under
+    * the root — falls through to its own scan instead of being silently
+    * answered with the newer version's rollup. An empty `exactFiles`
+    * keeps prefix-only matching (directory scans have no versions to
+    * confuse). */
   def register(baseRoot: String, mv: () => org.apache.spark.sql.DataFrame,
-      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      exactFiles: Seq[String] = Nil): Unit = {
     val root = normalize(baseRoot)
-    val d = MvDef(root, () => mv().queryExecution.analyzed, groupCols, sumCols)
+    val d = MvDef(root, exactFiles.map(stripScheme).toSet,
+      () => mv().queryExecution.analyzed, groupCols, sumCols)
     synchronized { defs = d :: defs.filterNot(_.baseRoot == root) }
   }
 
   def clear(): Unit = synchronized { defs = Nil }
 
   private[plans] def lookup(paths: Seq[String]): Option[MvDef] = {
-    val ps = paths.map(normalize)
-    defs.find(d => ps.nonEmpty && ps.forall(_.startsWith(d.baseRoot)))
+    val ps = paths.map(stripScheme)
+    defs.find { d =>
+      // the scanned root may BE the registered dir (no trailing slash) or
+      // a file/dir beneath it (the slash-suffixed prefix)
+      val rootItself = d.baseRoot.dropRight(1)
+      ps.nonEmpty &&
+        ps.forall(p => p == rootItself || p.startsWith(d.baseRoot)) &&
+        (d.files.isEmpty || ps.forall(d.files.contains))
+    }
   }
 
-  /** Scheme-insensitive prefix form: `file:/x/y` and `/x/y` must meet. */
+  /** Scheme-insensitive forms: `file:/x/y` and `/x/y` must meet. Roots get
+    * a trailing slash (prefix checks), file paths stay verbatim. */
+  private def stripScheme(p: String): String =
+    p.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
+
   private def normalize(p: String): String = {
-    val noScheme = p.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
+    val noScheme = stripScheme(p)
     if (noScheme.endsWith("/")) noScheme else noScheme + "/"
   }
 }

@@ -36,7 +36,10 @@ object SnapshotIvmStream {
       baseTable: String, mvTable: String, rowKeys: Seq[String],
       groupKeys: Seq[String], sumCols: Seq[String]): Unit = {
     val tag = s"batch-$batchId"
-    if (!SnapshotTable.tagOf(baseTable).contains(tag) && !changes.isEmpty)
+    // tag HISTORY, not just the head: a foreign commit (OPTIMIZE, a manual
+    // merge) between the batch's commit and its replay must not hide the
+    // published tag and let the merge double-apply
+    if (!SnapshotTable.hasTag(baseTable, tag) && !changes.isEmpty)
       SnapshotTable.merge(spark, baseTable, changes, rowKeys, tag = Some(tag)): Unit
     SnapshotIvm.refresh(spark, baseTable, mvTable, rowKeys, groupKeys,
       sumCols): Unit

@@ -130,6 +130,31 @@ class MvRewriteSpec extends SparkSpec {
     content(q) shouldBe content(raw().groupBy("g").agg(sum("v").as("sv")))
   }
 
+  test("version-pinned historical reads are NOT rewritten under exactFiles registration (R45)") {
+    import graft.operators.{SnapshotIvm, SnapshotTable}
+    MvRegistry.clear()
+    val t = graft.Scratch.fresh("mvr_tt_base")
+    val mvt = graft.Scratch.fresh("mvr_tt_mv")
+    SnapshotTable.commit(spark, t, spark.range(200L).select(col("id").as("k"),
+      (col("id") % 5).as("g"), (col("id") % 11).cast("decimal(18,2)").as("v")))
+    SnapshotTable.merge(spark, t, Seq((0L, 0L, "99.00", "U")).toDF("k", "g", "v", "op")
+      .withColumn("v", col("v").cast("decimal(18,2)")), Seq("k"))
+    SnapshotIvm.refresh(spark, t, mvt, Seq("k"), Seq("g"), Seq("v")): Unit
+    MvRewriteRule.attach(spark)
+    MvRegistry.register(t, () => SnapshotTable.read(spark, mvt),
+      Seq("g"), Seq("v"), exactFiles = SnapshotTable.filesOf(t))
+    val latest = SnapshotTable.read(spark, t).groupBy("g").agg(sum("v").as("sv"))
+    assert(usesMv(latest, t, mvt), "latest read should rewrite")
+    // the v1 pinned read shares the root but not the file set — no rewrite,
+    // and it must answer with v1's values (0.00 for k=0, not the merged 99)
+    val pinned = SnapshotTable.read(spark, t, version = 1L)
+      .groupBy("g").agg(sum("v").as("sv"))
+    assert(!usesMv(pinned, t, mvt), "pinned read must keep its own scan")
+    val v1 = pinned.filter(col("g") === 0L).select(col("sv").cast("string")).as[String].head()
+    val vNow = latest.filter(col("g") === 0L).select(col("sv").cast("string")).as[String].head()
+    assert(v1 != vNow, s"v1 answer $v1 must differ from latest $vNow")
+  }
+
   test("rewritten aggregate keeps its output ids: downstream join binds (R45)") {
     val (base, mv) = freshBase("join")
     val agg = spark.read.parquet(base).groupBy("g").agg(sum("v").as("sv"))

@@ -43,18 +43,11 @@ class SnapshotIvmStreamSpec extends SparkSpec {
   private def recompute(base: String): Map[String, Int] =
     content(IncrementalAgg.sumState(SnapshotTable.read(spark, base), groups, sums))
 
-  private def writeShards(in: String, order: Seq[Int]): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
+  private def writeShards(in: String, order: Seq[Int]): Unit =
     order.zipWithIndex.foreach { case (sh, i) =>
-      val tmp = graft.Scratch.fresh(s"x15spec_tmp_$sh")
-      shard(sh).repartition(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator().asScala
-        .find { p => val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet") }.get
-      Files.move(part, Paths.get(in, f"shard-$i%05d.parquet")): Unit
+      graft.Scratch.writeSingleParquet(shard(sh),
+        java.nio.file.Paths.get(in, f"shard-$i%05d.parquet"))
     }
-  }
 
   test("3-shard stream ≡ recompute over the merged base; MV tag tracks base (X15)") {
     val (base, mv) = mkBase("x15s_run")
@@ -87,6 +80,18 @@ class SnapshotIvmStreamSpec extends SparkSpec {
     SnapshotIvm.reflectedVersion(mv) shouldBe 1L // stale
     SnapshotIvmStream.applyBatch(spark, shard(0), 0L, base, mv, keys, groups, sums)
     SnapshotTable.latestVersion(base) shouldBe Some(2L) // merge NOT re-applied
+    content(SnapshotTable.read(spark, mv)) shouldBe recompute(base)
+  }
+
+  test("replay after a foreign commit (OPTIMIZE) still finds the tag: no pointless re-merge (X15)") {
+    val (base, mv) = mkBase("x15s_foreign")
+    SnapshotIvmStream.applyBatch(spark, shard(2), 0L, base, mv, keys, groups, sums)
+    SnapshotTable.optimize(spark, base, targetBytes = 64L * 1024 * 1024) // untagged head
+    val v = SnapshotTable.latestVersion(base)
+    // the replayed batch must find its tag BELOW the optimize commit and
+    // skip the merge — no new base version, state still exact
+    SnapshotIvmStream.applyBatch(spark, shard(2), 0L, base, mv, keys, groups, sums)
+    SnapshotTable.latestVersion(base) shouldBe v
     content(SnapshotTable.read(spark, mv)) shouldBe recompute(base)
   }
 
