@@ -609,6 +609,16 @@ object LlmOps {
       TextAnalysis.bigramCommonness(Tables(s, dir).documents, "doc_id", "text")
     },
 
+    "t20_bm25_search" -> { (s, dir) =>
+      // ranked keyword search: integer-unit BM25 top-50 for a 5-term query
+      // (one term, "quantum", is absent from the corpus — it must
+      // contribute nothing); every score is floor-division long arithmetic
+      // with the interpolated-log2 idf, so DuckDB replays the formula
+      // exactly and the gate hashes (doc, hits, score) verbatim.
+      Search.bm25TopK(Tables(s, dir).documents, "text", "doc_id",
+        Seq("dup", "merge", "vector", "spark", "quantum"), k = 50)
+    },
+
     "p7_quality_weighted_sample" -> { (s, dir) =>
       // T18 × T19 composed: score every doc by bigram-LM commonness, band
       // the score into an integer weight (1..8, higher = more natural
@@ -1213,6 +1223,45 @@ object LlmOps {
         |    AS avg_bigram_cf_x1000
         |FROM bi JOIN cf USING (ngram)
         |GROUP BY doc_id""".stripMargin,
+
+    // T20: integer-unit BM25 replayed end to end — tokenize, postings
+    // restricted to the query, df, interpolated-log2 idf (bit length +
+    // mantissa interpolation), saturation, length norm, top-50 — all
+    // BIGINT floor division, so the hash is exact. sum() wrapped back to
+    // BIGINT (DuckDB widens to HUGEINT).
+    "t20_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+        |), corp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('dup', 'merge', 'vector', 'spark', 'quantum') GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), idf AS (
+        |  SELECT term,
+        |    (CAST(length(bin(q)) AS BIGINT) - 11) * 1000
+        |      + ((q - (CAST(1 AS BIGINT) << (length(bin(q)) - 1))) * 1000)
+        |        // (CAST(1 AS BIGINT) << (length(bin(q)) - 1)) AS idf_mb
+        |  FROM (SELECT term,
+        |          ((2 * n + 2) * (2 * n + 2) * 1024) // ((2 * df + 1) * (2 * df + 1)) AS q
+        |        FROM dfq, corp)
+        |), scored AS (
+        |  SELECT tf.doc_id, idf.idf_mb,
+        |    (tf.tf * (1000 + 1200) * 1000000)
+        |      // (tf.tf * 1000
+        |          + (1200 * (1000 - 750 + (750 * dl.dl * corp.n) // corp.sdl)) // 1000)
+        |      AS sat_u
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corp
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |  CAST(sum(idf_mb * sat_u) AS BIGINT) AS score_u
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_u DESC, doc_id LIMIT 50""".stripMargin,
 
     // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
     // lang join, all replayed in one SQL pipeline

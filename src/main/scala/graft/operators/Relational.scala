@@ -542,6 +542,23 @@ object Relational {
       q.select(col("l_returnflag"), col("n_rows"), emit(col("sum_qty")).as("sum_qty"))
     },
 
+    "r46_frequent_items" -> { (s, dir) =>
+      // R46: exact heavy hitters over a skewed key stream — two hot keys
+      // planted into the otherwise-uniform custkey distribution (≡0 mod 3
+      // → key 42 at ~33%, else ≡0 mod 7 → key 7 at ~9.5%; capacity 20 ⇒
+      // φ = 1/21 ≈ 4.8%, so exactly those two clear the threshold at any
+      // SF). The MisraGries TypedImperativeAggregate proposes candidates,
+      // the broadcast exact pass counts and thresholds them — so the
+      // result is a pure function of the data and DuckDB's plain
+      // GROUP BY/HAVING replay is hash-exact. The sketch guarantee and
+      // partitioning independence are HeavyHittersSpec's.
+      val keyed = Tables(s, dir).orders.select(
+        when(col("o_orderkey") % 3 === 0, lit(42L))
+          .when(col("o_orderkey") % 7 === 0, lit(7L))
+          .otherwise(col("o_custkey").cast("long")).as("k"))
+      HeavyHitters.exact(keyed, "k", capacity = 20)
+    },
+
     "x15_stream_ivm" -> { (s, dir) =>
       // X15: the R43×R44×X14 chain driven by a stream — three disjoint CDC
       // shards (U/D/I, one per micro-batch) merge into the snapshot base
@@ -941,6 +958,22 @@ object Relational {
         .orderBy("src", "dst")
     },
 
+    "w24_geo_radius" -> { (s, dir) =>
+      // geo-radius search: 100 nearest of 50k deterministic points
+      // (multiplicative-hash spread over lat ∈ ±60°, lon ∈ ±180°, exactly
+      // re-derivable from range() in DuckDB) within ~500 km of Paris.
+      // cos(48.8566°) enters both engines as the same per-mille literal,
+      // so every distance is long arithmetic and the gate hashes
+      // (id, lat, lon, dist2) verbatim. Bbox pushdown, haversine-agreement
+      // and k-prefix are GeoSpec's.
+      val pts = s.range(0, 50000).select(col("id"),
+        ((col("id") * 2654435761L) % 120000001L - 60000000L).as("lat_micro"),
+        ((col("id") * 1597334677L) % 360000001L - 180000000L).as("lon_micro"))
+      Geo.radiusSearch(pts, "id", "lat_micro", "lon_micro",
+        lat0Micro = 48856600L, lon0Micro = 2352200L,
+        radiusMicro = 4491600L, k = 100)
+    },
+
     "w23_pagerank" -> { (s, dir) =>
       // entity centrality: 5 integer-unit PageRank steps over a
       // deterministic claim graph — a 4094-edge class tree (i -> i div 2,
@@ -1222,6 +1255,20 @@ object Relational {
         |  CAST(sum(price) AS DOUBLE) AS sum_price
         |FROM v2 GROUP BY o_custkey""".stripMargin,
 
+    // R46: the sketch+verify pipeline is semantically a plain
+    // GROUP BY/HAVING over the planted-skew key — any candidate the
+    // sketch missed or extra the verify pass kept breaks the hash
+    "r46_frequent_items" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 42
+        |              WHEN o_orderkey % 7 = 0 THEN 7
+        |              ELSE o_custkey END AS item
+        |  FROM orders
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM k, t GROUP BY item, n HAVING count(*) * 21 > n
+        |ORDER BY item""".stripMargin,
+
     "r27_rolling_window" ->
       """SELECT event_id, user_id, ts,
         |  count(*) OVER w AS n_1h,
@@ -1450,6 +1497,26 @@ object Relational {
       """SELECT l_orderkey AS id, p_name AS label, l_quantity AS quantity
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#3' AND l_quantity >= 50""".stripMargin,
+
+    // W24: same deterministic point set from range(); the oracle needs no
+    // bbox (that is pushdown plumbing, not semantics) — the integer circle
+    // test is the whole predicate, cos_pm = 658 the shared literal
+    "w24_geo_radius" ->
+      """WITH pts AS (
+        |  SELECT range AS id,
+        |    (range * 2654435761) % 120000001 - 60000000 AS lat_micro,
+        |    (range * 1597334677) % 360000001 - 180000000 AS lon_micro
+        |  FROM range(0, 50000)
+        |), d AS (
+        |  SELECT id, lat_micro, lon_micro,
+        |    abs(lat_micro - 48856600) * abs(lat_micro - 48856600)
+        |      + ((abs(lon_micro - 2352200) * 658) // 1000)
+        |        * ((abs(lon_micro - 2352200) * 658) // 1000) AS dist2
+        |  FROM pts
+        |)
+        |SELECT id, lat_micro, lon_micro, dist2 FROM d
+        |WHERE dist2 <= CAST(4491600 AS BIGINT) * 4491600
+        |ORDER BY dist2, id LIMIT 100""".stripMargin,
 
     // W23: the same 5 integer-unit PageRank steps unrolled in SQL — floor
     // division per edge, so every rank is bit-identical
