@@ -182,6 +182,22 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     },
 
+    "d10_semantic_dedup" -> { (s, dir) =>
+      // SemDeDup-style cluster-scoped dedup over the planted-copy corpus:
+      // identical vectors share a cell by construction (assignment is a
+      // pure function of the vector), every (base, base+1e6) pair scores
+      // cosine 1 ≥ 0.999, components collapse to the base id — so the
+      // survivor set is EXACTLY the base corpus. A natural pair ≥ 0.999
+      // would break d5's precision gate first; recall/precision on
+      // synthetic clusters and the cells=1 ≡ global-dedup law are
+      // SemanticDedupSpec's.
+      val n = 2 * Tables(s, dir).embeddings.count()
+      SemanticDedup.dedup(plantedVecsExact(s, dir), "vec_id", "embedding",
+          threshold = 0.999, cells = IvfAnn.ivfPlan(n).cells, knownN = n)
+        .select(col("id").as("kept_id"))
+        .orderBy("kept_id")
+    },
+
     "s1_cosine_topk" -> { (s, dir) =>
       val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
       Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5)
@@ -1557,6 +1573,12 @@ object LlmOps {
     "d5_embed_dedup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine
         |FROM embeddings""".stripMargin,
+
+    // D10: every planted copy collapses onto its base (min id), every
+    // base survives — a missed copy (extra survivor) or a natural merge
+    // (missing base) breaks the hash either way
+    "d10_semantic_dedup" ->
+      "SELECT vec_id AS kept_id FROM embeddings ORDER BY 1",
 
     // S4: every op here (float→double cast, /, *, floor, abs, max) is
     // correctly rounded and order-independent (max) or applied in the same
