@@ -747,23 +747,19 @@ object LlmOps {
       // drops them), docs ≡0 mod 13 (and not spam) share one body (dedup
       // collapses them to the min id), and every doc carries the chrome
       // (scrub strips it).
-      val docs = Tables(s, dir).documents
-      val body = when(col("doc_id") % 5 === 0, lit(Seq.fill(40)("spam").mkString(" ")))
-        .when(col("doc_id") % 13 === 0, lit("shared duplicate body text"))
-        .otherwise(col("text"))
-      val planted = docs.select(col("doc_id"), concat(
-        lit("ACCEPT COOKIES TO CONTINUE\n"), body,
-        lit("\nCopyright Example Site")).as("text"))
-      val cleaned = TextAnalysis.stripBoilerplate(planted, "doc_id", "text",
-          maxDocFrac = 0.5, knownN = docs.count())
-        .withColumnRenamed("clean_text", "text")
-      val keep = TextAnalysis.repetitionProfile(cleaned, "doc_id", "text", ngramN = 2)
-        .filter(!col("is_repetitive")).select("doc_id")
-      val kept = cleaned.join(keep, Seq("doc_id"), "left_semi")
-      val deduped = Dedup.exactDedup(kept, "text", "doc_id")
-      Sampling.assignSplits(deduped, "doc_id", SplitSpec)
+      Sampling.assignSplits(curatedDocs(s, dir), "doc_id", SplitSpec)
         .select("doc_id", "split")
         .orderBy("doc_id")
+    },
+
+    "p8_curated_search" -> { (s, dir) =>
+      // P5 × T20: ranked retrieval over the CURATED corpus — the audit
+      // loop a pipeline owner actually runs ("what survived curation
+      // about X?"). The BM25 stats (df, avgdl, N) are computed on the
+      // post-curation corpus, so every upstream stage — scrub, spam
+      // filter, dedup — shifts the scores and bites on the hash.
+      Search.bm25TopK(curatedDocs(s, dir), "text", "doc_id",
+        Seq("dup", "merge", "vector", "spark", "quantum"), k = 40)
     },
 
     "p3_prep_pipeline" -> { (s, dir) =>
@@ -919,7 +915,31 @@ object LlmOps {
   /** P5 oracle — the t13 scrub, t14 repetition profile, d1 min-id dedup
     * and t6 split fragments chained as one derivation over the same
     * planted chrome. */
-  private def p5OracleSql: String = {
+  /** Shared curation pipeline (p5/p8 gates): planted chrome+spam+shared-
+    * body corpus → boilerplate scrub (T13) → repetition filter (T14) →
+    * exact dedup of the CLEANED text (D1). Returns the surviving
+    * (doc_id, text) frame; [[curationCteSql]] is its DuckDB replay. */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val body = when(col("doc_id") % 5 === 0, lit(Seq.fill(40)("spam").mkString(" ")))
+      .when(col("doc_id") % 13 === 0, lit("shared duplicate body text"))
+      .otherwise(col("text"))
+    val planted = docs.select(col("doc_id"), concat(
+      lit("ACCEPT COOKIES TO CONTINUE\n"), body,
+      lit("\nCopyright Example Site")).as("text"))
+    val cleaned = TextAnalysis.stripBoilerplate(planted, "doc_id", "text",
+        maxDocFrac = 0.5, knownN = docs.count())
+      .withColumnRenamed("clean_text", "text")
+    val keep = TextAnalysis.repetitionProfile(cleaned, "doc_id", "text", ngramN = 2)
+      .filter(!col("is_repetitive")).select("doc_id")
+    val kept = cleaned.join(keep, Seq("doc_id"), "left_semi")
+    Dedup.exactDedup(kept, "text", "doc_id")
+  }
+
+  /** Shared curation CTE chain (p5/p8): planted chrome+spam+shared-body
+    * corpus → boilerplate scrub → repetition filter → survivors with
+    * their CLEANED text, ending at the `surv` CTE. */
+  private def curationCteSql: String = {
     val spam = Seq.fill(40)("spam").mkString(" ")
     s"""WITH p AS (
        |  SELECT doc_id,
@@ -972,13 +992,63 @@ object LlmOps {
        |  FROM s2 LEFT JOIN a2 USING (doc_id)
        |), surv AS (
        |  SELECT c.doc_id, c.text FROM clean c JOIN prof USING (doc_id) WHERE NOT prof.rep
-       |), d AS (
-       |  SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)
-       |)
-       |SELECT doc_id, $splitCaseSql AS split FROM (
-       |  SELECT doc_id, ${md5UnitSql("doc_id")} AS u
-       |  FROM d)""".stripMargin
+       |)""".stripMargin
   }
+
+  private def p5OracleSql: String =
+    curationCteSql +
+      s""", d AS (
+         |  SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)
+         |)
+         |SELECT doc_id, $splitCaseSql AS split FROM (
+         |  SELECT doc_id, ${md5UnitSql("doc_id")} AS u
+         |  FROM d)""".stripMargin
+
+  /** Shared integer-unit BM25 oracle fragment (t20/p8): scoring over a
+    * (doc_id, text) relation `rel`; emits the final SELECT. Must stay in
+    * lockstep with [[graft.operators.Search.bm25TopK]]. */
+  private def bm25OracleSql(rel: String, terms: Seq[String], k: Int): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""bm_toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM $rel
+       |), bm_dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bm_toks GROUP BY 1
+       |), bm_corp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM bm_dl
+       |), bm_tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bm_toks
+       |  WHERE term IN ($in) GROUP BY 1, 2
+       |), bm_df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm_tf GROUP BY 1
+       |), bm_idf AS (
+       |  SELECT term,
+       |    (CAST(length(bin(q)) AS BIGINT) - 11) * 1000
+       |      + ((q - (CAST(1 AS BIGINT) << (length(bin(q)) - 1))) * 1000)
+       |        // (CAST(1 AS BIGINT) << (length(bin(q)) - 1)) AS idf_mb
+       |  FROM (SELECT term,
+       |          ((2 * n + 2) * (2 * n + 2) * 1024) // ((2 * df + 1) * (2 * df + 1)) AS q
+       |        FROM bm_df, bm_corp)
+       |), bm_scored AS (
+       |  SELECT bm_tf.doc_id, bm_idf.idf_mb,
+       |    (bm_tf.tf * (1000 + 1200) * 1000000)
+       |      // (bm_tf.tf * 1000
+       |          + (1200 * (1000 - 750 + (750 * bm_dl.dl * bm_corp.n) // bm_corp.sdl)) // 1000)
+       |      AS sat_u
+       |  FROM bm_tf JOIN bm_idf USING (term) JOIN bm_dl USING (doc_id), bm_corp
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |  CAST(sum(idf_mb * sat_u) AS BIGINT) AS score_u
+       |FROM bm_scored GROUP BY doc_id
+       |ORDER BY score_u DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  private def p8OracleSql: String =
+    curationCteSql +
+      """, d AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM surv GROUP BY text
+        |), """.stripMargin +
+      bm25OracleSql("d", Seq("dup", "merge", "vector", "spark", "quantum"), 40)
 
   /** Shared WITH-prefix for the d6/t15 oracles: the planted near-dup
     * corpus, its exact-Jaccard pairs, and recursive-CTE connected
@@ -1243,41 +1313,16 @@ object LlmOps {
     // T20: integer-unit BM25 replayed end to end — tokenize, postings
     // restricted to the query, df, interpolated-log2 idf (bit length +
     // mantissa interpolation), saturation, length norm, top-50 — all
-    // BIGINT floor division, so the hash is exact. sum() wrapped back to
-    // BIGINT (DuckDB widens to HUGEINT).
+    // BIGINT floor division, so the hash is exact (the shared fragment
+    // wraps count sums back to BIGINT where DuckDB widens to HUGEINT).
     "t20_bm25_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        |  FROM documents
-        |), dl AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
-        |), corp AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl
-        |), tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-        |  WHERE term IN ('dup', 'merge', 'vector', 'spark', 'quantum') GROUP BY 1, 2
-        |), dfq AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        |), idf AS (
-        |  SELECT term,
-        |    (CAST(length(bin(q)) AS BIGINT) - 11) * 1000
-        |      + ((q - (CAST(1 AS BIGINT) << (length(bin(q)) - 1))) * 1000)
-        |        // (CAST(1 AS BIGINT) << (length(bin(q)) - 1)) AS idf_mb
-        |  FROM (SELECT term,
-        |          ((2 * n + 2) * (2 * n + 2) * 1024) // ((2 * df + 1) * (2 * df + 1)) AS q
-        |        FROM dfq, corp)
-        |), scored AS (
-        |  SELECT tf.doc_id, idf.idf_mb,
-        |    (tf.tf * (1000 + 1200) * 1000000)
-        |      // (tf.tf * 1000
-        |          + (1200 * (1000 - 750 + (750 * dl.dl * corp.n) // corp.sdl)) // 1000)
-        |      AS sat_u
-        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corp
-        |)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-        |  CAST(sum(idf_mb * sat_u) AS BIGINT) AS score_u
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score_u DESC, doc_id LIMIT 50""".stripMargin,
+      ("WITH " + bm25OracleSql("documents",
+        Seq("dup", "merge", "vector", "spark", "quantum"), 50)),
+
+    // P8: the curation chain's survivors (cleaned text) feed the same
+    // BM25 fragment — search over the CURATED corpus, every upstream
+    // stage biting on the final hash
+    "p8_curated_search" -> p8OracleSql,
 
     // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
     // lang join, all replayed in one SQL pipeline
