@@ -294,6 +294,48 @@ object LlmOps {
             .as("recall_ok"))
     },
 
+    // S8 structural gate: filtered ANN down the IVF path (selectivity 0.5
+    // ≫ BruteCutoff) — even-id queries, even-id predicate: each query's
+    // exact copy (+1e6 keeps parity) passes the filter, shares the
+    // query's cell, and wins top-1 at cosine 1. The predicate BITES: odd
+    // base vectors are excluded, so any post-filter leak that lets an
+    // odd near-neighbor outrank the copy breaks the hash.
+    "s8_filtered_ann" -> { (s, dir) =>
+      val base  = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val vecs  = plantedVecsExact(s, dir)
+      val cents = IvfAnn.trainCentroids(base, "embedding", k = 8, iters = 3,
+        knownN = Tables(s, dir).embeddings.count())
+      FilteredAnn.topK(vecs.filter(col("vec_id") < 64 && col("vec_id") % 2 === 0),
+          vecs, "vec_id", "embedding", pred = col("vec_id") % 2 === 0,
+          k = 1, centroids = cents, nprobe = 3, selectivity = 0.5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // S8 recall vs the FILTERED brute-force ground truth (label < 5,
+    // ~0.48 selectivity): the 1/selectivity nprobe inflation (3 → 7 of 8
+    // cells) holds filtered recall at-or-above the unfiltered s3 bar on
+    // the same isotropic worst-case corpus.
+    "s8_recall" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+      val vecs = base.repartition(parallelism(s))
+      val n = base.count()
+      val queries = vecs.filter(col("vec_id") < 32)
+      val pred = col("label") < 5
+      val cents = IvfAnn.trainCentroids(vecs, "embedding", k = 8, iters = 3, knownN = n)
+      val exact = Similarity.bruteForceTopK(queries, vecs.filter(pred),
+          "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = FilteredAnn.topK(queries, vecs, "vec_id", "embedding",
+          pred, k = 10, centroids = cents, nprobe = 3, selectivity = 0.48)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= 0.55)
+            .as("recall_ok"))
+    },
+
     // S7 structural gate: identical vectors quantize to identical int8
     // codes (element-wise IEEE ops), so a planted copy's integer-dot score
     // is the self-cosine 1.0 — it heads any shortlist, and the exact
@@ -1776,6 +1818,15 @@ object LlmOps {
 
     "s3_ivf_ann" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s8: planted-copy top-1 under the parity predicate (copies keep parity)
+    "s8_filtered_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 64 AND vec_id % 2 = 0""".stripMargin,
+
+    "s8_recall" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     // s7: planted-copy top-1 — identical codes, exact re-rank at cosine 1
