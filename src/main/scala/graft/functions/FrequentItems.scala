@@ -39,6 +39,7 @@ import org.apache.spark.sql.types._
   * plan as any SQL aggregate, no shuffle of raw values.
   */
 case class MisraGries(child: Expression, capacity: Int,
+    emitCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.LongMap[Long]]
   with UnaryLike[Expression] {
@@ -60,31 +61,22 @@ case class MisraGries(child: Expression, capacity: Int,
   }
 
   override def merge(b: mutable.LongMap[Long], o: mutable.LongMap[Long])
-      : mutable.LongMap[Long] = {
-    o.foreach { case (k, c) => b(k) = b.getOrElse(k, 0L) + c }
-    if (b.size <= capacity) b
-    else {
-      // subtract the (capacity+1)-th largest count; ≤ capacity survive
-      val counts = b.values.toArray
-      java.util.Arrays.sort(counts)
-      decrementAll(b, counts(counts.length - capacity - 1))
-    }
-  }
+      : mutable.LongMap[Long] = MisraGries.mergeMaps(b, o, capacity)
 
   private def decrementAll(b: mutable.LongMap[Long], by: Long)
-      : mutable.LongMap[Long] = {
-    val out = mutable.LongMap.empty[Long]
-    b.foreach { case (k, c) => if (c > by) out(k) = c - by }
-    out
-  }
+      : mutable.LongMap[Long] = MisraGries.decrementAll(b, by)
 
-  /** Candidate keys, sorted (sorting makes single-partition runs stable;
-    * cross-partition candidate sets are inherently merge-order dependent
-    * and must be re-counted — see the scaladoc). */
+  /** Candidate keys sorted, or (item, cnt) structs sorted by item when
+    * `emitCounts` (the cross-batch streaming state — X16 persists and
+    * re-merges the counters). Sorting makes single-partition runs stable;
+    * cross-partition candidate sets and counter values are inherently
+    * merge-order dependent and must be re-counted — see the scaladoc. */
   override def eval(b: mutable.LongMap[Long]): Any = {
     val keys = b.keys.toArray
     java.util.Arrays.sort(keys)
-    new GenericArrayData(keys)
+    if (!emitCounts) new GenericArrayData(keys)
+    else new GenericArrayData(keys.map(k =>
+      InternalRow(k, b(k)): Any))
   }
 
   override def serialize(b: mutable.LongMap[Long]): Array[Byte] = {
@@ -105,7 +97,11 @@ case class MisraGries(child: Expression, capacity: Int,
     b
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (!emitCounts) ArrayType(LongType, containsNull = false)
+    else ArrayType(StructType(Seq(
+      StructField("item", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "misra_gries"
 
@@ -117,6 +113,43 @@ case class MisraGries(child: Expression, capacity: Int,
     copy(child = newChild)
 }
 
+object MisraGries {
+  /** The mergeable-summaries combine rule, shared by the aggregate's
+    * executor-side merge and X16's driver-side cross-batch state merge:
+    * sum counters, then subtract the (capacity+1)-th largest and keep
+    * positives. */
+  def mergeMaps(b: mutable.LongMap[Long], o: mutable.LongMap[Long],
+      capacity: Int): mutable.LongMap[Long] = {
+    o.foreach { case (k, c) => b(k) = b.getOrElse(k, 0L) + c }
+    if (b.size <= capacity) b
+    else {
+      val counts = b.values.toArray
+      java.util.Arrays.sort(counts)
+      decrementAll(b, counts(counts.length - capacity - 1))
+    }
+  }
+
+  private[functions] def decrementAll(b: mutable.LongMap[Long], by: Long)
+      : mutable.LongMap[Long] = {
+    val out = mutable.LongMap.empty[Long]
+    b.foreach { case (k, c) => if (c > by) out(k) = c - by }
+    out
+  }
+
+  /** [[mergeMaps]] over plain pairs (the persisted X16 state format). */
+  def mergePairs(a: Seq[(Long, Long)], b: Seq[(Long, Long)],
+      capacity: Int): Seq[(Long, Long)] = {
+    val m = mutable.LongMap.empty[Long]
+    a.foreach { case (k, c) => m(k) = m.getOrElse(k, 0L) + c }
+    val merged = mergeMaps(m, {
+      val o = mutable.LongMap.empty[Long]
+      b.foreach { case (k, c) => o(k) = o.getOrElse(k, 0L) + c }
+      o
+    }, capacity)
+    merged.toSeq.sortBy(_._1)
+  }
+}
+
 object FrequentItems {
   /** Misra–Gries candidate set over a LONG column: array of ≤ capacity
     * keys guaranteed to include every value with frequency >
@@ -124,4 +157,11 @@ object FrequentItems {
   def misraGries(key: Column, capacity: Int): Column =
     ColumnBridge.column(
       MisraGries(ColumnBridge.expression(key), capacity).toAggregateExpression())
+
+  /** As [[misraGries]] but emitting (item, cnt) structs — the mergeable
+    * summary X16 persists across micro-batches. */
+  def misraGriesCounts(key: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      MisraGries(ColumnBridge.expression(key), capacity, emitCounts = true)
+        .toAggregateExpression())
 }

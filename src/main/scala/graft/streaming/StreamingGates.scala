@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Batch-equivalent gate queries for the streaming operators (X1/X2): the
   * same column algebra the streams run, executed over the `events` table so
@@ -125,6 +125,37 @@ object StreamingGates {
           col("sum_price").cast("double").as("sum_price"))
         .orderBy("o_orderstatus")
     },
+    // X16: streaming heavy hitters — r46's planted-skew key stream lands
+    // as 3 parquet shards, one per micro-batch; each batch folds its MG
+    // partial into the tagged snapshot state, and the deterministic
+    // finish (exact counts of the state's candidates over the landed
+    // corpus) must equal the same plain GROUP BY/HAVING oracle as the
+    // batch operator — the batch split invisible. Replay idempotency and
+    // split-invariance are StreamingHeavyHittersSpec's.
+    "x16_stream_heavy_hitters" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val in = graft.Scratch.fresh("x16_in")
+      val state = graft.Scratch.fresh("x16_state")
+      val ckpt = graft.Scratch.fresh("x16_ckpt")
+      val keyed = Tables(s, dir).orders.select(
+        when(col("o_orderkey") % 3 === 0, lit(42L))
+          .when(col("o_orderkey") % 7 === 0, lit(7L))
+          .otherwise(col("o_custkey").cast("long")).as("k"),
+        col("o_orderkey"))
+      val shards = Seq(
+        keyed.filter(col("o_orderkey") % 10 < 4),
+        keyed.filter(col("o_orderkey") % 10 >= 4 && col("o_orderkey") % 10 < 7),
+        keyed.filter(col("o_orderkey") % 10 >= 7)).map(_.select("k"))
+      shards.zipWithIndex.foreach { case (df, i) =>
+        graft.Scratch.writeSingleParquet(df, Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      val q = StreamingHeavyHitters.start(s, in, shards.head.schema, "k",
+        capacity = 20, state, ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      StreamingHeavyHitters.exactFromState(s, state, s.read.parquet(in), "k",
+        capacity = 20)
+    },
+
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -205,6 +236,19 @@ object StreamingGates {
         |)
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
         |FROM live GROUP BY o_orderstatus""".stripMargin,
+
+    // X16: same replay as the batch r46 oracle — the stream's state path
+    // must land on the identical exact heavy-hitter set
+    "x16_stream_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 42
+        |              WHEN o_orderkey % 7 = 0 THEN 7
+        |              ELSE o_custkey END AS item
+        |  FROM orders
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM k, t GROUP BY item, n HAVING count(*) * 21 > n
+        |ORDER BY item""".stripMargin,
 
     "x4_dedup_batch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (
