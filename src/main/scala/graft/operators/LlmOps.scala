@@ -826,6 +826,16 @@ object LlmOps {
           element_at(col("histogram"), 1).as("hist_0"))
     },
 
+    "m4_perceptual_dedup" -> { (s, dir) =>
+      // perceptual media dedup: codec-seam features → 16-bit histogram
+      // aHash → canonical min id per exact phash group (62 groups at
+      // sf0.01). Integer comparisons only, so DuckDB re-derives hash and
+      // grouping from the raw payload bytes; hamming-1 banding is
+      // spec-gated where radius search is meaningful.
+      val media = Multimodal.asMediaCorpus(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.perceptualDedup(s, media).orderBy("media_id")
+    },
+
     "p4_multimodal_ann" -> { (s, dir) =>
       // composed multimodal retrieval: media corpus → per-partition batch
       // feature extraction (M1's codec seam; the 16-bin byte histogram is
@@ -1562,6 +1572,34 @@ object LlmOps {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // M4: the phash — hex-decoded payload bytes → 16-bucket histogram →
+    // above-even-share bits — and the min-id group collapse, re-derived
+    // from scratch (m1's byte-extraction idiom)
+    "m4_perceptual_dedup" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, encode(text) AS payload
+        |  FROM documents
+        |), hx AS (
+        |  SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m
+        |), bytes AS (
+        |  SELECT media_id, CAST(n_bytes AS BIGINT) AS n,
+        |    list_transform(range(0, CAST(n_bytes AS INT)),
+        |      i -> (instr('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+        |         + (instr('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)) AS bs
+        |  FROM hx
+        |), buckets AS (
+        |  SELECT media_id, n, unnest(list_transform(bs, b -> b % 16)) AS bucket FROM bytes
+        |), g AS (
+        |  SELECT media_id, bucket, CAST(count(*) AS BIGINT) AS c, any_value(n) AS n
+        |  FROM buckets GROUP BY 1, 2
+        |), p AS (
+        |  SELECT media_id,
+        |    CAST(sum(CASE WHEN c * 16 >= n THEN 1 << bucket ELSE 0 END) AS BIGINT) AS phash
+        |  FROM g GROUP BY 1
+        |), c2 AS (SELECT phash, min(media_id) AS canonical_id FROM p GROUP BY 1)
+        |SELECT media_id, canonical_id, phash FROM p JOIN c2 USING (phash)
+        |ORDER BY media_id""".stripMargin,
 
     // Exact n-gram Jaccard re-derived from scratch: same planted corpus,
     // word 3-shingle sets, |∩| as a count aggregation over the inverted

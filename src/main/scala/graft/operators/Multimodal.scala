@@ -96,6 +96,65 @@ object Multimodal {
     })
   }
 
+  /** M4: 16-bit perceptual hash over the codec's byte histogram — bit i
+    * set iff bucket i holds at least its even share (hist[i]·16 ≥ n) —
+    * the aHash shape on the stand-in feature (a real pHash — DCT over
+    * decoded pixels — drops into the codec stage without changing
+    * anything downstream). Pure integer comparisons: engine-exact. */
+  def phash16(hist: Array[Long], nBytes: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < 16) { if (hist(i) * 16 >= nBytes) acc |= 1L << i; i += 1 }
+    acc
+  }
+
+  /** M4: perceptual media dedup — canonical (min media_id) per EXACT
+    * phash group: the "perceptually identical" collapse (re-encoded /
+    * metadata-stripped copies of the same content land on the same
+    * perceptual hash; that is the hash's entire design goal). Features
+    * come through the per-partition codec seam; the group-min resolves
+    * as one hash aggregation + a phash join — no window sort. On a
+    * homogeneous corpus exact-phash groups are the honest grain: a
+    * hamming-radius merge chains everything into one cluster (near-dup
+    * RADIUS search stays [[nearDupPairs]], spec-gated where it is
+    * meaningful). */
+  def perceptualDedup(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ph = extractFeatures(spark, media)
+      .map(f => (f.media_id, phash16(f.histogram, f.n_bytes)))
+      .toDF("media_id", "phash")
+    val canon = ph.groupBy("phash").agg(min(col("media_id")).as("canonical_id"))
+    ph.join(canon, "phash").select("media_id", "canonical_id", "phash")
+  }
+
+  /** M4: near-dup pairs at Hamming ≤ 1 over the 16-bit phash, banded
+    * LSH-style into the two 8-bit halves — one differing bit falls in
+    * exactly one band, so the OTHER band matches and the candidate is
+    * never lost (d+1-band pigeonhole, here d = 1). Two equi-joins + a
+    * dedup instead of any all-pairs scan; the exact Hamming test is the
+    * residual. Returns (`id_a`, `id_b`, `hamming`), id_a < id_b. */
+  def nearDupPairs(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ph = extractFeatures(spark, media)
+      .map(f => (f.media_id, phash16(f.histogram, f.n_bytes)))
+      .toDF("media_id", "phash")
+    def keyed(band: String) = {
+      val key = if (band == "hi") expr("phash div 256") else col("phash") % 256L
+      ph.select(col("media_id"), col("phash"), key.as("band_key"))
+    }
+    val cand = Seq("hi", "lo").map { b =>
+      val l = keyed(b).select(col("media_id").as("id_a"), col("phash").as("pa"),
+        col("band_key"))
+      val r = keyed(b).select(col("media_id").as("id_b"), col("phash").as("pb"),
+        col("band_key"))
+      l.join(r, "band_key").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    cand.withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("id_a", "id_b", "hamming")
+  }
+
   case class Frame(media_id: Long, frame_no: Int, offset_ms: Long, payload: Array[Byte])
 
   /** Frame-sampling stage for video/audio rows: emit one row per sampled
