@@ -85,7 +85,16 @@ object GraftFunctions {
       info("band_hashes",
         "band_hashes(signature, bands) - LSH band hashes over a minhash signature"),
       (args: Seq[Expression]) => BandHashes(args(0),
-        intArg(args(1), "band_hashes", 2)))
+        intArg(args(1), "band_hashes", 2))),
+
+    // the one AGGREGATE on the surface: parses like any SQL aggregate
+    // (GROUP BY-compatible) because the builder hands the analyzer a bare
+    // AggregateFunction, which it wraps itself
+    (FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(key, capacity) - Misra-Gries heavy-hitter candidate keys"),
+      (args: Seq[Expression]) => MisraGries(args(0),
+        intArg(args(1), "misra_gries", 2)))
   )
 
   /** Register every graft SQL function on a live session. Idempotent. */

@@ -44,6 +44,23 @@ class GraftFunctionsSpec extends SparkSpec {
     viaSql shouldBe viaCols
   }
 
+  test("misra_gries aggregates in SQL, per group, and matches the Column API") {
+    val xs = ((0 until 900).map(_ => 7L) ++ (0 until 300).map(i => 1000L + i))
+      .zipWithIndex.map { case (k, i) => (i % 2, k) }
+    xs.toDF("g", "k").createOrReplaceTempView("fn_stream")
+    val viaSql = spark.sql(
+      "SELECT g, misra_gries(k, 4) AS c FROM fn_stream GROUP BY g ORDER BY g")
+      .as[(Int, Seq[Long])].collect().toSeq
+    val viaCols = xs.toDF("g", "k").groupBy("g")
+      .agg(FrequentItems.misraGries(col("k"), 4).as("c"))
+      .orderBy("g").as[(Int, Seq[Long])].collect().toSeq
+    viaSql.map(_._1) shouldBe Seq(0, 1)
+    // candidate sets are merge-order dependent; the GUARANTEE is not:
+    // the 75%-frequency key must be a candidate on both paths
+    viaSql.foreach { case (_, c) => c should contain(7L) }
+    viaCols.foreach { case (_, c) => c should contain(7L) }
+  }
+
   test("cosine_sim and hyperplane_bucket work in SQL with literal params") {
     val row = spark.sql(
       """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
