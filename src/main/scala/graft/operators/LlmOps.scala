@@ -1059,7 +1059,7 @@ object LlmOps {
   /** Shared integer-unit BM25 oracle fragment (t20/p8): scoring over a
     * (doc_id, text) relation `rel`; emits the final SELECT. Must stay in
     * lockstep with [[graft.operators.Search.bm25TopK]]. */
-  private def bm25OracleSql(rel: String, terms: Seq[String], k: Int): String = {
+  private[graft] def bm25OracleSql(rel: String, terms: Seq[String], k: Int): String = {
     val in = terms.map(t => s"'$t'").mkString(", ")
     s"""bm_toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term

@@ -61,7 +61,7 @@ object Search {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Shared tokenizer contract (t5/t9/t18): lower, trim, split on \s+. */
-  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Fixed-point log2 in millibits of `q` (a Q10-scaled ratio^2, so
     * ≥ 1024): exponent from the bit length, mantissa interpolated. */
@@ -72,20 +72,41 @@ object Search {
     (e - 10L) * 1000L + idiv((q - pow) * 1000L, pow)
   }
 
+  /** The inverted-index grain: (`idCol`, `term`, `tf`) postings and
+    * (`idCol`, `dl`) lengths from a raw corpus — also the per-batch unit
+    * X17's streaming index appends (each doc lands whole in one batch, so
+    * cross-batch df/avgdl aggregate correctly over the appended state). */
+  def indexComponents(docs: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val tokens = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
+    (tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")),
+      tokens.groupBy(idCol).agg(count(lit(1)).as("dl")))
+  }
+
   /** BM25 top-k: the `k` highest-scoring docs for `queryTerms`, as
     * (idCol, n_terms_hit, score_u) ordered by (score_u desc, id asc).
     * Docs matching no query term are not returned. */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
-    require(queryTerms.nonEmpty && k > 0)
     val tokens = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
     val dl = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    // corpus totals as a 1-row broadcast INSIDE the plan (t5 idiom)
-    val corpus = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
     // postings restricted to the query BEFORE aggregation: the tf shuffle
     // ships only matching occurrences
     val tf = tokens.filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    scoreComponents(tf, dl, idCol, queryTerms, k)
+  }
+
+  /** The scoring tail over inverted-index components — shared by
+    * [[bm25TopK]] (fresh tokenization) and X17's streaming index (state
+    * tables). `tf` may carry extra terms; it is re-filtered to the query
+    * here so both callers get identical semantics. */
+  def scoreComponents(tfAll: DataFrame, dl: DataFrame, idCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    // corpus totals as a 1-row broadcast INSIDE the plan (t5 idiom)
+    val corpus = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val tf = tfAll.filter(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qT = idiv((lit(2L) * col("n") + 2L) * (lit(2L) * col("n") + 2L) * 1024L,
       (lit(2L) * col("df") + 1L) * (lit(2L) * col("df") + 1L))

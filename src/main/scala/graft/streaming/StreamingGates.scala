@@ -156,6 +156,29 @@ object StreamingGates {
         capacity = 20)
     },
 
+    // X17: streaming full-text index — the documents table lands as 3
+    // shards (doc_id mod 3, one per micro-batch); each batch appends its
+    // postings + lengths as tagged snapshot commits, and scoring FROM THE
+    // STATE must equal batch t20 over the whole corpus — the same DuckDB
+    // oracle, the batch split invisible. Replay/crash repair and
+    // state ≡ fresh-tokenization are StreamingSearchIndexSpec's.
+    "x17_stream_search_index" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val in = graft.Scratch.fresh("x17_in")
+      val root = graft.Scratch.fresh("x17_idx")
+      val ckpt = graft.Scratch.fresh("x17_ckpt")
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      (0 until 3).foreach { i =>
+        graft.Scratch.writeSingleParquet(docs.filter(col("doc_id") % 3 === i),
+          Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      val q = StreamingSearchIndex.start(s, in, docs.schema, "text", "doc_id",
+        root, ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      StreamingSearchIndex.search(s, root, "doc_id",
+        Seq("dup", "merge", "vector", "spark", "quantum"), k = 50)
+    },
+
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -249,6 +272,11 @@ object StreamingGates {
         |SELECT item, CAST(count(*) AS BIGINT) AS cnt
         |FROM k, t GROUP BY item, n HAVING count(*) * 21 > n
         |ORDER BY item""".stripMargin,
+
+    // X17: scoring from the streamed index ≡ the batch t20 formula
+    "x17_stream_search_index" ->
+      ("WITH " + graft.operators.LlmOps.bm25OracleSql("documents",
+        Seq("dup", "merge", "vector", "spark", "quantum"), 50)),
 
     "x4_dedup_batch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (
