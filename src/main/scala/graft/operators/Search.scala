@@ -104,9 +104,17 @@ object Search {
   def scoreComponents(tfAll: DataFrame, dl: DataFrame, idCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty && k > 0)
+    // Caches-owned: without it Spark re-derives each sub-plan per consumer
+    // — the plan audit showed FOUR corpus scans / three full explodes
+    // (df re-exploding the corpus instead of reading tf; dl recomputed for
+    // the corpus totals and again for the scoring join). Owning the two
+    // frames makes the corpus tokenize once per path: tf is query-sized,
+    // dl is (id, long) per doc — both cheap to hold, released by the
+    // consumer via Caches.releaseAll (the lshTopK discipline).
+    val tf = Caches.owned(tfAll.filter(col("term").isin(queryTerms: _*)))
+    val dlC = Caches.owned(dl)
     // corpus totals as a 1-row broadcast INSIDE the plan (t5 idiom)
-    val corpus = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
-    val tf = tfAll.filter(col("term").isin(queryTerms: _*))
+    val corpus = dlC.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qT = idiv((lit(2L) * col("n") + 2L) * (lit(2L) * col("n") + 2L) * 1024L,
       (lit(2L) * col("df") + 1L) * (lit(2L) * col("df") + 1L))
@@ -116,7 +124,7 @@ object Search {
     val lennormPm = lit(1000L) - BPM + idiv(lit(BPM) * col("dl") * col("n"), col("sdl"))
     val denomPm = col("tf") * 1000L + idiv(lit(K1PM) * col("lennorm_pm"), lit(1000L))
     val satU = idiv(col("tf") * (1000L + K1PM) * 1000000L, denomPm)
-    tf.join(broadcast(idf), "term").join(dl, idCol)
+    tf.join(broadcast(idf), "term").join(dlC, idCol)
       .withColumn("lennorm_pm", lennormPm)
       .withColumn("score_term", col("idf_mb") * satU)
       .groupBy(idCol)
