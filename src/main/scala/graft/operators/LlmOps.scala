@@ -388,6 +388,25 @@ object LlmOps {
         .orderBy("query_id", "neighbor_id")
     },
 
+    // S9: the SAME planted-copy contract as s6, but searched entirely
+    // from the PERSISTED index — codebooks round-tripped through the
+    // snapshot tables (doubles survive parquet bit-exactly), candidates
+    // from the published encoded store. A serialization fault anywhere —
+    // centroid order, codeword layout, codes — breaks top-1 at cosine 1.
+    "s9_persisted_ann" -> { (s, dir) =>
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      val root = graft.Scratch.fresh("s9_index")
+      val built = IvfPq.build(Tables(s, dir).embeddings.repartition(parallelism(s)),
+        "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built, IvfPq.encode(vecs, "vec_id", "embedding", built))
+      val (index, encoded) = AnnIndexStore.load(s, root)
+      IvfPq.search(vecs.filter(col("vec_id") < 32), encoded, vecs, "vec_id", "embedding",
+          index, k = 1, nprobe = 3, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
     // S6 recall vs the exact S1 scan on the natural corpus, the s3_recall
     // construction. With an exact re-rank the only recall losses are (a)
     // cell probing — identical to S3 at the same cells/nprobe, measured
@@ -1865,6 +1884,11 @@ object LlmOps {
 
     "s8_recall" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s9: planted-copy top-1 from the persisted index — same contract as s6
+    "s9_persisted_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     // s7: planted-copy top-1 — identical codes, exact re-rank at cosine 1

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** S9: persisted IVF-PQ index — bit-exact codebook round-trip, persisted
+  * search ≡ in-memory search, version pinning across re-builds, shared
+  * publication tag. */
+class AnnIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(seed: Int, n: Int, dim: Int = 16) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("save → load round-trips centroids and codebooks bit-exactly (S9)") {
+    val vecs = corpus(1, 300)
+    val built = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 300)
+    val root = graft.Scratch.fresh("s9spec_rt")
+    AnnIndexStore.save(spark, root, built,
+      IvfPq.encode(vecs, "vec_id", "embedding", built))
+    val (loaded, encoded) = AnnIndexStore.load(spark, root)
+    loaded.centroids.map(_.toSeq) shouldBe built.centroids.map(_.toSeq)
+    loaded.cb.m shouldBe built.cb.m
+    loaded.cb.k shouldBe built.cb.k
+    loaded.cb.subDim shouldBe built.cb.subDim
+    loaded.cb.books.map(_.map(_.toSeq)) shouldBe built.cb.books.map(_.map(_.toSeq))
+    encoded.count() shouldBe 300L
+  }
+
+  test("search from the persisted index equals search from the built one (S9)") {
+    val vecs = corpus(7, 400)
+    val queries = vecs.filter($"vec_id" < 10)
+    val root = graft.Scratch.fresh("s9spec_eq")
+    val built = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 400)
+    val encBuilt = IvfPq.encode(vecs, "vec_id", "embedding", built)
+    AnnIndexStore.save(spark, root, built, encBuilt)
+    val (loaded, encLoaded) = AnnIndexStore.load(spark, root)
+    def run(ix: IvfPq.Index, enc: org.apache.spark.sql.DataFrame) =
+      IvfPq.search(queries, enc, vecs, "vec_id", "embedding", ix,
+          k = 5, nprobe = 2, shortlist = 32)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    run(loaded, encLoaded) shouldBe run(built, encBuilt)
+  }
+
+  test("a re-build publishes a new version; the old one stays pinned (S9)") {
+    val v1 = corpus(11, 200)
+    val v2 = corpus(12, 250)
+    val root = graft.Scratch.fresh("s9spec_ver")
+    val b1 = IvfPq.build(v1, "embedding", cells = 4, m = 4, k = 8, knownN = 200)
+    AnnIndexStore.save(spark, root, b1, IvfPq.encode(v1, "vec_id", "embedding", b1))
+    val b2 = IvfPq.build(v2, "embedding", cells = 4, m = 4, k = 8, knownN = 250)
+    AnnIndexStore.save(spark, root, b2, IvfPq.encode(v2, "vec_id", "embedding", b2))
+    val (lNew, eNew) = AnnIndexStore.load(spark, root)
+    val (lOld, eOld) = AnnIndexStore.load(spark, root, version = 1)
+    lNew.centroids.map(_.toSeq) shouldBe b2.centroids.map(_.toSeq)
+    lOld.centroids.map(_.toSeq) shouldBe b1.centroids.map(_.toSeq)
+    eNew.count() shouldBe 250L
+    eOld.count() shouldBe 200L
+  }
+
+  test("all three tables publish under one shared tag (S9)") {
+    val vecs = corpus(21, 150)
+    val root = graft.Scratch.fresh("s9spec_tag")
+    val b = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 150)
+    AnnIndexStore.save(spark, root, b, IvfPq.encode(vecs, "vec_id", "embedding", b))
+    val tags = AnnIndexStore.Tables.map(t => SnapshotTable.tagOf(s"$root/$t"))
+    tags.distinct should have size 1
+    tags.head shouldBe Some("ivfpq-cells4-m4-k8")
+  }
+}
