@@ -384,6 +384,25 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r47_snapshot_restore" -> { (s, dir) =>
+      // R47: RESTORE — commit the base, clobber it twice (a bad overwrite,
+      // then a bad append), restore to v1 and read LATEST. The restore is
+      // metadata-only: the in-gate require proves the restored version
+      // references EXACTLY v1's file list (no data rewritten), and the
+      // oracle sees the original rows — any leakage from the undone
+      // versions breaks the hash. Inverse-CDC, vacuum-keeps-restored and
+      // CAS behavior are SnapshotRestoreSpec's.
+      val t = graft.Scratch.fresh("r47_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      SnapshotTable.commit(s, t, o.limit(5), mode = SnapshotTable.Append)
+      val v = SnapshotTable.restore(t, toVersion = 1L)
+      require(v == 4L && SnapshotTable.filesOf(t, 4L) == SnapshotTable.filesOf(t, 1L),
+        "restore must reference exactly the target version's files")
+      SnapshotTable.read(s, t)
+    },
+
     "r41_optimize" -> { (s, dir) =>
       // R41: snapshot-preserving OPTIMIZE — commit a deliberately
       // 64-fragmented table, z-order-optimize it into the next version,
@@ -1177,6 +1196,11 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R47: after the restore, only the base commit's rows are visible
+    "r47_snapshot_restore" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 0""".stripMargin,
 
     // R41: OPTIMIZE is invisible to readers — same rows, better layout
     "r41_optimize" ->

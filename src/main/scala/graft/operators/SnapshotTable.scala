@@ -214,6 +214,49 @@ object SnapshotTable {
     version
   }
 
+  /** R47: RESTORE — the table's next version references exactly
+    * `toVersion`'s file list (the Delta RESTORE shape). METADATA-ONLY:
+    * no data is read, copied or rewritten — one manifest write, O(files)
+    * whatever the table size, because published data files are immutable
+    * and a manifest is just a list of them. History is preserved: the
+    * restore is a NEW version on top (the undone versions stay readable
+    * by number until [[vacuum]]), so a bad restore is itself restorable,
+    * and [[changesBetween]] across the restore yields exactly the inverse
+    * feed of the undone span — the generic file-diff machinery needs no
+    * special case. Stats sidecars live beside the original commit dirs,
+    * so R42 skipping keeps working on the restored version; vacuum keeps
+    * the restored files live because the new manifest references them.
+    * CAS via `expectedVersion` as in [[commit]]. */
+  def restore(table: String, toVersion: Long,
+      expectedVersion: Long = Long.MinValue, tag: Option[String] = None): Long = {
+    require(versions(table).contains(toVersion),
+      s"cannot restore $table to uncommitted version $toVersion")
+    val parent = latestVersion(table)
+    if (expectedVersion != Long.MinValue &&
+        parent.getOrElse(-1L) != expectedVersion)
+      throw new ConcurrentCommitException(parent.getOrElse(-1L))
+    val version = parent.getOrElse(0L) + 1
+    val files = manifestFiles(table, toVersion)
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
+    tag.foreach(t => require(!t.contains("\"") && !t.contains("\\"),
+      s"""tag must not contain '"' or '\\': $t"""))
+    val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
+    val json = files.map(f => "\"" + f + "\"").mkString(
+      s"""{"version":$version,"parent":${parent.getOrElse(-1L)},$tagField""" +
+        s""""mode":"Restore","files":[""", ",", "]}")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    try {
+      Files.createLink(manifestPath(table, version), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(version)
+    }
+    version
+  }
+
   /** Read the table at `version` (default: latest). The returned plan scans
     * exactly that version's file list — immutable under later commits. */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
