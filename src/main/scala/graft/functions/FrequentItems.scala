@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -47,6 +48,16 @@ case class MisraGries(child: Expression, capacity: Int,
   require(capacity >= 1 && capacity <= 100000,
     s"misra_gries capacity must be in [1, 100000], got $capacity")
 
+  // SQL callers with a non-integral key get an ANALYSIS error instead of
+  // a mid-job ClassCastException; integral widths narrower than LONG are
+  // widened in update() (review-caught)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires an integral key column, got ${other.sql}")
+  }
+
   override def createAggregationBuffer(): mutable.LongMap[Long] =
     mutable.LongMap.empty[Long]
 
@@ -54,7 +65,7 @@ case class MisraGries(child: Expression, capacity: Int,
       : mutable.LongMap[Long] = {
     val v = child.eval(input)
     if (v == null) return b
-    val k = v.asInstanceOf[Long]
+    val k = v.asInstanceOf[java.lang.Number].longValue
     if (b.contains(k)) { b(k) += 1; b }
     else if (b.size < capacity) { b(k) = 1L; b }
     else decrementAll(b, 1L)

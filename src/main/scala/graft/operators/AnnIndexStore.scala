@@ -42,23 +42,49 @@ object AnnIndexStore {
         cw.zipWithIndex.map { case (x, pos) => (sub, code, pos, x) }
       }
     }.toDF("sub", "code", "pos", "x")
+    // unique per save: the tag is what load() pins a CONSISTENT triple by
+    // (commitAll is per-table-atomic, not a cross-table transaction), so
+    // two saves must never share one
     val t = tag.orElse(Some(
-      s"ivfpq-cells${index.centroids.size}-m${index.cb.m}-k${index.cb.k}"))
+      s"ivfpq-cells${index.centroids.size}-m${index.cb.m}-k${index.cb.k}" +
+        s"-${java.util.UUID.randomUUID().toString.take(8)}"))
     SnapshotTable.commitAll(spark, Seq(
       s"$root/centroids" -> cents,
       s"$root/codebooks" -> books,
       s"$root/encoded"   -> encoded), tag = t)
   }
 
+  /** The newest (centroids, codebooks, encoded) version triple sharing one
+    * publication tag — the consistent cut. A save's commitAll is atomic
+    * per table only, so reading three independent "latest"s could tear a
+    * mid-flight re-build (new centroids, old codes — silently garbage
+    * distances; review-caught); requiring one shared tag cannot. */
+  private def pinnedVersions(root: String): (Long, Long, Long) = {
+    val centsT = s"$root/centroids"
+    SnapshotTable.versions(centsT).reverseIterator.flatMap { v =>
+      SnapshotTable.tagOf(centsT, v).flatMap { t =>
+        def find(table: String): Option[Long] =
+          SnapshotTable.versions(table).reverseIterator
+            .find(w => SnapshotTable.tagOf(table, w).contains(t))
+        for (b <- find(s"$root/codebooks"); e <- find(s"$root/encoded"))
+          yield (v, b, e)
+      }
+    }.nextOption().getOrElse(throw new IllegalStateException(
+      s"no consistent index triple published under $root"))
+  }
+
   /** Load the index back (driver-side codebooks + the distributed encoded
     * frame), optionally pinned to a version. */
   def load(spark: SparkSession, root: String, version: Long = -1L)
       : (IvfPq.Index, DataFrame) = {
-    val cents = SnapshotTable.read(spark, s"$root/centroids", version)
+    val (vCents, vBooks, vEnc) =
+      if (version >= 0) (version, version, version) // caller-pinned save #
+      else pinnedVersions(root)
+    val cents = SnapshotTable.read(spark, s"$root/centroids", vCents)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
-    val bookRows = SnapshotTable.read(spark, s"$root/codebooks", version)
+    val bookRows = SnapshotTable.read(spark, s"$root/codebooks", vBooks)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, byBook) =>
       byBook.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, byCode) =>
@@ -70,7 +96,7 @@ object AnnIndexStore {
     val k = books.head.size
     val index = IvfPq.Index(cents.toIndexedSeq,
       ProductQuantizer.Codebooks(m, k, subDim, books.map(_.toSeq)))
-    (index, SnapshotTable.read(spark, s"$root/encoded", version))
+    (index, SnapshotTable.read(spark, s"$root/encoded", vEnc))
   }
 
   /** Build + encode + publish in one call; returns the loaded pair so the

@@ -53,8 +53,11 @@ object Geo {
     require(radiusMicro > 0 && k > 0)
     val c = cosPm(lat0Micro)
     require(c > 0, s"query latitude too close to a pole: cos_pm = $c")
-    // lon half-width: R/cos, rounded UP so the box never clips the circle
-    val lonHalf = (radiusMicro * 1000 + c - 1) / c
+    // lon half-width: the largest dlon whose scaled projection can still
+    // pass the circle test is floor((R·1000 + 999)/c) — the +999 covers
+    // the floor in dlonEff (ceil(R·1000/c) alone clips boundary points
+    // where floor(dlon·c/1000) lands exactly on R; review-caught)
+    val lonHalf = (radiusMicro * 1000 + 999) / c
     val dlat = abs(col(latCol) - lat0Micro)
     val dlon = abs(col(lonCol) - lon0Micro)
     val dlonEff = idiv(dlon * c, lit(1000L))

@@ -29,14 +29,16 @@ object HeavyHitters {
   /** Keys of `keyCol` (long) with frequency strictly above
     * n/(capacity+1), with exact counts: (`item`, `cnt`) sorted by item. */
   def exact(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
+    // internal names: a corpus key column literally named "item" or "n"
+    // must not collide with the candidate frame (review-caught)
     val sketch = df.agg(
-      graft.functions.FrequentItems.misraGries(col(keyCol), capacity).as("cand"),
-      count(col(keyCol)).as("n"))
-    val cands = sketch.select(explode(col("cand")).as("item"), col("n"))
-    df.join(broadcast(cands), col(keyCol) === col("item"))
-      .groupBy("item", "n").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * (capacity + 1) > col("n"))
-      .select("item", "cnt")
+      graft.functions.FrequentItems.misraGries(col(keyCol), capacity).as("__hh_cand"),
+      count(col(keyCol)).as("__hh_n"))
+    val cands = sketch.select(explode(col("__hh_cand")).as("__hh_item"), col("__hh_n"))
+    df.join(broadcast(cands), col(keyCol) === col("__hh_item"))
+      .groupBy("__hh_item", "__hh_n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (capacity + 1) > col("__hh_n"))
+      .select(col("__hh_item").as("item"), col("cnt"))
       .orderBy("item")
   }
 }

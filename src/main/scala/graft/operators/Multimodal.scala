@@ -119,12 +119,19 @@ object Multimodal {
     * RADIUS search stays [[nearDupPairs]], spec-gated where it is
     * meaningful). */
   def perceptualDedup(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    val ph = extractFeatures(spark, media)
-      .map(f => (f.media_id, phash16(f.histogram, f.n_bytes)))
-      .toDF("media_id", "phash")
+    // Caches-owned: the phash frame is two longs per row but feeds both
+    // the group-min and the re-join — unowned, the codec stage (the
+    // expensive decode at scale) runs twice (review-caught)
+    val ph = phashFrame(spark, media)
     val canon = ph.groupBy("phash").agg(min(col("media_id")).as("canonical_id"))
     ph.join(canon, "phash").select("media_id", "canonical_id", "phash")
+  }
+
+  private def phashFrame(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    Caches.owned(extractFeatures(spark, media)
+      .map(f => (f.media_id, phash16(f.histogram, f.n_bytes)))
+      .toDF("media_id", "phash"))
   }
 
   /** M4: near-dup pairs at Hamming ≤ 1 over the 16-bit phash, banded
@@ -134,10 +141,9 @@ object Multimodal {
     * dedup instead of any all-pairs scan; the exact Hamming test is the
     * residual. Returns (`id_a`, `id_b`, `hamming`), id_a < id_b. */
   def nearDupPairs(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    val ph = extractFeatures(spark, media)
-      .map(f => (f.media_id, phash16(f.histogram, f.n_bytes)))
-      .toDF("media_id", "phash")
+    // owned for the same reason as perceptualDedup — two bands × two join
+    // sides would otherwise re-decode every payload four times
+    val ph = phashFrame(spark, media)
     def keyed(band: String) = {
       val key = if (band == "hi") expr("phash div 256") else col("phash") % 256L
       ph.select(col("media_id"), col("phash"), key.as("band_key"))

@@ -42,9 +42,12 @@ object SemanticDedup {
     require(threshold > 0 && threshold <= 1.0 && cells >= 1)
     val cents = IvfAnn.trainCentroids(vecs, vecCol, cells, iters, knownN = knownN)
     val sel = IvfAnn.cellSelector(cents)
-    val assigned = vecs
+    // Caches-owned: the assigned frame feeds both join sides, the CC node
+    // list and the final keep-join — unowned, Spark re-runs the full cell
+    // assignment per consumer (the scoreComponents lesson; review-caught)
+    val assigned = Caches.owned(vecs
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("cid", element_at(sel(col("v"), 1), 1))
+      .withColumn("cid", element_at(sel(col("v"), 1), 1)))
     val a = assigned.select(col("cid"), col("id").as("src"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("id").as("dst"), col("v").as("vb"))
     val pairs = a.join(b, "cid")

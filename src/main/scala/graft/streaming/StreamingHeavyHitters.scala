@@ -34,14 +34,20 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingHeavyHitters {
 
-  /** (counter pairs, rows seen) from the state table's head version. */
+  /** (counter pairs, rows seen) from the state table's head version. The
+    * sentinel row (cnt = 0) exists so n_total survives even when every
+    * counter cancelled — an all-distinct noise batch can legitimately
+    * empty the summary, and losing the running total there would make
+    * the final threshold compare against a fraction of the true stream
+    * size (review-caught). */
   def readState(spark: SparkSession, stateTable: String): (Seq[(Long, Long)], Long) =
     SnapshotTable.latestVersion(stateTable) match {
       case None => (Seq.empty, 0L)
       case Some(_) =>
         val rows = SnapshotTable.read(spark, stateTable)
           .select("item", "cnt", "n_total").collect()
-        (rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1),
+        (rows.collect { case r if r.getLong(1) > 0 => (r.getLong(0), r.getLong(1)) }
+          .toSeq.sortBy(_._1),
           if (rows.isEmpty) 0L else rows.head.getLong(2))
     }
 
@@ -58,9 +64,11 @@ object StreamingHeavyHitters {
     val merged = MisraGries.mergePairs(prevPairs, partial, capacity)
     val nTotal = prevN + agg.getLong(1)
     import spark.implicits._
+    // the (0, 0) sentinel guarantees ≥ 1 row, carrying n_total through
+    // batches whose merged summary is empty; real counters are ≥ 1
     SnapshotTable.commit(spark,
       stateTable,
-      merged.toDF("item", "cnt").withColumn("n_total", lit(nTotal)),
+      (merged :+ (0L, 0L)).toDF("item", "cnt").withColumn("n_total", lit(nTotal)),
       tag = Some(tag)): Unit
   }
 
@@ -90,10 +98,13 @@ object StreamingHeavyHitters {
       corpus: DataFrame, keyCol: String, capacity: Int): DataFrame = {
     val (pairs, nTotal) = readState(spark, stateTable)
     import spark.implicits._
-    val cands = pairs.map(_._1).toDF("item")
-    corpus.join(broadcast(cands), col(keyCol) === col("item"))
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
+    // internal name: a corpus whose key column is literally "item" must
+    // not make the join ambiguous (the HeavyHitters.exact hygiene)
+    val cands = pairs.map(_._1).toDF("__hh_item")
+    corpus.join(broadcast(cands), col(keyCol) === col("__hh_item"))
+      .groupBy("__hh_item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (capacity + 1) > nTotal)
+      .select(col("__hh_item").as("item"), col("cnt"))
       .orderBy("item")
   }
 }

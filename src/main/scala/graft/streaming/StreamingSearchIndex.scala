@@ -33,8 +33,11 @@ object StreamingSearchIndex {
     * tagged per table (replay-skipped per table). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       textCol: String, idCol: String, indexRoot: String): Unit = {
+    // hasTag, not tagOf: a foreign commit landing between the tagged
+    // Append and an at-least-once redelivery must not hide the published
+    // batch and double-append it (the X16/hasTag discipline)
     val pending = Tables.filter { n =>
-      !SnapshotTable.tagOf(s"$indexRoot/$n").contains(batchId.toString)
+      !SnapshotTable.hasTag(s"$indexRoot/$n", batchId.toString)
     }
     if (pending.isEmpty || batch.isEmpty) return
     val (postings, doclen) = Search.indexComponents(batch, textCol, idCol)

@@ -66,7 +66,7 @@ class AnnIndexStoreSpec extends SparkSpec {
     val b = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 150)
     AnnIndexStore.save(spark, root, b, IvfPq.encode(vecs, "vec_id", "embedding", b))
     val tags = AnnIndexStore.Tables.map(t => SnapshotTable.tagOf(s"$root/$t"))
-    tags.distinct should have size 1
-    tags.head shouldBe Some("ivfpq-cells4-m4-k8")
+    tags.distinct should have size 1 // one shared tag = one consistent cut
+    tags.head.get should startWith("ivfpq-cells4-m4-k8-")
   }
 }

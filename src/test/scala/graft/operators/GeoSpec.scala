@@ -96,6 +96,18 @@ class GeoSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq shouldBe full.take(17)
   }
 
+  test("bbox never clips a circle-boundary point (W24 regression)") {
+    // Paris query, cos_pm = 658: dlon = 6826141 projects to
+    // floor(6826141·658/1000) = 4491600 = R exactly — inside the circle,
+    // but past ceil(R·1000/658) = 6826140, the old (too-tight) lon bound
+    val (lat0, lon0, r) = (48856600L, 2352200L, 4491600L)
+    Geo.cosPm(lat0) shouldBe 658L
+    val pts = Seq((1L, lat0, lon0 + 6826141L), // dist2 = R², boundary-inside
+      (2L, lat0, lon0 + 6826142L))             // projects to R+1: outside
+    val ids = run(pts, lat0, lon0, r, 10).map(_._1)
+    ids shouldBe Seq(1L)
+  }
+
   test("polar center is rejected; tiny radius finds only the exact point (W24)") {
     an[IllegalArgumentException] should be thrownBy
       Geo.radiusSearch(Seq((1L, 89999000L, 0L)).toDF("id", "lat", "lon"),

@@ -65,6 +65,22 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     results.distinct should have size 1
   }
 
+  test("a batch that empties the summary keeps the running total (X16 regression)") {
+    // cap 8: batch 0 fills 8 singleton counters, batch 1's 8 fresh keys
+    // force the merge to subtract the 9th-largest (1) — every counter
+    // cancels and the summary is legitimately EMPTY. n_total must still
+    // accumulate, or the final threshold compares against a fraction of
+    // the true stream size.
+    val state = graft.Scratch.fresh("x16spec_e")
+    StreamingHeavyHitters.applyBatch(spark, (1L to 8L).toDF("k"), 0, "k", 8, state)
+    StreamingHeavyHitters.applyBatch(spark, (11L to 18L).toDF("k"), 1, "k", 8, state)
+    val (pairs, n) = StreamingHeavyHitters.readState(spark, state)
+    pairs shouldBe empty
+    n shouldBe 16L
+    StreamingHeavyHitters.applyBatch(spark, Seq.fill(48)(99L).toDF("k"), 2, "k", 8, state)
+    StreamingHeavyHitters.readState(spark, state)._2 shouldBe 64L
+  }
+
   test("coverage guarantee and exact running total across adversarial batches (X16)") {
     // the heavy key arrives interleaved with bursts of distinct noise —
     // the worst case for counter eviction
