@@ -198,6 +198,46 @@ object LlmOps {
         .orderBy("kept_id")
     },
 
+    "d11_line_dedup" -> { (s, dir) =>
+      // The synthetic corpus is single-line, so plant the line structure
+      // the operator exists for: a corpus-wide cookie banner (only the
+      // global first occurrence — doc 0 line 0 — survives), a promo line
+      // shared by docs ≡0 (mod 4), and an intra-doc repeat of the doc's
+      // own body for docs ≡0 (mod 6). Both engines run the same generic
+      // keep-first derivation over the planted text — nothing about the
+      // planted set is hard-coded in either.
+      val docs = Tables(s, dir).documents
+      val planted = docs.select(col("doc_id"), concat(
+        lit("ACCEPT COOKIES TO CONTINUE\n"),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nlimited time promo offer"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, concat(lit("\n"), col("text")))
+          .otherwise(lit(""))).as("text"))
+      SpanDedup.lineDedup(planted, "text", "doc_id").orderBy("doc_id")
+    },
+
+    "d12_substr_dedup" -> { (s, dir) =>
+      // ExactSubstr planting: a shared 12-token chunk on docs ≡0 (mod 3)
+      // (five overlapping 8-windows merging into one cross-doc span), the
+      // SAME chunk twice back-to-back on docs ≡0 (mod 9) (adjacent-span
+      // merge plus the boundary windows' own duplicate group), and a
+      // distinct exactly-8-token chunk on docs ≡0 (mod 5) (single-window
+      // span). The first occurrence of every duplicated window (min doc,
+      // pos) keeps its copy on both engines — generic keep-first removal,
+      // no planted ids in the oracle.
+      val docs = Tables(s, dir).documents
+      val chunk12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val chunk8 = "uno dos tres cuatro cinco seis siete ocho"
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" " + chunk12)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" " + chunk12)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" " + chunk8)).otherwise(lit(""))).as("text"))
+      SpanDedup.substringDedup(planted, "text", "doc_id", minTokens = 8)
+        .orderBy("doc_id")
+    },
+
     "s1_cosine_topk" -> { (s, dir) =>
       val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
       Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5)
@@ -823,6 +863,44 @@ object LlmOps {
         Seq("dup", "merge", "vector", "spark", "quantum"), k = 40)
     },
 
+    "p10_budget_mixture" -> { (s, dir) =>
+      // P10: mixture recipe → sampled corpus. Budget 20000 chars over five
+      // sources: src0's 500‰ target (10000) exceeds its ~8k total — the
+      // keep-every-row cap bites — while src1..src4 sample at descending
+      // deterministic rates; the other 15 sources carry share 0 and drop.
+      // Threshold arithmetic and md5 membership replay exactly in DuckDB.
+      Sampling.budgetMixture(Tables(s, dir).documents,
+          "doc_id", "source", "n_chars",
+          Seq("src0" -> 500L, "src1" -> 200L, "src2" -> 150L,
+            "src3" -> 100L, "src4" -> 50L),
+          budget = 20000L)
+        .orderBy("doc_id")
+    },
+
+    "p9_hybrid_search" -> { (s, dir) =>
+      // P9: hybrid retrieval — the RAG-corpus query shape: integer-BM25
+      // keyword top-30 fused with exact-cosine vector top-30 (query = the
+      // embedding of id 0) by reciprocal-rank fusion (T20 × S1 ×
+      // Search.rrfFuse). doc_id and vec_id share an id space in the
+      // testdata, standing in for a corpus carrying both a text and an
+      // embedding column. Every stage is deterministic — integer BM25,
+      // exact sequential-fold cosine, integer floor RRF — so the fused
+      // top-20 hashes exactly against DuckDB replaying all three.
+      val docs = Tables(s, dir).documents
+      val bm = Search.withRank(
+        Search.bm25TopK(docs, "text", "doc_id",
+          Seq("dup", "merge", "vector", "spark", "quantum"), k = 30),
+        Seq(col("score_u").desc, col("doc_id")))
+        .select(col("doc_id"), col("rank"))
+      val vecs = Tables(s, dir).embeddings
+      val ann = Search.withRank(
+        Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs,
+          "vec_id", "embedding", k = 30),
+        Seq(col("cosine").desc, col("neighbor_id")))
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq(bm, ann), "doc_id", k = 20)
+    },
+
     "p3_prep_pipeline" -> { (s, dir) =>
       // the composed prep flow a training pipeline actually runs — quality
       // filter (T2) → exact dedup, min-id winner (D1) → deterministic split
@@ -1078,7 +1156,19 @@ object LlmOps {
   /** Shared integer-unit BM25 oracle fragment (t20/p8): scoring over a
     * (doc_id, text) relation `rel`; emits the final SELECT. Must stay in
     * lockstep with [[graft.operators.Search.bm25TopK]]. */
-  private[graft] def bm25OracleSql(rel: String, terms: Seq[String], k: Int): String = {
+  private[graft] def bm25OracleSql(rel: String, terms: Seq[String], k: Int): String =
+    bm25CtesSql(rel, terms) + "\n" + bm25FinalSql(k)
+
+  /** The ranked-list SELECT over the [[bm25CtesSql]] fragment. */
+  private[graft] def bm25FinalSql(k: Int): String =
+    s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |  CAST(sum(idf_mb * sat_u) AS BIGINT) AS score_u
+       |FROM bm_scored GROUP BY doc_id
+       |ORDER BY score_u DESC, doc_id LIMIT $k""".stripMargin
+
+  /** The CTE chain alone (through `bm_scored`) — composable, so P9's RRF
+    * oracle can wrap the ranked list as one more CTE. */
+  private[graft] def bm25CtesSql(rel: String, terms: Seq[String]): String = {
     val in = terms.map(t => s"'$t'").mkString(", ")
     s"""bm_toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
@@ -1107,11 +1197,7 @@ object LlmOps {
        |          + (1200 * (1000 - 750 + (750 * bm_dl.dl * bm_corp.n) // bm_corp.sdl)) // 1000)
        |      AS sat_u
        |  FROM bm_tf JOIN bm_idf USING (term) JOIN bm_dl USING (doc_id), bm_corp
-       |)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-       |  CAST(sum(idf_mb * sat_u) AS BIGINT) AS score_u
-       |FROM bm_scored GROUP BY doc_id
-       |ORDER BY score_u DESC, doc_id LIMIT $k""".stripMargin
+       |)""".stripMargin
   }
 
   private def p8OracleSql: String =
@@ -1120,6 +1206,66 @@ object LlmOps {
         |  SELECT min(doc_id) AS doc_id, text FROM surv GROUP BY text
         |), """.stripMargin +
       bm25OracleSql("d", Seq("dup", "merge", "vector", "spark", "quantum"), 40)
+
+  /** P10: the mixture thresholds re-derived from scratch — per-mille
+    * targets by floor division, HUGEINT for the 2^32-scaled threshold
+    * (mirroring the operator's DECIMAL(38,0)), md5-unit membership. */
+  private def p10OracleSql: String =
+    s"""WITH w(source, pm) AS (VALUES
+       |  ('src0', 500), ('src1', 200), ('src2', 150), ('src3', 100), ('src4', 50)
+       |), tot AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+       |  FROM documents GROUP BY source
+       |), th AS (
+       |  SELECT w.source,
+       |    CASE WHEN tot.total <= (20000 * pm) // 1000
+       |         THEN CAST(4294967296 AS BIGINT)
+       |         ELSE CAST((CAST((20000 * pm) // 1000 AS HUGEINT) * 4294967296)
+       |                   // tot.total AS BIGINT) END AS thresh
+       |  FROM w JOIN tot USING (source)
+       |)
+       |SELECT d.doc_id, d.source, d.n_chars
+       |FROM documents d JOIN th USING (source)
+       |WHERE ${md5UnitSql("doc_id")} < th.thresh
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** P9: both ranked lists re-derived from scratch (the t20 BM25 CTEs and
+    * the s1 sequential-fold cosine), then the integer RRF combine. */
+  private def p9OracleSql: String =
+    "WITH " +
+      bm25CtesSql("documents", Seq("dup", "merge", "vector", "spark", "quantum")) +
+      s""", bm_list AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+         |  FROM (${bm25FinalSql(30)})
+         |), ann_scored AS (
+         |  SELECT c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))),
+         |      (a,b) -> a + b)
+         |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+         |         (a,b) -> a + b))
+         |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, len(c.cv)+1), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))),
+         |           (a,b) -> a + b))) AS cosine
+         |  FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q,
+         |       (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id <> 0) c
+         |), ann_top AS (
+         |  SELECT neighbor_id, cosine FROM ann_scored
+         |  ORDER BY cosine DESC, neighbor_id LIMIT 30
+         |), ann_list AS (
+         |  SELECT neighbor_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM ann_top
+         |), rrf_u_all AS (
+         |  SELECT doc_id, rank FROM bm_list
+         |  UNION ALL SELECT doc_id, rank FROM ann_list
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_u
+         |FROM rrf_u_all GROUP BY doc_id
+         |ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin
 
   /** Shared WITH-prefix for the d6/t15 oracles: the planted near-dup
     * corpus, its exact-Jaccard pairs, and recursive-CTE connected
@@ -1394,6 +1540,8 @@ object LlmOps {
     // BM25 fragment — search over the CURATED corpus, every upstream
     // stage biting on the final hash
     "p8_curated_search" -> p8OracleSql,
+    "p9_hybrid_search" -> p9OracleSql,
+    "p10_budget_mixture" -> p10OracleSql,
 
     // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
     // lang join, all replayed in one SQL pipeline
@@ -1591,6 +1739,95 @@ object LlmOps {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // D11: keep-first line dedup re-derived from scratch over the same
+    // planted corpus — DuckDB groups by the trimmed line STRING where Spark
+    // groups by xxhash64 of it (the d4/d7 collision argument); the winner
+    // is the same min (doc_id, line_no) on both engines.
+    "d11_line_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'ACCEPT COOKIES TO CONTINUE' || chr(10) || text
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'limited time promo offer' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || text ELSE '' END AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, i - 1 AS ln, trim(arr[i]) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM p) s,
+        |    unnest(range(1, len(arr) + 1)) AS u(i)
+        |  WHERE trim(arr[i]) <> ''
+        |), k AS (
+        |  SELECT doc_id, ln, line FROM (
+        |    SELECT doc_id, ln, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rk
+        |    FROM l) WHERE rk = 1
+        |), ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |    string_agg(line, chr(10) ORDER BY ln) AS text
+        |  FROM k GROUP BY doc_id
+        |), la AS (
+        |  SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(ka.text, '') AS text,
+        |  coalesce(ka.n_lines_kept, 0) AS n_lines_kept,
+        |  CAST(coalesce(la.n_total, 0) - coalesce(ka.n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
+        |FROM documents d LEFT JOIN ka USING (doc_id) LEFT JOIN la USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // D12: ExactSubstr re-derived from scratch — 8-token window STRINGS
+    // grouped directly (Spark uses the order-sensitive 64-bit window-hash
+    // kernel; equal gram ⟺ equal hash mod collisions), redundant = not the
+    // group's min (doc, pos), gaps-and-islands merge at pos <= prev + 8,
+    // removal by anti-containment, clean text re-joined in token order.
+    "d12_substr_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' uno dos tres cuatro cinco seis siete ocho' ELSE '' END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM p
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+        |  FROM t, unnest(range(0, len(toks) - 8 + 1)) AS u(i)
+        |  WHERE len(toks) >= 8
+        |), r AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+        |      count(*) OVER (PARTITION BY gram) AS c
+        |    FROM g) WHERE c >= 2 AND rk > 1
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NOT NULL AND pos <= prev + 8 THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM r)
+        |), sp AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_removed_tokens
+        |  FROM sp GROUP BY doc_id
+        |), tok AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS pos, toks[j + 1] AS tok
+        |  FROM t, unnest(range(0, len(toks))) AS u(j)
+        |), keep AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = k.doc_id AND k.pos >= sp.s AND k.pos < sp.e)
+        |), ct AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_removed_tokens, 0) AS n_removed_tokens,
+        |  coalesce(ct.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // M4: the phash — hex-decoded payload bytes → 16-bucket histogram →
     // above-even-share bits — and the min-id group collapse, re-derived

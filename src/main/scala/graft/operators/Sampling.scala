@@ -138,6 +138,53 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** P10: token-budget mixture materialization — the "data mixing" step
+    * that turns a mixture recipe (DoReMi/Pile-style per-source weights)
+    * into an actual sampled corpus: given per-stratum target shares and a
+    * total token budget, keep a deterministic hash-sample of each stratum
+    * sized so its expected token mass hits `budget × share`.
+    *
+    * Determinism rules: shares are INTEGER per-mille (must sum to 1000 —
+    * a recipe, not a suggestion), per-stratum targets are floor division,
+    * and the acceptance threshold is floor(target × 2^32 / total) computed
+    * in DECIMAL(38,0) so the multiply cannot overflow at real token
+    * totals (2^32 × a 100 TB corpus' tokens ≈ 1e23 ≫ 2^63; integral
+    * division on decimals is still exact floor). Membership is then the
+    * T6 rule — hashUnit(id) < threshold, a pure function of the id — so
+    * the sample is reproducible on any engine and any partitioning, and
+    * strata with total ≤ target keep every row (threshold caps at 2^32).
+    * Realized token mass tracks the target in expectation (hash sampling
+    * draws rows, not tokens); exact-mass packing is T12's job downstream.
+    *
+    * Scale shape: one map-side-combined groupBy for the strata totals (a
+    * strata-sized frame), a broadcast join of thresholds back onto the
+    * corpus, and a codegen'd filter — the corpus is read once and never
+    * shuffled. Strata absent from `sharesPm` get share 0 (dropped).
+    *
+    * Returns the accepted rows: (idCol, strataCol, massCol). */
+  def budgetMixture(df: DataFrame, idCol: String, strataCol: String,
+      massCol: String, sharesPm: Seq[(String, Long)], budget: Long): DataFrame = {
+    require(sharesPm.nonEmpty && sharesPm.map(_._2).sum == 1000L,
+      s"mixture shares must be per-mille summing to 1000, got ${sharesPm.map(_._2).sum}")
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = sharesPm.toDF(strataCol, "__pm")
+      .withColumn("__target", expr(s"($budget * __pm) div 1000"))
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(massCol).cast("long")).as("__total"))
+    val thresholds = totals.join(targets, Seq(strataCol))
+      .withColumn("__thresh",
+        when(col("__total") <= col("__target"), lit(4294967296L))
+          .otherwise(expr(
+            "(CAST(__target AS DECIMAL(38,0)) * 4294967296) div CAST(__total AS DECIMAL(38,0))")))
+      .select(col(strataCol), col("__thresh"))
+    df.select(col(idCol), col(strataCol), col(massCol))
+      .join(broadcast(thresholds), Seq(strataCol))
+      .filter(hashUnit(col(idCol)) < col("__thresh"))
+      .select(col(idCol), col(strataCol), col(massCol))
+  }
+
   /** T15: leakage-safe train/val/test splits — near-duplicate documents
     * must never straddle a split boundary, or the eval slice "tests" on
     * paraphrases of training rows and overstates quality (the

@@ -97,6 +97,39 @@ object Search {
     scoreComponents(tf, dl, idCol, queryTerms, k)
   }
 
+  /** Attach a 1-based `rank` column by the given total order. Inputs here
+    * are ALREADY top-k lists (bounded by construction), so the global
+    * row_number window is k rows on one partition — never corpus-sized;
+    * ranking a full corpus goes through the TopK plan node instead. */
+  def withRank(df: DataFrame, order: Seq[Column]): DataFrame =
+    df.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+
+  /** P9: reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al., SIGIR'09): each input list contributes
+    * floor(1e6 / (kRrf + rank)) integer micro-units per doc, docs are
+    * re-ranked by the summed contribution. Keyword (BM25) and vector (ANN)
+    * rankings fuse without score normalization — only RANKS matter, so the
+    * incomparable score scales (integer BM25 units vs cosine) never meet.
+    * Integer floor arithmetic keeps the fused score engine-exact.
+    *
+    * Each input must carry `idCol` and a 1-based `rank` ([[withRank]]).
+    * Returns (idCol, n_lists, rrf_u) — the top `k` by (rrf_u desc, id) —
+    * with n_lists = how many input lists surfaced the doc. Scale shape:
+    * inputs are top-k lists, so the union, the groupBy and the final
+    * TakeOrdered all run on k·lists rows — the heavy lifting happened in
+    * the retrieval operators upstream. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k > 0 && kRrf >= 0)
+    val union = lists.map(_.select(col(idCol), col("rank"))).reduce(_ unionAll _)
+    union.groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"),
+        sum(idiv(lit(1000000L), lit(kRrf.toLong) + col("rank"))).as("rrf_u"))
+      .orderBy(col("rrf_u").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The scoring tail over inverted-index components — shared by
     * [[bm25TopK]] (fresh tokenization) and X17's streaming index (state
     * tables). `tf` may carry extra terms; it is re-filtered to the query

@@ -107,4 +107,25 @@ class SearchSpec extends SparkSpec {
     Search.bm25TopK(df7, "text", "doc_id", Terms, 25)
       .as[(Long, Long, Long)].collect().toSeq shouldBe run(docs, Terms, 25)
   }
+
+  test("RRF fusion sums integer reciprocal ranks and orders by the sum (P9)") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val out = Search.rrfFuse(Seq(a, b), "id", k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 1e6/(60+r) floor: r1=16393, r2=16129, r3=15873
+    out shouldBe Seq(
+      (2L, 2L, 16129L + 16393L), (1L, 1L, 16393L),
+      (4L, 1L, 16129L), (3L, 1L, 15873L))
+    // k truncates the fused list, not the inputs
+    Search.rrfFuse(Seq(a, b), "id", k = 2)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe out.take(2)
+    // withRank produces the 1-based dense order rrfFuse expects
+    val ranked = Search.withRank(
+      Seq((7L, 50L), (8L, 90L), (9L, 50L)).toDF("id", "score"),
+      Seq(col("score").desc, col("id")))
+      .as[(Long, Long, Long)].collect().toSeq
+    ranked shouldBe Seq((8L, 90L, 1L), (7L, 50L, 2L), (9L, 50L, 3L))
+  }
 }
