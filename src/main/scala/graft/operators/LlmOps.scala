@@ -863,6 +863,28 @@ object LlmOps {
         Seq("dup", "merge", "vector", "spark", "quantum"), k = 40)
     },
 
+    "t21_learned_quality" -> { (s, dir) =>
+      // T21: the TRAINED hashed-linear quality classifier (fastText shape;
+      // weights fit offline by tools/train_quality_clf.py, frozen in
+      // QualityClfWeights) over the same planted-spam construction it was
+      // trained on — docs ≡0 (mod 5) carry the spam tail at any SF.
+      // Scoring is integer milli-unit arithmetic over polyhash buckets, so
+      // DuckDB replays bucketing + the weight-table join digit-for-digit;
+      // whether the weights SEPARATE the corpus is ClassifierSpec's
+      // assertion (measured 1.0 / 1.0 / 0.999 across the three SFs).
+      val docs = Tables(s, dir).documents
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" buy cheap pills now click here free offer winner prize")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          graft.functions.QualityClassifier.scoreMu(Search.toks(col("text")))
+            .as("score_mu"))
+        .withColumn("is_quality", col("score_mu") > 0)
+        .orderBy("doc_id")
+    },
+
     "p10_budget_mixture" -> { (s, dir) =>
       // P10: mixture recipe → sampled corpus. Budget 20000 chars over five
       // sources: src0's 500‰ target (10000) exceeds its ~8k total — the
@@ -1207,6 +1229,36 @@ object LlmOps {
         |), """.stripMargin +
       bm25OracleSql("d", Seq("dup", "merge", "vector", "spark", "quantum"), 40)
 
+  /** T21: scoring replayed from the frozen weight table — per-token t4
+    * polyhash mod 512, LEFT JOIN against the non-zero (bucket, weight_mu)
+    * VALUES, summed with the bias. The weights are constants generated by
+    * tools/train_quality_clf.py, so both engines score identically whether
+    * or not the training was any good (that part is ClassifierSpec's). */
+  private def t21OracleSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN text || ' buy cheap pills now click here free offer winner prize'
+       |         ELSE text END AS text
+       |  FROM documents
+       |), tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM p
+       |), bk AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_extract_all(tok, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) % ${graft.functions.QualityClfWeights.Buckets} AS bucket
+       |  FROM tk
+       |), w(bucket, wt) AS (VALUES ${graft.functions.QualityClfWeights.valuesSql}
+       |), sc AS (
+       |  SELECT bk.doc_id,
+       |    CAST(${graft.functions.QualityClfWeights.BiasMu} + sum(coalesce(w.wt, 0)) AS BIGINT) AS score_mu
+       |  FROM bk LEFT JOIN w USING (bucket) GROUP BY bk.doc_id
+       |)
+       |SELECT doc_id, score_mu, score_mu > 0 AS is_quality
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   /** P10: the mixture thresholds re-derived from scratch — per-mille
     * targets by floor division, HUGEINT for the 2^32-scaled threshold
     * (mirroring the operator's DECIMAL(38,0)), md5-unit membership. */
@@ -1542,6 +1594,7 @@ object LlmOps {
     "p8_curated_search" -> p8OracleSql,
     "p9_hybrid_search" -> p9OracleSql,
     "p10_budget_mixture" -> p10OracleSql,
+    "t21_learned_quality" -> t21OracleSql,
 
     // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
     // lang join, all replayed in one SQL pipeline
