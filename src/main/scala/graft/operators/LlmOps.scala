@@ -447,6 +447,43 @@ object LlmOps {
         .orderBy("query_id", "neighbor_id")
     },
 
+    // X18: streaming ANN index maintenance — the offline job trains and
+    // publishes the S9 index with the BASE corpus encoded; the planted
+    // exact copies then arrive as 3 streamed shards, each Append-committed
+    // under the frozen codebooks. Search from the maintained state must
+    // put every base query's STREAMED copy at top-1/cosine 1 (a lost
+    // batch breaks it), and the state row count rides along so a
+    // double-applied batch breaks the hash too. Replay no-ops, shard-split
+    // independence and state ≡ batch re-encode are StreamingAnnIngestSpec's.
+    "x18_stream_ann_ingest" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val n = Tables(s, dir).embeddings.count()
+      val base = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val vecs = plantedVecsExact(s, dir)
+      val root = graft.Scratch.fresh("x18_idx")
+      val in = graft.Scratch.fresh("x18_in")
+      val ckpt = graft.Scratch.fresh("x18_ckpt")
+      val built = IvfPq.build(base, "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built,
+        IvfPq.encode(base, "vec_id", "embedding", built))
+      val copies = vecs.filter(col("vec_id") >= CopyOffset)
+      (0 until 3).foreach { i =>
+        graft.Scratch.writeSingleParquet(copies.filter(col("vec_id") % 3 === i),
+          Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      val q = graft.streaming.StreamingAnnIngest.start(s, in, copies.schema,
+        "vec_id", "embedding", root, ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      val stateN = SnapshotTable.read(s, s"$root/encoded")
+        .agg(count(lit(1)).as("n_state"))
+      graft.streaming.StreamingAnnIngest.search(s, root,
+          vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
+          k = 1, nprobe = 3, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .crossJoin(broadcast(stateN))
+        .orderBy("query_id")
+    },
+
     // S6 recall vs the exact S1 scan on the natural corpus, the s3_recall
     // construction. With an exact re-rank the only recall losses are (a)
     // cell probing — identical to S3 at the same cells/nprobe, measured
@@ -2199,6 +2236,15 @@ object LlmOps {
     "s6_recall" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // x18: the s9 structural contract reached THROUGH the stream — every
+    // query's streamed copy at top-1/cosine 1 (a lost shard breaks it),
+    // plus the maintained-state row count (base + streamed copies = 2n; a
+    // double-applied shard breaks it).
+    "x18_stream_ann_ingest" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine,
+        |  (SELECT CAST(2 * count(*) AS BIGINT) FROM embeddings) AS n_state
+        |FROM embeddings WHERE vec_id < 32 ORDER BY vec_id""".stripMargin,
 
     "t2_quality" -> t2OracleSql,
 
