@@ -403,6 +403,36 @@ object Relational {
       SnapshotTable.read(s, t)
     },
 
+    "r48_checked_commit" -> { (s, dir) =>
+      // R48: expectation-gated publication (R36 × R40). A Fail-policy
+      // commit against a violated rule must publish NOTHING (the failed
+      // table's version count rides the output); the Quarantine retry
+      // publishes the valid rows and dead-letters the violations with
+      // their audit trail. Both tables read back into one frame, so a
+      // leaked invalid row, a lost quarantine row, or a ghost version
+      // from the failed attempt all break the hash. Drop policy, per-rule
+      // counts and all-valid Fail publication are ConstraintsSpec's.
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "n_chars")
+      val rules = Seq(
+        "positive_chars" -> (col("n_chars") > 0),
+        "short_text" -> (col("n_chars") < 400))
+      val tFail = graft.Scratch.fresh("r48_fail")
+      val tMain = graft.Scratch.fresh("r48_main")
+      val tQuar = graft.Scratch.fresh("r48_quar")
+      val failed = Constraints.commitChecked(s, tFail, docs, rules, Constraints.Fail)
+      require(failed.version.isEmpty, "Fail policy must not publish")
+      Constraints.commitChecked(s, tMain, docs, rules, Constraints.Quarantine,
+        quarantineTable = Some(tQuar))
+      val nFailedVersions = SnapshotTable.versions(tFail).size.toLong
+      SnapshotTable.read(s, tMain)
+        .select(col("doc_id"), lit("kept").as("bucket"), lit("").as("violations"))
+        .unionAll(SnapshotTable.read(s, tQuar)
+          .select(col("doc_id"), lit("quarantined").as("bucket"), col("violations")))
+        .withColumn("n_failed_versions", lit(nFailedVersions))
+        .orderBy("doc_id")
+    },
+
     "r41_optimize" -> { (s, dir) =>
       // R41: snapshot-preserving OPTIMIZE — commit a deliberately
       // 64-fragmented table, z-order-optimize it into the next version,
@@ -1205,6 +1235,16 @@ object Relational {
     // R41: OPTIMIZE is invisible to readers — same rows, better layout
     "r41_optimize" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // R48: the expectations replayed in SQL — positive_chars never fires
+    // on this corpus (min n_chars = 48), short_text splits it; the failed
+    // Fail-policy attempt must have published zero versions
+    "r48_checked_commit" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 400 THEN 'kept' ELSE 'quarantined' END AS bucket,
+        |  CASE WHEN n_chars < 400 THEN '' ELSE 'short_text' END AS violations,
+        |  CAST(0 AS BIGINT) AS n_failed_versions
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // R42: skipping is invisible to readers — same rows, fewer files read
     "r42_stats_skipping" ->

@@ -37,4 +37,40 @@ class ConstraintsSpec extends SparkSpec {
     valid.columns.toSeq shouldBe df.columns.toSeq // audit columns dropped
     (valid.count() + bad.count()) shouldBe df.count()
   }
+
+  private val mixed = Seq((1L, 5, "a"), (2L, -1, "b"), (3L, 500, "c"), (4L, 50, "d"))
+
+  test("Fail policy publishes nothing on any violation, everything when clean (R48)") {
+    val t = graft.Scratch.fresh("r48spec_fail")
+    val res = Constraints.commitChecked(spark, t, mixed.toDF("id", "v", "name"),
+      rules, Constraints.Fail)
+    res.version shouldBe None
+    res.nValid shouldBe 2L
+    res.nViolations shouldBe 2L
+    res.byRule shouldBe Map("positive" -> 1L, "bounded" -> 1L)
+    SnapshotTable.versions(t) shouldBe Seq.empty
+    val clean = Constraints.commitChecked(spark, t,
+      mixed.filter(r => r._2 > 0 && r._2 <= 100).toDF("id", "v", "name"),
+      rules, Constraints.Fail)
+    clean.version shouldBe Some(1L)
+    SnapshotTable.read(spark, t).select("id").as[Long].collect().toSet shouldBe Set(1L, 4L)
+  }
+
+  test("Drop publishes valid rows only; Quarantine also dead-letters the rest (R48)") {
+    val tDrop = graft.Scratch.fresh("r48spec_drop")
+    Constraints.commitChecked(spark, tDrop, mixed.toDF("id", "v", "name"),
+      rules, Constraints.Drop).version shouldBe Some(1L)
+    SnapshotTable.read(spark, tDrop).select("id").as[Long].collect().toSet shouldBe
+      Set(1L, 4L)
+
+    val tMain = graft.Scratch.fresh("r48spec_main")
+    val tQuar = graft.Scratch.fresh("r48spec_quar")
+    Constraints.commitChecked(spark, tMain, mixed.toDF("id", "v", "name"),
+      rules, Constraints.Quarantine, quarantineTable = Some(tQuar))
+    SnapshotTable.read(spark, tMain).select("id").as[Long].collect().toSet shouldBe
+      Set(1L, 4L)
+    SnapshotTable.read(spark, tQuar)
+      .select("id", "violations").as[(Long, String)].collect().toSet shouldBe
+      Set((2L, "positive"), (3L, "bounded"))
+  }
 }
