@@ -403,6 +403,26 @@ object Relational {
       SnapshotTable.read(s, t)
     },
 
+    "r49_shallow_clone" -> { (s, dir) =>
+      // R49: zero-copy fork. Clone the source, then OVERWRITE the source —
+      // the clone must still read the forked content (independence), and
+      // the in-gate require proves the clone is metadata-only: no data
+      // directory exists under it at all. Divergence both ways, stats
+      // skipping through the clone, vacuum safety and the error surface
+      // are SnapshotCloneSpec's.
+      val src = graft.Scratch.fresh("r49_src")
+      val dst = graft.Scratch.fresh("r49_dst")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, src, o.filter(col("o_orderkey") % 3 === 0))
+      SnapshotTable.commit(s, src, o.filter(col("o_orderkey") % 3 === 1),
+        mode = SnapshotTable.Append)
+      SnapshotTable.shallowClone(src, dst)
+      SnapshotTable.commit(s, src, o.limit(7)) // source diverges after the fork
+      require(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dst, "data")),
+        "shallow clone must not write data files")
+      SnapshotTable.read(s, dst)
+    },
+
     "r48_checked_commit" -> { (s, dir) =>
       // R48: expectation-gated publication (R36 × R40). A Fail-policy
       // commit against a violated rule must publish NOTHING (the failed
@@ -1235,6 +1255,12 @@ object Relational {
     // R41: OPTIMIZE is invisible to readers — same rows, better layout
     "r41_optimize" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // R49: the clone pins the forked content; the source's later
+    // overwrite must be invisible through it
+    "r49_shallow_clone" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
 
     // R48: the expectations replayed in SQL — positive_chars never fires
     // on this corpus (min n_chars = 48), short_text splits it; the failed

@@ -188,7 +188,16 @@ object SnapshotTable {
       case Append => parent.map(manifestFiles(table, _)).getOrElse(Seq.empty) ++ written
       case Replace(keep) => keep ++ written
     }
-    // 2. manifest to a temp name nobody reads
+    publishManifest(table, version, parent, mode.label, tag, files, beforePublish)
+  }
+
+  /** The shared manifest-publication tail of [[commit]]/[[restore]]/
+    * [[clone]]: write the manifest to a temp name nobody reads, then
+    * atomically publish-if-absent (losing a race surfaces as
+    * [[ConcurrentCommitException]]). */
+  private def publishManifest(table: String, version: Long, parent: Option[Long],
+      modeLabel: String, tag: Option[String], files: Seq[String],
+      beforePublish: () => Unit = () => ()): Long = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
     // reject rather than strip: silently rewriting a tag would let two
@@ -199,10 +208,9 @@ object SnapshotTable {
     val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
     val json = files.map(f => "\"" + f + "\"").mkString(
       s"""{"version":$version,"parent":${parent.getOrElse(-1L)},$tagField""" +
-        s""""mode":"${mode.label}","files":[""", ",", "]}")
+        s""""mode":"$modeLabel","files":[""", ",", "]}")
     Files.write(tmp, json.getBytes("UTF-8"))
     beforePublish()
-    // 3. atomic publish-if-absent; losing a race surfaces as FileAlreadyExists
     try {
       Files.createLink(manifestPath(table, version), tmp)
       Files.deleteIfExists(tmp)
@@ -236,25 +244,37 @@ object SnapshotTable {
         parent.getOrElse(-1L) != expectedVersion)
       throw new ConcurrentCommitException(parent.getOrElse(-1L))
     val version = parent.getOrElse(0L) + 1
-    val files = manifestFiles(table, toVersion)
-    Files.createDirectories(logDir(table))
-    val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
-    tag.foreach(t => require(!t.contains("\"") && !t.contains("\\"),
-      s"""tag must not contain '"' or '\\': $t"""))
-    val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
-    val json = files.map(f => "\"" + f + "\"").mkString(
-      s"""{"version":$version,"parent":${parent.getOrElse(-1L)},$tagField""" +
-        s""""mode":"Restore","files":[""", ",", "]}")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    try {
-      Files.createLink(manifestPath(table, version), tmp)
-      Files.deleteIfExists(tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new ConcurrentCommitException(version)
-    }
-    version
+    publishManifest(table, version, parent, "Restore", tag,
+      manifestFiles(table, toVersion))
+  }
+
+  /** R49: zero-copy shallow CLONE (the Delta SHALLOW CLONE shape) — `dest`
+    * becomes an independent snapshot table whose v1 manifest REFERENCES
+    * the source version's data files by relative path; nothing is read,
+    * copied or rewritten, so forking a 100 TB table for a dev run, an
+    * experiment or a what-if migration costs one manifest write. From
+    * then on the two tables diverge freely: commits/OPTIMIZE/MERGE on the
+    * clone write into the CLONE's own data directory (copy-on-write at
+    * file grain — R43 carries untouched source paths verbatim), and the
+    * clone's vacuum only ever deletes under the clone's directory, so it
+    * can never reclaim source files. Stats sidecars resolve through the
+    * relative paths, so R42 skipping keeps working on the clone. The one
+    * documented hazard is Delta's own: vacuuming the SOURCE can drop
+    * files a shallow clone still references — retention policy must
+    * outlive clones, or re-materialize the clone first. */
+  def shallowClone(table: String, dest: String, version: Long = -1L,
+      tag: Option[String] = None): Long = {
+    val v = if (version >= 0) version
+      else latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+    require(versions(table).contains(v),
+      s"cannot clone $table at uncommitted version $v")
+    require(latestVersion(dest).isEmpty,
+      s"clone destination $dest already has commits")
+    val rel = Paths.get(dest).toAbsolutePath.normalize()
+      .relativize(Paths.get(table).toAbsolutePath.normalize()).toString
+    publishManifest(dest, 1L, None, "Clone", tag,
+      manifestFiles(table, v).map(f => s"$rel/$f"))
   }
 
   /** Read the table at `version` (default: latest). The returned plan scans
