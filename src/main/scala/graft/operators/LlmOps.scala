@@ -17,6 +17,15 @@ object LlmOps {
 
   private val CopyOffset = 1000000L
 
+  /** Planted-signal constants shared by the d12/t21 gates and the p11
+    * composed pipeline (and interpolated into their DuckDB oracles, so the
+    * two engines can never drift): a 12-token duplicated chunk and a
+    * 10-token spam tail. */
+  private val Chunk12 =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val SpamTail =
+    "buy cheap pills now click here free offer winner prize"
+
   /** documents ∪ near-duplicate copies (text truncated ~10%). */
   private def parallelism(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -227,12 +236,11 @@ object LlmOps {
       // pos) keeps its copy on both engines — generic keep-first removal,
       // no planted ids in the oracle.
       val docs = Tables(s, dir).documents
-      val chunk12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
       val chunk8 = "uno dos tres cuatro cinco seis siete ocho"
       val planted = docs.select(col("doc_id"), concat(
         col("text"),
-        when(col("doc_id") % 3 === 0, lit(" " + chunk12)).otherwise(lit("")),
-        when(col("doc_id") % 9 === 0, lit(" " + chunk12)).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" " + Chunk12)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" " + Chunk12)).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(" " + chunk8)).otherwise(lit(""))).as("text"))
       SpanDedup.substringDedup(planted, "text", "doc_id", minTokens = 8)
         .orderBy("doc_id")
@@ -911,9 +919,7 @@ object LlmOps {
       // assertion (measured 1.0 / 1.0 / 0.999 across the three SFs).
       val docs = Tables(s, dir).documents
       val planted = docs.select(col("doc_id"),
-        when(col("doc_id") % 5 === 0,
-          concat(col("text"),
-            lit(" buy cheap pills now click here free offer winner prize")))
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + SpamTail)))
           .otherwise(col("text")).as("text"))
       planted.select(col("doc_id"),
           graft.functions.QualityClassifier.scoreMu(Search.toks(col("text")))
@@ -933,6 +939,45 @@ object LlmOps {
           Seq("src0" -> 500L, "src1" -> 200L, "src2" -> 150L,
             "src3" -> 100L, "src4" -> 50L),
           budget = 20000L)
+        .orderBy("doc_id")
+    },
+
+    "p11_curation_v3" -> { (s, dir) =>
+      // P11: curation pipeline v3 — the third-wave operators composed in
+      // production order as ONE lazy plan: learned quality gate (T21, spam
+      // dropped BEFORE any dedup — the X11 order), corpus-wide line dedup
+      // (D11), exact duplicated-span removal (D12), token-budget mixture
+      // (P10) over the CLEANED token mass, deterministic split (T6).
+      // Every stage bites at sf0.01: docs ≡0 (mod 5) are spam (classifier
+      // drops them), every survivor carries the banner (d11 keeps exactly
+      // one), mod-4 docs share the promo line, mod-3 survivors carry the
+      // duplicated chunk (d12 cuts all but the first), the mixture caps
+      // src0 and samples src1..4 on the post-pipeline token mass, and the
+      // split keys on the sampled ids. The DuckDB oracle chains every
+      // stage's fragment, so the whole pipeline is value-exact end to end.
+      val docs = Tables(s, dir).documents
+      val planted = docs.select(col("doc_id"), col("source"), concat(
+          lit("ACCEPT COOKIES TO CONTINUE\n"),
+          col("text"),
+          when(col("doc_id") % 4 === 0, lit("\nlimited time promo offer"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" " + Chunk12)).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" " + SpamTail)).otherwise(lit("")))
+        .as("text"))
+      val quality = planted.filter(
+        graft.functions.QualityClassifier.scoreMu(Search.toks(col("text"))) > 0)
+      val lined = SpanDedup.lineDedup(quality.select("doc_id", "text"), "text", "doc_id")
+      val cleaned = SpanDedup.substringDedup(lined, "text", "doc_id", minTokens = 8)
+      val massed = cleaned
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("n_tokens",
+          when(length(col("clean_text")) === 0, lit(0L))
+            .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+      val sampled = Sampling.budgetMixture(massed, "doc_id", "source", "n_tokens",
+        Seq("src0" -> 500L, "src1" -> 200L, "src2" -> 150L,
+          "src3" -> 100L, "src4" -> 50L), budget = 4000L)
+      Sampling.assignSplits(sampled, "doc_id", SplitSpec)
+        .select("doc_id", "source", "n_tokens", "split")
         .orderBy("doc_id")
     },
 
@@ -1266,6 +1311,32 @@ object LlmOps {
         |), """.stripMargin +
       bm25OracleSql("d", Seq("dup", "merge", "vector", "spark", "quantum"), 40)
 
+  /** DuckDB fragment: the t4 polyhash of a token expression — fold
+    * (acc·31 + codepoint) mod 1e9+7, matching `PolyFingerprint`. */
+  private def polyHashSql(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(regexp_extract_all($e, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  /** DuckDB fragment: the T21 classifier scoring CTE chain over a
+    * (doc_id, text) relation `rel` — tokens, polyhash buckets, the frozen
+    * non-zero weight VALUES, bias + sum. Ends with a `<p>_sc` CTE holding
+    * (doc_id, score_mu); CTE names are prefixed so callers can chain it. */
+  private def t21CtesSql(rel: String, p: String): String =
+    s"""${p}_tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM $rel
+       |), ${p}_bk AS (
+       |  SELECT doc_id,
+       |    ${polyHashSql("tok")} % ${graft.functions.QualityClfWeights.Buckets} AS bucket
+       |  FROM ${p}_tk
+       |), ${p}_w(bucket, wt) AS (VALUES ${graft.functions.QualityClfWeights.valuesSql}
+       |), ${p}_sc AS (
+       |  SELECT ${p}_bk.doc_id,
+       |    CAST(${graft.functions.QualityClfWeights.BiasMu} + sum(coalesce(${p}_w.wt, 0)) AS BIGINT) AS score_mu
+       |  FROM ${p}_bk LEFT JOIN ${p}_w USING (bucket) GROUP BY ${p}_bk.doc_id
+       |)""".stripMargin
+
   /** T21: scoring replayed from the frozen weight table — per-token t4
     * polyhash mod 512, LEFT JOIN against the non-zero (bucket, weight_mu)
     * VALUES, summed with the bias. The weights are constants generated by
@@ -1275,26 +1346,12 @@ object LlmOps {
     s"""WITH p AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 5 = 0
-       |         THEN text || ' buy cheap pills now click here free offer winner prize'
+       |         THEN text || ' $SpamTail'
        |         ELSE text END AS text
        |  FROM documents
-       |), tk AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-       |  FROM p
-       |), bk AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(regexp_extract_all(tok, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))),
-       |      (acc, c) -> (acc * 31 + c) % 1000000007) % ${graft.functions.QualityClfWeights.Buckets} AS bucket
-       |  FROM tk
-       |), w(bucket, wt) AS (VALUES ${graft.functions.QualityClfWeights.valuesSql}
-       |), sc AS (
-       |  SELECT bk.doc_id,
-       |    CAST(${graft.functions.QualityClfWeights.BiasMu} + sum(coalesce(w.wt, 0)) AS BIGINT) AS score_mu
-       |  FROM bk LEFT JOIN w USING (bucket) GROUP BY bk.doc_id
-       |)
+       |), ${t21CtesSql("p", "q")}
        |SELECT doc_id, score_mu, score_mu > 0 AS is_quality
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |FROM q_sc ORDER BY doc_id""".stripMargin
 
   /** P10: the mixture thresholds re-derived from scratch — per-mille
     * targets by floor division, HUGEINT for the 2^32-scaled threshold
@@ -1317,6 +1374,95 @@ object LlmOps {
        |FROM documents d JOIN th USING (source)
        |WHERE ${md5UnitSql("doc_id")} < th.thresh
        |ORDER BY d.doc_id""".stripMargin
+
+  /** P11: every stage's oracle fragment chained into ONE DuckDB query —
+    * planting, T21 scoring + filter, D11 keep-first lines + rebuild, D12
+    * gram/span/removal, P10 HUGEINT thresholds + md5 membership, T6 md5
+    * split. Any stage leaking a spam doc, an extra line copy, a kept
+    * duplicated span, a wrong token mass or a wrong threshold moves the
+    * final hash. */
+  private def p11OracleSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |    'ACCEPT COOKIES TO CONTINUE' || chr(10) || text
+       |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'limited time promo offer' ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' $Chunk12' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' $SpamTail' ELSE '' END AS text
+       |  FROM documents
+       |), ${t21CtesSql("p", "q")},
+       |surv AS (
+       |  SELECT p.doc_id, p.source, p.text FROM p JOIN q_sc USING (doc_id)
+       |  WHERE q_sc.score_mu > 0
+       |), l AS (
+       |  SELECT doc_id, i - 1 AS ln, trim(arr[i]) AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM surv) s1,
+       |    unnest(range(1, len(arr) + 1)) AS u(i)
+       |  WHERE trim(arr[i]) <> ''
+       |), kft AS (
+       |  SELECT doc_id, ln, line FROM (
+       |    SELECT doc_id, ln, line,
+       |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rk
+       |    FROM l) WHERE rk = 1
+       |), reb AS (
+       |  SELECT s2.doc_id, s2.source, coalesce(ka.text, '') AS text
+       |  FROM surv s2 LEFT JOIN (
+       |    SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+       |    FROM kft GROUP BY doc_id) ka USING (doc_id)
+       |), t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM reb
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+       |  FROM t, unnest(range(0, len(toks) - 8 + 1)) AS u(i)
+       |  WHERE len(toks) >= 8
+       |), r AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+       |      count(*) OVER (PARTITION BY gram) AS c
+       |    FROM g) WHERE c >= 2 AND rk > 1
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NOT NULL AND pos <= prev + 8 THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM r)
+       |), sp AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+       |  FROM isl GROUP BY doc_id, island
+       |), tok2 AS (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS pos, toks[j + 1] AS tok
+       |  FROM t, unnest(range(0, len(toks))) AS u(j)
+       |), keep2 AS (
+       |  SELECT k.doc_id, k.pos, k.tok FROM tok2 k
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = k.doc_id AND k.pos >= sp.s AND k.pos < sp.e)
+       |), ct AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM keep2 GROUP BY doc_id
+       |), mass AS (
+       |  SELECT reb.doc_id, reb.source,
+       |    CASE WHEN coalesce(ct.clean_text, '') = '' THEN 0
+       |         ELSE CAST(len(string_split(ct.clean_text, ' ')) AS BIGINT) END AS n_tokens
+       |  FROM reb LEFT JOIN ct USING (doc_id)
+       |), tot AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM mass GROUP BY source
+       |), w2(source, pm) AS (VALUES
+       |  ('src0', 500), ('src1', 200), ('src2', 150), ('src3', 100), ('src4', 50)
+       |), th AS (
+       |  SELECT w2.source,
+       |    CASE WHEN tot.total <= (4000 * pm) // 1000
+       |         THEN CAST(4294967296 AS BIGINT)
+       |         ELSE CAST((CAST((4000 * pm) // 1000 AS HUGEINT) * 4294967296)
+       |                   // tot.total AS BIGINT) END AS thresh
+       |  FROM w2 JOIN tot USING (source)
+       |), samp AS (
+       |  SELECT m.doc_id, m.source, m.n_tokens FROM mass m JOIN th USING (source)
+       |  WHERE ${md5UnitSql("m.doc_id")} < th.thresh
+       |)
+       |SELECT doc_id, source, n_tokens, $splitCaseSql AS split FROM (
+       |  SELECT doc_id, source, n_tokens, ${md5UnitSql("doc_id")} AS u FROM samp)
+       |ORDER BY doc_id""".stripMargin
 
   /** P9: both ranked lists re-derived from scratch (the t20 BM25 CTEs and
     * the s1 sequential-fold cosine), then the integer RRF combine. */
@@ -1632,6 +1778,7 @@ object LlmOps {
     "p9_hybrid_search" -> p9OracleSql,
     "p10_budget_mixture" -> p10OracleSql,
     "t21_learned_quality" -> t21OracleSql,
+    "p11_curation_v3" -> p11OracleSql,
 
     // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
     // lang join, all replayed in one SQL pipeline
@@ -1870,14 +2017,14 @@ object LlmOps {
     // group's min (doc, pos), gaps-and-islands merge at pos <= prev + 8,
     // removal by anti-containment, clean text re-joined in token order.
     "d12_substr_dedup" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id, text
-        |    || CASE WHEN doc_id % 3 = 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu' ELSE '' END
-        |    || CASE WHEN doc_id % 9 = 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' $Chunk12' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' $Chunk12' ELSE '' END
         |    || CASE WHEN doc_id % 5 = 0 THEN ' uno dos tres cuatro cinco seis siete ocho' ELSE '' END AS text
         |  FROM documents
         |), t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM p
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM p
         |), g AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
         |    array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
