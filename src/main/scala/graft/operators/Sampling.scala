@@ -166,6 +166,8 @@ object Sampling {
       massCol: String, sharesPm: Seq[(String, Long)], budget: Long): DataFrame = {
     require(sharesPm.nonEmpty && sharesPm.map(_._2).sum == 1000L,
       s"mixture shares must be per-mille summing to 1000, got ${sharesPm.map(_._2).sum}")
+    require(sharesPm.map(_._1).distinct.size == sharesPm.size,
+      "duplicate stratum in mixture shares") // a dup would double its rows via the join
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._

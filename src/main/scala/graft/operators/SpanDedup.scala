@@ -24,17 +24,18 @@ import org.apache.spark.sql.functions._
   *    L-windows, so marking window occurrences that are not their hash
   *    group's minimum and merging covers precisely the same spans).
   *
-  * Scale shape (both operators): the corpus text is tokenized ONCE in its
-  * scan partitions; the duplicate decision travels as an id skeleton —
-  * (hash, doc, position) triples — through one groupBy on the content hash
-  * and one join back on it, never carrying text. Text is shuffled exactly
-  * once, in the final rebuild join on the doc id (the output
-  * materialization); with the corpus bucketed by id (R17) even that is
-  * co-located. Per-document reassembly is higher-order-function work inside
-  * the row — no posexplode of text, no window sort over the corpus. Hash
-  * grouping stands in for string grouping by the D4/D7 collision argument
-  * (64-bit content hashes; equal hash ⟺ equal content up to ~2^-64 per
-  * candidate pair).
+  * Scale shape (both operators): the duplicate decision travels as an id
+  * skeleton — (hash, doc, position) triples, computed once and
+  * Caches-owned where consumed twice — through one groupBy on the content
+  * hash and one join back on it, never carrying text. Text never rides a
+  * shuffle except the final rebuild join on the doc id (the output
+  * materialization, where the rebuild re-derives lines/tokens from the
+  * raw text inside its own scan); with the corpus bucketed by id (R17)
+  * even that join is co-located. Per-document reassembly is
+  * higher-order-function work inside the row — no posexplode of text, no
+  * window sort over the corpus. Hash grouping stands in for string
+  * grouping by the D4/D7 collision argument (64-bit content hashes; equal
+  * hash ⟺ equal content up to ~2^-64 per candidate pair).
   */
 object SpanDedup {
 
@@ -98,10 +99,14 @@ object SpanDedup {
     val toks = df.select(col(idCol).as("__id"), Search.toks(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= minTokens)
     // (hash, doc, pos) skeleton — the kernel emits one order-sensitive
-    // 64-bit hash per L-window in a single primitive pass per row
-    val occ = toks.select(col("__id"),
+    // 64-bit hash per L-window in a single primitive pass per row.
+    // Caches-owned: the skeleton feeds BOTH the first-occurrence groupBy
+    // and the join back; without it each consumer re-tokenizes the corpus
+    // (released by the caller via Caches.releaseAll — the lshTopK
+    // discipline; ~20 bytes per token window, far smaller than the text)
+    val occ = Caches.owned(toks.select(col("__id"),
       posexplode(graft.functions.NativeExpressions.wordShingleHashes(
-        col("__t"), minTokens)).as(Seq("__p", "__h")))
+        col("__t"), minTokens)).as(Seq("__p", "__h"))))
     // duplicated windows and their first occurrence, one shuffle on __h
     val firsts = occ.groupBy("__h")
       .agg(min(struct(col("__id"), col("__p"))).as("__w"), count(lit(1)).as("__c"))

@@ -69,5 +69,6 @@ class SpanDedupSpec extends SparkSpec {
       .select($"doc_id", $"clean_text".as("text"))
     SpanDedup.duplicateSpans(cleaned, "text", "doc_id", minTokens = 4)
       .count() shouldBe 0L
+    Caches.releaseAll()
   }
 }
