@@ -373,4 +373,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** D13: fuzzy dedup that keeps the BEST member of each near-dup cluster
+    * instead of the smallest id. Production pipelines pair this with a
+    * quality score (T2/T18/T21): when a boilerplate-laden mirror and the
+    * clean original land in one cluster, min-id keeps whichever crawled
+    * first; keep-best keeps the one worth training on.
+    *
+    * `pairs` is any near-dup pair frame (D2/D3/D4 output — (id_a, id_b));
+    * `score` is evaluated against `docs`' columns. Winner per component =
+    * argmax(score), ties broken by MIN id, so the result is deterministic
+    * and independent of blocking/iteration order whenever scores are.
+    *
+    * Scale: components come from the large-star/small-star CC (O(log n)
+    * rounds, id-only shuffles); the winner election is one map-side-partial
+    * `max_by` agg on the component key — (component, score, id) triples,
+    * never text, cross the wire, and a giant cluster costs its winner agg
+    * O(members) combined per-partition, not a window sort. Returns
+    * (id, component, kept_id, is_kept) for every input doc. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column, reliable: Boolean = false): DataFrame = {
+    val scored = docs.select(col(idCol).as("id"), score.as("__score"))
+    val labeled = ConnectedComponents
+      .labels(docs.select(col(idCol)), pairs, reliable = reliable)
+      .join(scored, Seq("id"))
+    val winners = labeled.groupBy("component")
+      // lexicographic struct max: highest score first, then -id (= min id)
+      .agg(max_by(col("id"), struct(col("__score"), (-col("id")).as("__nid")))
+        .as("kept_id"))
+    labeled.join(winners, Seq("component"))
+      .select(col("id"), col("component"), col("kept_id"),
+        (col("id") === col("kept_id")).as("is_kept"))
+  }
 }

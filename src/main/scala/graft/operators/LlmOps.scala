@@ -246,6 +246,20 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "d13_keep_best" -> { (s, dir) =>
+      // D13 over the d4/d6 planted corpus: pairs = exact n-gram Jaccard
+      // >= 0.5 (the d4 operator), score = length(text). A truncated copy is
+      // strictly shorter than its base, so keep-best elects the base — but
+      // both engines run the same generic argmax(score, min-id tiebreak)
+      // derivation over the generic pair graph; nothing planted is
+      // hard-coded on either side.
+      val corpus = plantedDocs(s, dir)
+      val pairs = Dedup.ngramJaccardDedup(corpus, "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.keepBestPerCluster(corpus, "doc_id", pairs, length(col("text")))
+        .orderBy("id")
+    },
+
     "s1_cosine_topk" -> { (s, dir) =>
       val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
       Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", k = 5)
@@ -2137,6 +2151,24 @@ object LlmOps {
         |SELECT c.id, coalesce(p.component, c.id) AS component,
         |       coalesce(p.component, c.id) = c.id AS is_canonical
         |FROM corpus c LEFT JOIN comp p ON c.id = p.id""".stripMargin),
+
+    // D13: the d6 component derivation extended by a keep-best election —
+    // argmax(length(text)) per component, ties to MIN id, replayed as a
+    // window argmax so the oracle is order-independent exactly when the
+    // operator is.
+    "d13_keep_best" -> (componentCteSql +
+      """, lab AS (
+        |  SELECT c.id, coalesce(p.component, c.id) AS component,
+        |         length(c.text) AS ln
+        |  FROM corpus c LEFT JOIN comp p ON c.id = p.id
+        |), win AS (
+        |  SELECT component, id AS kept_id,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY ln DESC, id ASC) AS rn
+        |  FROM lab
+        |)
+        |SELECT l.id, l.component, w.kept_id, l.id = w.kept_id AS is_kept
+        |FROM lab l JOIN win w ON l.component = w.component AND w.rn = 1""".stripMargin),
 
     // T15: the cluster labels (d6's recursive CTE) keyed into the t6
     // md5-threshold machinery — split is a pure function of the COMPONENT

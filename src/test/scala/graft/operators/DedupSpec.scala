@@ -157,4 +157,30 @@ class DedupSpec extends SparkSpec {
     }
     ex.getMessage should include("disjoint")
   }
+
+  test("keepBestPerCluster elects argmax(score) per component, min-id ties, singletons self (D13)") {
+    val docs = Seq(
+      (1L, 10), (2L, 50), (3L, 50),  // cluster {1,2,3}: best score 50, tie → min id 2
+      (4L, 7),                       // singleton keeps itself
+      (5L, 1), (6L, 9))              // cluster {5,6}: 6 wins on score
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(docs, "id", pairs, col("score"))
+      .select("id", "component", "kept_id", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    out shouldBe Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true),
+      (5L, 5L, 6L, false), (6L, 5L, 6L, true))
+  }
+
+  test("keepBestPerCluster with a constant score degenerates to d6's min-id canonical (D13)") {
+    val pairs = Dedup.ngramJaccardDedup(corpus, "text", "id", threshold = 0.5)
+      .select("id_a", "id_b")
+    val best = Dedup.keepBestPerCluster(corpus, "id", pairs, lit(0))
+      .select("id", "kept_id").as[(Long, Long)].collect().toMap
+    val minId = ConnectedComponents.labels(corpus.select("id"), pairs)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    best shouldBe minId
+  }
 }
