@@ -738,6 +738,31 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "t22_gopher_rules" -> { (s, dir) =>
+      // T22: Gopher document-filter profile. The synthetic corpus passes
+      // most rules trivially, so plant each failure mode: mod-13 docs get
+      // NO stopword line (stopword rule), mod-7 docs 30 distinct bullet
+      // lines (> 0.9 bullet fraction), mod-5 docs a line repeated 4×
+      // (duplicate-line fraction), mod-11 docs a #/ellipsis symbol tail,
+      // mod-3 docs one trailing ellipsis line (1/3 > 0.3 when short).
+      // Both engines run the same generic rule derivation over the planted
+      // text — per-rule measurements AND the conjunctive keep flag hash.
+      val docs = Tables(s, dir).documents
+      val bullets = (1 to 30).map(i => s"- item $i").mkString("\n")
+      val dups = Seq.fill(4)("the same exact line").mkString("\n")
+      val planted = docs.select(col("doc_id"), concat(
+        when(col("doc_id") % 13 =!= 0,
+          lit("the cat is on the mat and it is here\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit("\n" + bullets)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\n" + dups)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ### ## # more... and even more..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("\ntrailing thought..."))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.gopherRules(planted, "doc_id", "text").orderBy("doc_id")
+    },
+
     "d7_decontaminate" -> { (s, dir) =>
       // train/eval overlap scrub: train docs sharing ANY k-shingle with the
       // eval slice. Result is a pure semantic set (shingle-hash semi-join ≡
@@ -1169,6 +1194,69 @@ object LlmOps {
        |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END < 0.1)
        |    AS is_quality
        |FROM documents""".stripMargin
+  }
+
+  /** T22 oracle: the planted corpus re-built in SQL, then the same generic
+    * rule derivation — word/line splits, list filters, double divisions —
+    * over it. The stopword literal list is generated from the SAME
+    * `TextAnalysis.Stopwords` the operator reads, so the two can't drift. */
+  private def t22OracleSql: String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val bullets = (1 to 30).map(i => s"- item $i").mkString("\n").replace("\n", "' || chr(10) || '")
+    val dups = Seq.fill(4)("the same exact line").mkString("\n").replace("\n", "' || chr(10) || '")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 13 <> 0
+       |          THEN 'the cat is on the mat and it is here' || chr(10) ELSE '' END)
+       |    || text
+       |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || '$bullets' ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$dups' ELSE '' END)
+       |    || (CASE WHEN doc_id % 11 = 0 THEN ' ### ## # more... and even more...' ELSE '' END)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END)
+       |      AS text
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text,
+       |    length(trim(text)) = 0 AS empty,
+       |    regexp_split_to_array(trim(text), '\\s+') AS words,
+       |    string_split(text, chr(10)) AS lines,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                l -> length(l) > 0) AS nb,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM p
+       |), f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN empty THEN 0 ELSE len(words) END AS n_words,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(words) END
+       |      AS mean_word_len,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(length(text) - length(replace(text, '#', ''))
+       |                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(words) END
+       |      AS symbol_word_ratio,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+       |                                             OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+       |              / len(lines) END AS bullet_line_frac,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+       |              / len(lines) END AS ellipsis_line_frac,
+       |    CASE WHEN len(nb) = 0 THEN 0.0
+       |         ELSE 1.0 - CAST(len(list_distinct(nb)) AS DOUBLE) / len(nb) END
+       |      AS dup_line_frac,
+       |    len(list_filter([$stops], s -> list_contains(toks, s))) AS n_stop_hits
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |       bullet_line_frac, ellipsis_line_frac, dup_line_frac, n_stop_hits,
+       |       (n_words BETWEEN 50 AND 100000
+       |        AND mean_word_len BETWEEN 3.0 AND 10.0
+       |        AND symbol_word_ratio <= 0.1
+       |        AND bullet_line_frac <= 0.9
+       |        AND ellipsis_line_frac <= 0.3
+       |        AND dup_line_frac <= 0.3
+       |        AND n_stop_hits >= 2) AS keep
+       |FROM f""".stripMargin
   }
 
   /** T6 oracle, thresholds generated by the SAME cumulative arithmetic the
@@ -2426,6 +2514,8 @@ object LlmOps {
         |FROM embeddings WHERE vec_id < 32 ORDER BY vec_id""".stripMargin,
 
     "t2_quality" -> t2OracleSql,
+
+    "t22_gopher_rules" -> t22OracleSql,
 
     "t17_global_shuffle" ->
       """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

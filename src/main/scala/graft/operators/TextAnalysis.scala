@@ -388,4 +388,61 @@ object TextAnalysis {
       .join(rebuilt, Seq(idCol), "left")
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
+
+  /** T22: Gopher-style quality rule profile (Rae et al. 2021,
+    * arXiv:2112.11446 — the deployed document-filter subset): per-doc rule
+    * measurements plus the conjunctive `keep` flag real curation stacks
+    * threshold on. Rules: word count in [minWords, maxWords]; mean word
+    * length in [3, 10]; symbol-to-word ratio (`#` chars + `...` runs) ≤
+    * 0.1; ≤ 90% bullet-started lines; ≤ 30% ellipsis-ended lines;
+    * duplicate-line fraction ≤ 0.3; ≥ 2 distinct stopwords present.
+    *
+    * Scale: pure projection — every measurement is a builtin regex/HOF
+    * expression inside whole-stage codegen; no shuffle, no UDF, and the
+    * whole profile is one pass over the text column. Deliberately restricted
+    * to the Java-regex ∩ RE2 subset (the T8 discipline) so the exact rules
+    * replay on any engine. */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val empty = length(trim(text)) === 0
+    val words = split(trim(text), "\\s+")
+    val nWords = when(empty, lit(0)).otherwise(size(words)).cast("long")
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / nWords)
+    val nSymbols = (length(text) - length(regexp_replace(text, "#", ""))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(nSymbols.cast("double") / nWords)
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletFrac = when(empty, lit(0.0)).otherwise(
+      size(filter(lines, l => ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ")))
+        .cast("double") / nLines)
+    val ellipsisFrac = when(empty, lit(0.0)).otherwise(
+      size(filter(lines, l => rtrim(l).endsWith("..."))).cast("double") / nLines)
+    val nonblank = filter(transform(lines, l => trim(l)), l => length(l) > 0)
+    val dupFrac = when(size(nonblank) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(nonblank)).cast("double") / size(nonblank))
+    val toks = split(lower(trim(text)), "\\s+")
+    val stopHits = size(filter(
+      array(Stopwords.map(lit): _*), s => array_contains(toks, s))).cast("long")
+    df.select(col(idCol),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        dupFrac.as("dup_line_frac"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("dup_line_frac") <= 0.3 &&
+        col("n_stop_hits") >= 2)
+  }
 }

@@ -223,4 +223,33 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.bigramCommonness(docs.repartition(5), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap shouldBe out
   }
+
+  test("gopherRules measures and gates each rule independently (T22)") {
+    // 80 words, mean word length 3.9, stopwords present
+    val prose = ("the quick brown foxes jumped over a lazy dog and " * 8).trim
+    val docs = Seq(
+      (1L, prose),                                            // passes everything
+      (2L, "short but the cat is here"),                      // < 50 words
+      (3L, prose + "\n" + (1 to 60).map(i => s"- b $i").mkString("\n")), // bullet frac 60/61
+      (4L, prose + ("\nsame line" * 9)),                      // dup line frac 9 dup of 10
+      (5L, prose + " " + ("### " * 20)),                      // symbol ratio 20/100 > 0.1
+      (6L, ("verylongwordtokens " * 60).trim))                // no stopwords, mean len > 10
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false)
+    val r3 = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter(col("doc_id") === 3).head()
+    r3.getAs[Double]("bullet_line_frac") shouldBe (60.0 / 61) +- 1e-12
+    val r4 = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter(col("doc_id") === 4).head()
+    // 10 nonblank lines, 2 distinct (prose line + "same line")
+    r4.getAs[Double]("dup_line_frac") shouldBe (1.0 - 2.0 / 10) +- 1e-12
+    // empty text: all measurements zero, keep = false
+    val empty = TextAnalysis.gopherRules(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    empty.getAs[Long]("n_words") shouldBe 0L
+    empty.getAs[Boolean]("keep") shouldBe false
+  }
 }
