@@ -108,4 +108,81 @@ object AnnIndexStore {
     save(spark, root, index, IvfPq.encode(corpus, idCol, vecCol, index))
     load(spark, root)
   }
+
+  // ---- S10: deletes over the persisted index ----
+  //
+  // Real vector stores take deletes (GDPR scrubs, content takedowns,
+  // re-crawls) far more often than they can afford a full re-encode. The
+  // standard shape is the one here: deletes land as an id-only TOMBSTONE
+  // table (cheap, atomic, append-only), every search anti-joins candidates
+  // against it BEFORE the shortlist cut (filtering after the cut would
+  // return < k), and a periodic compaction folds the tombstones into the
+  // encoded store physically. The index geometry never changes — deleting
+  // vectors can't move centroids that other codes were quantized against.
+
+  val TombstoneTable = "tombstones"
+
+  /** Record `ids` (first column, cast to long) as deleted. Append-committed
+    * through the manifest log: atomic, replayable via `tag`, and readers of
+    * an already-pinned version triple are unaffected mid-job. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+      tag: Option[String] = None): Long = {
+    val t = s"$root/$TombstoneTable"
+    val mode = if (SnapshotTable.latestVersion(t).isDefined) SnapshotTable.Append
+               else SnapshotTable.Overwrite
+    SnapshotTable.commit(spark, t,
+      ids.select(col(ids.columns.head).cast("long").as("id")), mode = mode, tag = tag)
+  }
+
+  /** The live tombstone id set (empty frame before any delete, and after a
+    * compaction clears the table to a zero-file version). */
+  def tombstones(spark: SparkSession, root: String): DataFrame = {
+    val t = s"$root/$TombstoneTable"
+    val empty = spark.range(0).toDF("id")
+    if (SnapshotTable.latestVersion(t).isEmpty) empty
+    else {
+      val df = SnapshotTable.read(spark, t)
+      if (df.columns.contains("id")) df.select("id").distinct() else empty
+    }
+  }
+
+  /** S10: search the persisted index with tombstones honored — candidates
+    * are anti-joined against the delete set before ADC scoring, so the
+    * shortlist and the exact re-rank only ever see live ids and the caller
+    * still gets a full k. The tombstone side of the join is its distinct
+    * id set (small by design between compactions), so AQE plans it as a
+    * broadcast anti-join — no extra shuffle on the candidate stream. */
+  def searchWithDeletes(spark: SparkSession, root: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int = 5,
+      nprobe: Int = 2, shortlist: Int = 64): DataFrame = {
+    val (index, encoded) = load(spark, root)
+    val live = encoded.join(
+      tombstones(spark, root).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    IvfPq.search(queries, live, corpus, idCol, vecCol, index, k, nprobe, shortlist)
+  }
+
+  /** Fold the tombstones into the encoded store physically: re-publish the
+    * triple (codebook tables re-committed verbatim — they are KB-sized —
+    * under a fresh shared tag so [[load]]'s consistent-cut pin lands on the
+    * compacted encode), then clear the tombstone table. The clear CASes on
+    * the tombstone version observed BEFORE the rewrite: a delete racing the
+    * compaction bumps that version and surfaces as
+    * [[SnapshotTable.ConcurrentCommitException]] instead of being silently
+    * resurrected by the clear. */
+  def compactDeletes(spark: SparkSession, root: String, idCol: String): Unit = {
+    val tombT = s"$root/$TombstoneTable"
+    val tombV = SnapshotTable.latestVersion(tombT).getOrElse(-1L)
+    val dead = tombstones(spark, root)
+    val (_, encoded) = load(spark, root)
+    val live = encoded.join(dead.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    val tag = Some(s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    SnapshotTable.commitAll(spark, Seq(
+      s"$root/centroids" -> SnapshotTable.read(spark, s"$root/centroids"),
+      s"$root/codebooks" -> SnapshotTable.read(spark, s"$root/codebooks"),
+      s"$root/encoded"   -> live), tag = tag)
+    if (tombV >= 0)
+      SnapshotTable.commit(spark, tombT, spark.range(0).toDF("id"),
+        mode = SnapshotTable.Overwrite, expectedVersion = tombV): Unit
+  }
 }

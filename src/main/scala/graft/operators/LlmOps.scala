@@ -477,6 +477,37 @@ object LlmOps {
     // batch breaks it), and the state row count rides along so a
     // double-applied batch breaks the hash too. Replay no-ops, shard-split
     // independence and state ≡ batch re-encode are StreamingAnnIngestSpec's.
+    // S10: the s9 persisted index with tombstoned DELETES honored in-search.
+    // Structural contract: every base query's planted exact copy heads the
+    // ranking at cosine 1 (the s6/s9 argument) UNLESS tombstoned — odd base
+    // ids' copies are deleted, so odd queries must NOT get their copy back,
+    // and no deleted id may surface for anyone. copy_returned ≡ evenness
+    // and deleted_returned ≡ false, both derived from the ACTUAL top-5
+    // search output; a tombstone leak or an over-delete breaks the hash.
+    "s10_ann_deletes" -> { (s, dir) =>
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      val root = graft.Scratch.fresh("s10_index")
+      val built = IvfPq.build(Tables(s, dir).embeddings.repartition(parallelism(s)),
+        "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built,
+        IvfPq.encode(vecs, "vec_id", "embedding", built))
+      val dead = vecs.filter(col("vec_id") < CopyOffset && col("vec_id") % 2 === 1)
+        .select((col("vec_id") + CopyOffset).as("id"))
+      AnnIndexStore.delete(s, root, dead)
+      AnnIndexStore.searchWithDeletes(s, root,
+          vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
+          k = 5, nprobe = 3, shortlist = 64)
+        .join(dead.withColumnRenamed("id", "neighbor_id")
+          .withColumn("__dead", lit(1)), Seq("neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          (max(when(col("neighbor_id") === col("query_id") + CopyOffset, 1)
+            .otherwise(0)) === 1).as("copy_returned"),
+          (max(coalesce(col("__dead"), lit(0))) === 1).as("deleted_returned"))
+        .orderBy("query_id")
+    },
+
     "x18_stream_ann_ingest" -> { (s, dir) =>
       import java.nio.file.Paths
       val n = Tables(s, dir).embeddings.count()
@@ -2483,6 +2514,12 @@ object LlmOps {
     // s9: planted-copy top-1 from the persisted index — same contract as s6
     "s9_persisted_ann" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s10: evenness ≡ live-copy-at-top, tombstones never surface
+    "s10_ann_deletes" ->
+      """SELECT vec_id AS query_id, vec_id % 2 = 0 AS copy_returned,
+        |       false AS deleted_returned
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     // s7: planted-copy top-1 — identical codes, exact re-rank at cosine 1

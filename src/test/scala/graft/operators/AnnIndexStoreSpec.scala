@@ -69,4 +69,69 @@ class AnnIndexStoreSpec extends SparkSpec {
     tags.distinct should have size 1 // one shared tag = one consistent cut
     tags.head.get should startWith("ivfpq-cells4-m4-k8-")
   }
+
+  test("tombstoned ids never surface and the caller still gets k results (S10)") {
+    val vecs = corpus(31, 400)
+    val queries = vecs.filter($"vec_id" < 10)
+    val root = graft.Scratch.fresh("s10spec_del")
+    val b = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 400)
+    AnnIndexStore.save(spark, root, b, IvfPq.encode(vecs, "vec_id", "embedding", b))
+    // delete the full exact top-3 of query 0 — the strongest neighbors
+    val top3 = IvfPq.search(queries.filter($"vec_id" === 0),
+        AnnIndexStore.load(spark, root)._2, vecs, "vec_id", "embedding", b,
+        k = 3, nprobe = 4, shortlist = 400)
+      .select("neighbor_id").as[Long].collect().toSet
+    AnnIndexStore.delete(spark, root, top3.toSeq.toDF("id"))
+    val res = AnnIndexStore.searchWithDeletes(spark, root, queries, vecs,
+        "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 400)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    res.map(_._2).toSet.intersect(top3) shouldBe Set.empty
+    res.groupBy(_._1).values.foreach(_.length shouldBe 5) // full k survives
+    // deletes-honored search ≡ search over the corpus minus the deleted rows
+    val expect = IvfPq.search(queries,
+        IvfPq.encode(vecs.filter(!$"vec_id".isInCollection(top3)),
+          "vec_id", "embedding", b),
+        vecs, "vec_id", "embedding", b, k = 5, nprobe = 4, shortlist = 400)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    res.toSet shouldBe expect
+  }
+
+  test("compactDeletes folds tombstones physically and preserves results (S10)") {
+    val vecs = corpus(41, 300)
+    val queries = vecs.filter($"vec_id" < 8)
+    val root = graft.Scratch.fresh("s10spec_compact")
+    val b = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 300)
+    AnnIndexStore.save(spark, root, b, IvfPq.encode(vecs, "vec_id", "embedding", b))
+    AnnIndexStore.delete(spark, root, (0L until 50L).filter(_ % 3 == 0).toDF("id"))
+    def run() = AnnIndexStore.searchWithDeletes(spark, root, queries, vecs,
+        "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 300)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val before = run()
+    AnnIndexStore.compactDeletes(spark, root, "vec_id")
+    AnnIndexStore.tombstones(spark, root).count() shouldBe 0L
+    AnnIndexStore.load(spark, root)._2.count() shouldBe (300L - 17)
+    run() shouldBe before
+    // double-delete of already-dead ids stays idempotent through a compact
+    AnnIndexStore.delete(spark, root, Seq(0L, 3L).toDF("id"))
+    run() shouldBe before
+  }
+
+  test("a delete racing compactDeletes fails the clear loudly, never resurrects (S10)") {
+    val vecs = corpus(51, 200)
+    val root = graft.Scratch.fresh("s10spec_race")
+    val b = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 200)
+    AnnIndexStore.save(spark, root, b, IvfPq.encode(vecs, "vec_id", "embedding", b))
+    AnnIndexStore.delete(spark, root, Seq(1L, 2L).toDF("id"))
+    // simulate the race: bump the tombstone table between the observation
+    // and the clear by running the clear against a stale expectedVersion
+    val tombT = s"$root/${AnnIndexStore.TombstoneTable}"
+    val staleV = SnapshotTable.latestVersion(tombT).get
+    AnnIndexStore.delete(spark, root, Seq(7L).toDF("id")) // racing delete
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.commit(spark, tombT, spark.range(0).toDF("id"),
+        mode = SnapshotTable.Overwrite, expectedVersion = staleV): Unit
+    }
+    // the racing delete survives
+    AnnIndexStore.tombstones(spark, root).as[Long].collect().toSet shouldBe Set(1L, 2L, 7L)
+  }
 }
