@@ -384,6 +384,32 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r50_txn_commit" -> { (s, dir) =>
+      // R50: atomic cross-table transaction + cross-table time travel.
+      // Txn 1 commits the full per-nation and per-orderstatus aggregates;
+      // txn 2 overwrites BOTH with filtered halves. Reading both tables
+      // pinned at txn 1 must return the full aggregates — a reader that
+      // resolves any table to its per-table latest (txn 2's data) breaks
+      // the hash, which is exactly the torn-read the txn log exists to
+      // prevent. Crash atomicity (member commits staged, txn publish
+      // killed → readers keep the old cut; tagged replay repairs) is
+      // SnapshotTxnSpec's injected-crash test.
+      val root = graft.Scratch.fresh("r50_txn")
+      val t = Tables(s, dir)
+      def cuts(cust: org.apache.spark.sql.DataFrame, ord: org.apache.spark.sql.DataFrame) = Seq(
+        "nation_counts" -> cust.groupBy("c_nationkey").agg(count(lit(1)).as("cnt")),
+        "status_counts" -> ord.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt")))
+      SnapshotTxn.commit(s, root, cuts(t.customer, t.orders))
+      SnapshotTxn.commit(s, root, cuts(
+        t.customer.filter(col("c_custkey") % 2 === 0),
+        t.orders.filter(col("o_orderkey") % 2 === 0)))
+      SnapshotTxn.readAt(s, root, "nation_counts", txn = 1L)
+        .select(lit("nation").as("tbl"), col("c_nationkey").cast("string").as("key"), col("cnt"))
+        .unionAll(SnapshotTxn.readAt(s, root, "status_counts", txn = 1L)
+          .select(lit("status").as("tbl"), col("o_orderstatus").as("key"), col("cnt")))
+        .orderBy("tbl", "key")
+    },
+
     "r47_snapshot_restore" -> { (s, dir) =>
       // R47: RESTORE — commit the base, clobber it twice (a bad overwrite,
       // then a bad append), restore to v1 and read LATEST. The restore is
@@ -1246,6 +1272,17 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R50: the txn-1 cut is the FULL aggregates of both tables — a torn
+    // read resolving either table to txn 2's filtered half breaks the hash
+    "r50_txn_commit" ->
+      """SELECT 'nation' AS tbl, CAST(c_nationkey AS VARCHAR) AS key,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT 'status' AS tbl, o_orderstatus AS key,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // R47: after the restore, only the base commit's rows are visible
     "r47_snapshot_restore" ->
