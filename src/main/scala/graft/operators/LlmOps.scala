@@ -1051,6 +1051,32 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "p12_shard_export" -> { (s, dir) =>
+      // P12: the export step a training run actually consumes — quality
+      // gate (T2) → token counts → deterministic hash-shard packing into
+      // 256-token sequences (T12) → per-shard manifest stats — published
+      // as ONE R50 transaction (doc_map + shard_stats pinned by a single
+      // txn), then read back THROUGH the txn. The gate output joins the
+      // per-doc assignments with their shard's manifest row, so a torn
+      // publish, a packing drift, or a stats mismatch all break the hash.
+      val root = graft.Scratch.fresh("p12_export")
+      val docs = Tables(s, dir).documents
+      val q = docs.filter(TextAnalysis.isQuality(col("text")))
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      val map = TextAnalysis.packSequences(q, "doc_id", "toks", seqLen = 256, shards = 4)
+        .select("doc_id", "shard", "seq_id", "seq_off", "toks")
+      val stats = map.groupBy("shard").agg(
+        count(lit(1)).as("shard_docs"),
+        sum("toks").as("shard_tokens"),
+        expr("(sum(toks) + 255) div 256").as("shard_seqs"))
+      SnapshotTxn.commit(s, root, Seq("doc_map" -> map, "shard_stats" -> stats))
+      SnapshotTxn.readAt(s, root, "doc_map")
+        .join(SnapshotTxn.readAt(s, root, "shard_stats"), Seq("shard"))
+        .select("doc_id", "shard", "seq_id", "seq_off",
+          "shard_docs", "shard_tokens", "shard_seqs")
+        .orderBy("doc_id")
+    },
+
     "p9_hybrid_search" -> { (s, dir) =>
       // P9: hybrid retrieval — the RAG-corpus query shape: integer-BM25
       // keyword top-30 fused with exact-cosine vector top-30 (query = the
@@ -1971,6 +1997,41 @@ object LlmOps {
         |  FROM t
         |)
         |SELECT doc_id, shard, off // 256 AS seq_id, off % 256 AS seq_off FROM o""".stripMargin,
+
+    // P12: t12's packing fragment over the T2-quality-filtered corpus,
+    // joined to the per-shard manifest stats — the whole export replayed
+    "p12_shard_export" ->
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 100
+        |    AND (CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |              / length(text) END) < 0.1
+        |), t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS u,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 4 AS shard
+        |  FROM q
+        |), o AS (
+        |  SELECT doc_id, shard, toks,
+        |    CAST(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t
+        |), map AS (
+        |  SELECT doc_id, shard, off // 256 AS seq_id, off % 256 AS seq_off, toks FROM o
+        |), stats AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS shard_docs,
+        |         CAST(sum(toks) AS BIGINT) AS shard_tokens,
+        |         CAST((sum(toks) + 255) // 256 AS BIGINT) AS shard_seqs
+        |  FROM map GROUP BY shard
+        |)
+        |SELECT m.doc_id, m.shard, m.seq_id, m.seq_off,
+        |       s.shard_docs, s.shard_tokens, s.shard_seqs
+        |FROM map m JOIN stats s USING (shard)""".stripMargin,
 
     // T13: the full frequent-line scrub re-derived generically — plant the
     // same chrome, split on newlines, count each trimmed line once per doc,
