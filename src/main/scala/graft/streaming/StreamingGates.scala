@@ -156,6 +156,33 @@ object StreamingGates {
         capacity = 20)
     },
 
+    // X19: exactly-once streaming ingest across tables — the events land
+    // as 3 shards, one per micro-batch; each batch merges its per-type
+    // partial into the by_key rollup AND the global totals, publishing
+    // both as ONE tagged R50 transaction. The gate reads the final cut
+    // THROUGH the txn pin; decimal accumulation makes the maintained
+    // state ≡ the one-shot batch aggregate exactly, so the same plain
+    // GROUP BY oracle certifies it. Crash-window atomicity (totals never
+    // skew from by_key at ANY txn) and replay no-ops are
+    // StreamingTxnIngestSpec's.
+    "x19_stream_txn_ingest" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val in = graft.Scratch.fresh("x19_in")
+      val root = graft.Scratch.fresh("x19_txn")
+      val ckpt = graft.Scratch.fresh("x19_ckpt")
+      val ev = Tables(s, dir).events.select("event_type", "value", "event_id")
+      (0 until 3).foreach { i =>
+        graft.Scratch.writeSingleParquet(
+          ev.filter(col("event_id") % 3 === i).select("event_type", "value"),
+          Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      val q = StreamingTxnIngest.start(s, in,
+        ev.select("event_type", "value").schema, "event_type", "value",
+        root, ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      StreamingTxnIngest.current(s, root).orderBy("key")
+    },
+
     // X17: streaming full-text index — the documents table lands as 3
     // shards (doc_id mod 3, one per micro-batch); each batch appends its
     // postings + lengths as tagged snapshot commits, and scoring FROM THE
@@ -219,6 +246,16 @@ object StreamingGates {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+
+    // X19: maintained txn state ≡ one-shot aggregate over the landed rows
+    "x19_stream_txn_ingest" ->
+      """SELECT event_type AS key, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '__total' AS key, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events""".stripMargin,
 
     "x7_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
