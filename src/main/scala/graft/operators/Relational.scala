@@ -1069,6 +1069,20 @@ object Relational {
         radiusMicro = 4491600L, k = 100)
     },
 
+    "w25_geo_pairs" -> { (s, dir) =>
+      // spatial pair self-join: all pairs within 2.0 deg (squared-microdegree
+      // metric) over 10k deterministic points. The operator grid-blocks
+      // (cell = eps, 3×3 replication, home-side dedup); the oracle brute
+      // forces the same long-arithmetic predicate with a lat-band range
+      // join — blocking must be invisible. Exactly-once pair emission and
+      // boundary coverage are GeoSpec's.
+      val pts = s.range(0, 10000).select(col("id"),
+        ((col("id") * 2654435761L) % 120000001L - 60000000L).as("lat_micro"),
+        ((col("id") * 1597334677L) % 360000001L - 180000000L).as("lon_micro"))
+      Geo.pairsWithin(pts, "id", "lat_micro", "lon_micro", epsMicro = 2000000L)
+        .orderBy("id_a", "id_b")
+    },
+
     "w23_pagerank" -> { (s, dir) =>
       // entity centrality: 5 integer-unit PageRank steps over a
       // deterministic claim graph — a 4094-edge class tree (i -> i div 2,
@@ -1644,6 +1658,25 @@ object Relational {
         |SELECT id, lat_micro, lon_micro, dist2 FROM d
         |WHERE dist2 <= CAST(4491600 AS BIGINT) * 4491600
         |ORDER BY dist2, id LIMIT 100""".stripMargin,
+
+    // W25: brute-force replay of the same long-arithmetic pair predicate;
+    // the lat-band condition makes it a DuckDB IEJoin, not a cross join
+    "w25_geo_pairs" ->
+      """WITH pts AS (
+        |  SELECT range AS id,
+        |    (range * 2654435761) % 120000001 - 60000000 AS lat,
+        |    (range * 1597334677) % 360000001 - 180000000 AS lon
+        |  FROM range(0, 10000)
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+        |FROM pts a JOIN pts b
+        |  ON b.lat BETWEEN a.lat - 2000000 AND a.lat + 2000000
+        | AND a.id < b.id
+        |WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lon - b.lon) * (a.lon - b.lon)
+        |  <= CAST(2000000 AS BIGINT) * 2000000""".stripMargin,
 
     // W23: the same 5 integer-unit PageRank steps unrolled in SQL — floor
     // division per edge, so every rank is bit-identical

@@ -116,4 +116,32 @@ class GeoSpec extends SparkSpec {
     run(pts, 10000000L, 10000000L, 400L, 5) shouldBe
       Seq((1L, 10000000L, 10000000L, 0L))
   }
+
+  test("pairsWithin equals the brute-force pair set, each pair exactly once (W25)") {
+    val pts = randomPts(77, 400).toDF("id", "lat", "lon")
+    val eps = 20000000L // dense radius so the pair set is non-trivial
+    val got = Geo.pairsWithin(pts, "id", "lat", "lon", eps)
+      .as[(Long, Long, Long)].collect().toSeq
+    got.distinct.size shouldBe got.size // exactly-once emission
+    val raw = randomPts(77, 400)
+    val expect = (for {
+      a <- raw; b <- raw if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= eps * eps
+    } yield (a._1, b._1, d2)).toSet
+    got.toSet shouldBe expect
+    expect should not be empty
+  }
+
+  test("pairsWithin finds boundary pairs exactly eps apart, across cells and hemispheres (W25)") {
+    val eps = 1000L
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, eps, 0L),            // exactly eps, straddles cell edge
+      (3L, -5000000L, -5000000L), (4L, -5000000L, -5000000L + eps), // negative coords
+      (5L, 0L, 3 * eps))                      // out of range of everyone
+      .toDF("id", "lat", "lon")
+    Geo.pairsWithin(pts, "id", "lat", "lon", eps)
+      .as[(Long, Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L, eps * eps), (3L, 4L, eps * eps))
+  }
 }
