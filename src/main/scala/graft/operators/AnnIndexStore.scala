@@ -162,6 +162,41 @@ object AnnIndexStore {
     IvfPq.search(queries, live, corpus, idCol, vecCol, index, k, nprobe, shortlist)
   }
 
+  /** S11: the full production query over the persisted index — metadata
+    * predicate × tombstones × PQ search in one call (S8's regime split
+    * composed onto the S9/S10 store). `pred` evaluates against the
+    * ENCODED store's columns: [[save]] persists whatever metadata columns
+    * the caller attached alongside (id, cid, pq_codes), which is how real
+    * stores serve "nearest docs in language Y" without touching the raw
+    * corpus. Regimes, by the caller's `selectivity` estimate:
+    *
+    *   - SELECTIVE (≤ [[FilteredAnn.BruteCutoff]]): the store acts as a
+    *     metadata prefilter — surviving ids fetch their raw vectors from
+    *     `corpus` and S1's exact broadcast-scan finishes; EXACT, and the
+    *     fetch join is survivor-sized.
+    *   - BROAD: ADC search over the filtered+live encoded rows with
+    *     nprobe inflated by 1/selectivity (S8's thinning compensation,
+    *     capped at the cell count), exact re-rank as always.
+    *
+    * Tombstones compose on both paths — a deleted id can never surface. */
+  def searchFiltered(spark: SparkSession, root: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      pred: org.apache.spark.sql.Column, selectivity: Double, k: Int = 5,
+      nprobe: Int = 2, shortlist: Int = 64): DataFrame = {
+    require(selectivity > 0 && selectivity <= 1.0)
+    val (index, encoded) = load(spark, root)
+    val live = encoded.filter(pred).join(
+      tombstones(spark, root).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    if (FilteredAnn.useBrute(selectivity)) {
+      val survivors = corpus.join(live.select(idCol), Seq(idCol), "left_semi")
+      Similarity.bruteForceTopK(queries, survivors, idCol, vecCol, k)
+    } else {
+      val np = FilteredAnn.inflatedNprobe(nprobe, index.centroids.size, selectivity)
+      IvfPq.search(queries, live, corpus, idCol, vecCol, index, k, np, shortlist)
+    }
+  }
+
   /** Fold the tombstones into the encoded store physically: re-publish the
     * triple (codebook tables re-committed verbatim — they are KB-sized —
     * under a fresh shared tag so [[load]]'s consistent-cut pin lands on the

@@ -477,6 +477,41 @@ object LlmOps {
     // batch breaks it), and the state row count rides along so a
     // double-applied batch breaks the hash too. Replay no-ops, shard-split
     // independence and state ≡ batch re-encode are StreamingAnnIngestSpec's.
+    // S11: the full production query over the persisted store — metadata
+    // predicate (persisted IN the encoded table) × tombstones × ADC
+    // search. Structural: parity survives the +1e6 copy offset, so an
+    // even query's copy passes the even-only predicate and heads the
+    // ranking at cosine 1; tombstoning the mod-4 copies then removes
+    // those winners, and the generic output booleans encode exactly
+    // which ids may appear. Regime split and exactness are spec'd.
+    "s11_filtered_store" -> { (s, dir) =>
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      val root = graft.Scratch.fresh("s11_index")
+      val built = IvfPq.build(Tables(s, dir).embeddings.repartition(parallelism(s)),
+        "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built,
+        IvfPq.encode(vecs, "vec_id", "embedding", built)
+          .withColumn("even", col("vec_id") % 2 === 0))
+      val dead = vecs.filter(col("vec_id") < CopyOffset && col("vec_id") % 4 === 0)
+        .select((col("vec_id") + CopyOffset).as("id"))
+      AnnIndexStore.delete(s, root, dead)
+      AnnIndexStore.searchFiltered(s, root,
+          vecs.filter(col("vec_id") < 64 && col("vec_id") % 2 === 0),
+          vecs, "vec_id", "embedding",
+          pred = col("even"), selectivity = 0.5, k = 5, nprobe = 3, shortlist = 64)
+        .join(dead.withColumnRenamed("id", "neighbor_id")
+          .withColumn("__dead", lit(1)), Seq("neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          (max(when(col("neighbor_id") === col("query_id") + CopyOffset, 1)
+            .otherwise(0)) === 1).as("copy_returned"),
+          (max(when(col("neighbor_id") % 2 =!= 0, 1).otherwise(0)) === 1)
+            .as("odd_returned"),
+          (max(coalesce(col("__dead"), lit(0))) === 1).as("deleted_returned"))
+        .orderBy("query_id")
+    },
+
     // S10: the s9 persisted index with tombstoned DELETES honored in-search.
     // Structural contract: every base query's planted exact copy heads the
     // ranking at cosine 1 (the s6/s9 argument) UNLESS tombstoned — odd base
@@ -2576,6 +2611,12 @@ object LlmOps {
     "s9_persisted_ann" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s11: live even copies head the ranking; odd/deleted ids never appear
+    "s11_filtered_store" ->
+      """SELECT vec_id AS query_id, vec_id % 4 <> 0 AS copy_returned,
+        |       false AS odd_returned, false AS deleted_returned
+        |FROM embeddings WHERE vec_id < 64 AND vec_id % 2 = 0""".stripMargin,
 
     // s10: evenness ≡ live-copy-at-top, tombstones never surface
     "s10_ann_deletes" ->

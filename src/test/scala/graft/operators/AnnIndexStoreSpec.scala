@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** S9: persisted IVF-PQ index — bit-exact codebook round-trip, persisted
   * search ≡ in-memory search, version pinning across re-builds, shared
@@ -114,6 +115,28 @@ class AnnIndexStoreSpec extends SparkSpec {
     // double-delete of already-dead ids stays idempotent through a compact
     AnnIndexStore.delete(spark, root, Seq(0L, 3L).toDF("id"))
     run() shouldBe before
+  }
+
+  test("filtered store search: predicate and tombstones compose, both regimes exact at full probe (S11)") {
+    val vecs = corpus(61, 400)
+    val queries = vecs.filter($"vec_id" < 6)
+    val root = graft.Scratch.fresh("s11spec")
+    val b = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 400)
+    AnnIndexStore.save(spark, root, b,
+      IvfPq.encode(vecs, "vec_id", "embedding", b)
+        .withColumn("lab", col("vec_id") % 3))
+    val deadIds = (0L until 400L).filter(i => i % 3 < 2 && i % 7 == 0)
+    AnnIndexStore.delete(spark, root, deadIds.toDF("id"))
+    val expect = Similarity.bruteForceTopK(queries,
+        vecs.filter($"vec_id" % 3 < 2 && !$"vec_id".isInCollection(deadIds)),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run(sel: Double) = AnnIndexStore.searchFiltered(spark, root, queries,
+        vecs, "vec_id", "embedding", pred = col("lab") < 2, selectivity = sel,
+        k = 5, nprobe = 4, shortlist = 400)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    run(0.66) shouldBe expect // broad: full-probe ADC + re-rank is exact
+    run(0.01) shouldBe expect // selective: metadata-prefilter + exact scan
   }
 
   test("a delete racing compactDeletes fails the clear loudly, never resurrects (S10)") {
