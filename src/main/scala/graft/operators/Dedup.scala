@@ -374,6 +374,28 @@ object Dedup {
       .distinct()
   }
 
+  /** D14: SOFT dedup — keep every row, down-weight duplicates. The
+    * data-constrained-scaling result (Muennighoff et al. 2023,
+    * arXiv:2305.16264): when data is the bottleneck, repeating documents
+    * at reduced weight beats dropping them; samplers consume a per-row
+    * weight instead of a survivor set. Weight = 1000 div |copy group| in
+    * exact per-mille integers (the T18/P10 discipline — no float division
+    * in the hash path), so each content group carries total weight ~1
+    * regardless of how often it was crawled.
+    *
+    * Scale: same shape as D1 — one shuffle on the 128-bit content hash
+    * for the group sizes (map-side partial count), one hash-keyed join
+    * back; ids and counts only, text never re-shuffles. For FUZZY groups,
+    * feed [[keepBestPerCluster]]'s component frame through a groupBy on
+    * `component` instead — the weighting arithmetic is identical. */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("__h"))
+    val sizes = hashed.groupBy("__h").agg(count(lit(1)).as("n_copies"))
+    hashed.join(sizes, Seq("__h"))
+      .select(col(idCol), col("n_copies"),
+        expr("1000 div n_copies").as("weight_pm"))
+  }
+
   /** D13: fuzzy dedup that keeps the BEST member of each near-dup cluster
     * instead of the smallest id. Production pipelines pair this with a
     * quality score (T2/T18/T21): when a boilerplate-laden mirror and the

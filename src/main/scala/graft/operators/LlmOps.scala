@@ -246,6 +246,20 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "d14_soft_dedup" -> { (s, dir) =>
+      // D14 over a planted-copy corpus: mod-3 docs gain one exact copy
+      // (id+1e6), mod-9 docs a second (id+2e6) — so weights land at
+      // 1000/500/333 per-mille by group size. Both engines run the same
+      // generic group-size derivation over the planted text.
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2 * CopyOffset).as("doc_id"), col("text")))
+      Dedup.softDedupWeights(corpus, "text", "doc_id").orderBy("doc_id")
+    },
+
     "d13_keep_best" -> { (s, dir) =>
       // D13 over the d4/d6 planted corpus: pairs = exact n-gram Jaccard
       // >= 0.5 (the d4 operator), score = length(text). A truncated copy is
@@ -2366,6 +2380,23 @@ object LlmOps {
         |SELECT c.id, coalesce(p.component, c.id) AS component,
         |       coalesce(p.component, c.id) = c.id AS is_canonical
         |FROM corpus c LEFT JOIN comp p ON c.id = p.id""".stripMargin),
+
+    // D14: group sizes over the planted-copy corpus, weights in exact
+    // per-mille floor division — grouping on text ≡ grouping on md5(text)
+    "d14_soft_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0
+        |), sizes AS (
+        |  SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM corpus GROUP BY text
+        |)
+        |SELECT c.doc_id, s.n_copies,
+        |       CAST(1000 // s.n_copies AS BIGINT) AS weight_pm
+        |FROM corpus c JOIN sizes s ON c.text = s.text""".stripMargin,
 
     // D13: the d6 component derivation extended by a keep-best election —
     // argmax(length(text)) per component, ties to MIN id, replayed as a

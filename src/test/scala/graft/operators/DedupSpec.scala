@@ -174,6 +174,16 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 6L, false), (6L, 5L, 6L, true))
   }
 
+  test("softDedupWeights gives each copy 1000 div groupsize per-mille (D14)") {
+    val out = Dedup.softDedupWeights(corpus, "text", "id")
+      .select("id", "n_copies", "weight_pm")
+      .as[(Long, Long, Long)].collect().toSet
+    // docs 1 and 2 are exact duplicates (group of 2); the rest are unique
+    out shouldBe Set(
+      (1L, 2L, 500L), (2L, 2L, 500L),
+      (3L, 1L, 1000L), (4L, 1L, 1000L), (5L, 1L, 1000L))
+  }
+
   test("keepBestPerCluster with a constant score degenerates to d6's min-id canonical (D13)") {
     val pairs = Dedup.ngramJaccardDedup(corpus, "text", "id", threshold = 0.5)
       .select("id_a", "id_b")
