@@ -557,6 +557,46 @@ object LlmOps {
         .orderBy("query_id")
     },
 
+    // X20: streaming deletes against the persisted store — takedown
+    // requests land as 3 id shards, each Append-committed to the
+    // tombstone table with a replay-skip tag; searchLive then reproduces
+    // the s10 contract (odd copies gone, evenness ≡ copy-at-top, no
+    // deleted id ever) with the deletes having arrived THROUGH the
+    // stream. Replay no-ops and batch-split independence are
+    // StreamingAnnIngestSpec's.
+    "x20_stream_ann_deletes" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      val root = graft.Scratch.fresh("x20_index")
+      val in = graft.Scratch.fresh("x20_in")
+      val ckpt = graft.Scratch.fresh("x20_ckpt")
+      val built = IvfPq.build(Tables(s, dir).embeddings.repartition(parallelism(s)),
+        "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built,
+        IvfPq.encode(vecs, "vec_id", "embedding", built))
+      val dead = vecs.filter(col("vec_id") < CopyOffset && col("vec_id") % 2 === 1)
+        .select((col("vec_id") + CopyOffset).as("id"))
+      (0 until 3).foreach { i =>
+        graft.Scratch.writeSingleParquet(dead.filter(col("id") % 3 === i),
+          Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      val q = graft.streaming.StreamingAnnIngest.startDeletes(s, in, dead.schema,
+        "id", root, ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      graft.streaming.StreamingAnnIngest.searchLive(s, root,
+          vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
+          k = 5, nprobe = 3, shortlist = 64)
+        .join(dead.withColumnRenamed("id", "neighbor_id")
+          .withColumn("__dead", lit(1)), Seq("neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          (max(when(col("neighbor_id") === col("query_id") + CopyOffset, 1)
+            .otherwise(0)) === 1).as("copy_returned"),
+          (max(coalesce(col("__dead"), lit(0))) === 1).as("deleted_returned"))
+        .orderBy("query_id")
+    },
+
     "x18_stream_ann_ingest" -> { (s, dir) =>
       import java.nio.file.Paths
       val n = Tables(s, dir).embeddings.count()
@@ -2648,6 +2688,12 @@ object LlmOps {
       """SELECT vec_id AS query_id, vec_id % 4 <> 0 AS copy_returned,
         |       false AS odd_returned, false AS deleted_returned
         |FROM embeddings WHERE vec_id < 64 AND vec_id % 2 = 0""".stripMargin,
+
+    // x20: the s10 contract with the deletes arriving through the stream
+    "x20_stream_ann_deletes" ->
+      """SELECT vec_id AS query_id, vec_id % 2 = 0 AS copy_returned,
+        |       false AS deleted_returned
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     // s10: evenness ≡ live-copy-at-top, tombstones never surface
     "s10_ann_deletes" ->

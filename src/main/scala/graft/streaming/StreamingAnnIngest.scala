@@ -85,4 +85,51 @@ object StreamingAnnIngest {
     IvfPq.search(queries, encoded, corpus, idCol, vecCol, index,
       k = k, nprobe = nprobe, shortlist = shortlist)
   }
+
+  // ---- X20: streaming deletes (S10 × X13) ----
+
+  /** One delete micro-batch: Append-commit the ids to the tombstone
+    * table, tagged for replay-skip. Visible to the next [[searchLive]]
+    * with no index rewrite — the takedown/GDPR latency a production
+    * store is actually measured on; [[AnnIndexStore.compactDeletes]]
+    * folds them in physically on whatever cadence the operator runs. */
+  def applyDeleteBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      idCol: String, indexRoot: String): Unit = {
+    val tombT = s"$indexRoot/${AnnIndexStore.TombstoneTable}"
+    val tag = s"del-$batchId"
+    if (SnapshotTable.hasTag(tombT, tag) || batch.isEmpty) return
+    AnnIndexStore.delete(spark, indexRoot, batch.select(idCol),
+      tag = Some(tag)): Unit
+  }
+
+  /** Watch `inDir` for parquet shards of delete requests (`idCol`). */
+  def startDeletes(spark: SparkSession, inDir: String, schema: StructType,
+      idCol: String, indexRoot: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    reader.parquet(inDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyDeleteBatch(spark, batch, id, idCol, indexRoot)
+      }
+      .start()
+  }
+
+  /** [[search]] with the streamed tombstones honored — candidates
+    * anti-joined before the shortlist cut (the S10 rule: full k out,
+    * deleted ids never surface), over the maintained latest store. */
+  def searchLive(spark: SparkSession, indexRoot: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int = 5,
+      nprobe: Int = 2, shortlist: Int = 64): DataFrame = {
+    val (index, _) = AnnIndexStore.load(spark, indexRoot)
+    val live = SnapshotTable.read(spark, s"$indexRoot/encoded")
+      .join(AnnIndexStore.tombstones(spark, indexRoot)
+        .withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    IvfPq.search(queries, live, corpus, idCol, vecCol, index,
+      k = k, nprobe = nprobe, shortlist = shortlist)
+  }
 }

@@ -87,4 +87,29 @@ class StreamingAnnIngestSpec extends SparkSpec {
       canon(IvfPq.search(queries, IvfPq.encode(all, "vec_id", "v", index), all,
         "vec_id", "v", index, k = 3, nprobe = 2, shortlist = 16))
   }
+
+  test("streamed deletes ≡ one batch delete; replays commit nothing; splits converge (X20)") {
+    val base = vecs(11, 150)
+    val deadIds = (0L until 150L).filter(_ % 4 == 0)
+    def searchIds(root: String): Set[(Long, Long)] =
+      StreamingAnnIngest.searchLive(spark, root, df(base).filter(col("vec_id") < 8),
+          df(base), "vec_id", "v", k = 5, nprobe = 4, shortlist = 150)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // one-shot batch reference
+    val (rootA, _) = buildRoot("x20spec_a", base)
+    StreamingAnnIngest.applyDeleteBatch(spark, deadIds.toDF("id"), 0L, "id", rootA)
+    val expect = searchIds(rootA)
+    expect.map(_._2).intersect(deadIds.toSet) shouldBe Set.empty
+    // 3-way split converges to the same visible results
+    val (rootB, _) = buildRoot("x20spec_b", base)
+    deadIds.grouped(15).zipWithIndex.foreach { case (b, i) =>
+      StreamingAnnIngest.applyDeleteBatch(spark, b.toDF("id"), i.toLong, "id", rootB)
+    }
+    searchIds(rootB) shouldBe expect
+    // replaying an applied batch id commits nothing
+    val tombT = s"$rootB/${AnnIndexStore.TombstoneTable}"
+    val v = SnapshotTable.latestVersion(tombT)
+    StreamingAnnIngest.applyDeleteBatch(spark, deadIds.take(15).toDF("id"), 0L, "id", rootB)
+    SnapshotTable.latestVersion(tombT) shouldBe v
+  }
 }
