@@ -384,6 +384,29 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r51_bloom_skip" -> { (s, dir) =>
+      // R51: bloom point-lookup skipping on a layout R42's ranges CANNOT
+      // prune — four Append commits each hold one residue class mod 4, so
+      // every file's o_orderkey range spans the table, but a point probe
+      // hits one residue. The in-gate require proves files were actually
+      // skipped; the emitted rows are the exact equality result either
+      // way (false positives cost I/O, never rows). Agg/probe bit
+      // behavior, merge-OR laws and no-bloom fallback are
+      // SnapshotBloomSpec's.
+      val t = graft.Scratch.fresh("r51_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      (0 until 4).foreach { i =>
+        SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 4 === i).coalesce(1),
+          mode = if (i == 0) SnapshotTable.Overwrite else SnapshotTable.Append): Unit
+      }
+      SnapshotBloom.attach(s, t, Seq("o_orderkey"))
+      val key = o.agg(min("o_orderkey")).head().getLong(0)
+      val (kept, skipped) = SnapshotBloom.prunedFiles(s, t, "o_orderkey", key)
+      require(skipped.size >= 2,
+        s"bloom must skip overlapping-range files (kept ${kept.size}, skipped ${skipped.size})")
+      SnapshotBloom.readPoint(s, t, "o_orderkey", key)
+    },
+
     "r50_txn_commit" -> { (s, dir) =>
       // R50: atomic cross-table transaction + cross-table time travel.
       // Txn 1 commits the full per-nation and per-orderstatus aggregates;
@@ -1286,6 +1309,11 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R51: the point lookup's exact rows; skipping is proven in-gate
+    "r51_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
 
     // R50: the txn-1 cut is the FULL aggregates of both tables — a torn
     // read resolving either table to txn 2's filtered half breaks the hash
