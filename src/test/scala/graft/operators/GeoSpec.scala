@@ -133,6 +133,14 @@ class GeoSpec extends SparkSpec {
     expect should not be empty
   }
 
+  test("pairsWithin plans as an equi-join on the cell key, never a nested loop (W25)") {
+    val pts = randomPts(88, 200).toDF("id", "lat", "lon")
+    val plan = Geo.pairsWithin(pts, "id", "lat", "lon", 1000000L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("pairsWithin finds boundary pairs exactly eps apart, across cells and hemispheres (W25)") {
     val eps = 1000L
     val pts = Seq(
