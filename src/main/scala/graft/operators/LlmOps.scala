@@ -1114,29 +1114,35 @@ object LlmOps {
       // src0 and samples src1..4 on the post-pipeline token mass, and the
       // split keys on the sampled ids. The DuckDB oracle chains every
       // stage's fragment, so the whole pipeline is value-exact end to end.
-      val docs = Tables(s, dir).documents
-      val planted = docs.select(col("doc_id"), col("source"), concat(
-          lit("ACCEPT COOKIES TO CONTINUE\n"),
-          col("text"),
-          when(col("doc_id") % 4 === 0, lit("\nlimited time promo offer"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 3 === 0, lit(" " + Chunk12)).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit(" " + SpamTail)).otherwise(lit("")))
-        .as("text"))
-      val quality = planted.filter(
-        graft.functions.QualityClassifier.scoreMu(Search.toks(col("text"))) > 0)
-      val lined = SpanDedup.lineDedup(quality.select("doc_id", "text"), "text", "doc_id")
-      val cleaned = SpanDedup.substringDedup(lined, "text", "doc_id", minTokens = 8)
-      val massed = cleaned
-        .join(docs.select("doc_id", "source"), Seq("doc_id"))
-        .withColumn("n_tokens",
-          when(length(col("clean_text")) === 0, lit(0L))
-            .otherwise(size(split(col("clean_text"), " ")).cast("long")))
-      val sampled = Sampling.budgetMixture(massed, "doc_id", "source", "n_tokens",
-        Seq("src0" -> 500L, "src1" -> 200L, "src2" -> 150L,
-          "src3" -> 100L, "src4" -> 50L), budget = 4000L)
-      Sampling.assignSplits(sampled, "doc_id", SplitSpec)
+      Sampling.assignSplits(curationV3Sampled(s, dir), "doc_id", SplitSpec)
         .select("doc_id", "source", "n_tokens", "split")
+        .orderBy("doc_id")
+    },
+
+    "p13_corpus_build" -> { (s, dir) =>
+      // P13: the whole corpus build, raw dump to training shards, as ONE
+      // derivation + ONE atomic publication: p11's curation/mixture chain
+      // (T21 quality gate, D11 line dedup, D12 span removal, P10 budget
+      // mixture) feeds P12's shard packing (T12) and per-shard manifest,
+      // both published as a single R50 transaction and read back THROUGH
+      // the txn pin. The DuckDB oracle chains p11's full CTE stack with
+      // the packing/stats fragments — one leak at ANY of the six stages
+      // moves the hash. This is the pipeline a 100 TB data org actually
+      // schedules nightly, end to end.
+      val root = graft.Scratch.fresh("p13_build")
+      val q = curationV3Sampled(s, dir).select("doc_id", "source", "n_tokens")
+      val map = TextAnalysis.packSequences(q, "doc_id", "n_tokens",
+          seqLen = 128, shards = 4)
+        .select("doc_id", "source", "shard", "seq_id", "seq_off", "n_tokens")
+      val stats = map.groupBy("shard").agg(
+        count(lit(1)).as("shard_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        expr("(sum(n_tokens) + 127) div 128").as("shard_seqs"))
+      SnapshotTxn.commit(s, root, Seq("doc_map" -> map, "shard_stats" -> stats))
+      SnapshotTxn.readAt(s, root, "doc_map")
+        .join(SnapshotTxn.readAt(s, root, "shard_stats"), Seq("shard"))
+        .select("doc_id", "source", "shard", "seq_id", "seq_off",
+          "shard_docs", "shard_tokens", "shard_seqs")
         .orderBy("doc_id")
     },
 
@@ -1629,7 +1635,38 @@ object LlmOps {
     * split. Any stage leaking a spam doc, an extra line copy, a kept
     * duplicated span, a wrong token mass or a wrong threshold moves the
     * final hash. */
-  private def p11OracleSql: String =
+  /** p11/p13's shared stage chain: planted corpus → T21 learned quality
+    * gate (spam dropped before any dedup, the X11 order) → D11 corpus-wide
+    * line dedup → D12 duplicated-span removal → cleaned token mass → P10
+    * budget mixture. Returns the sampled (doc_id, source, n_tokens) frame;
+    * [[p11CtesSql]] is its DuckDB replay ending at the `samp` CTE. */
+  private def curationV3Sampled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val planted = docs.select(col("doc_id"), col("source"), concat(
+        lit("ACCEPT COOKIES TO CONTINUE\n"),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nlimited time promo offer"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" " + Chunk12)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" " + SpamTail)).otherwise(lit("")))
+      .as("text"))
+    val quality = planted.filter(
+      graft.functions.QualityClassifier.scoreMu(Search.toks(col("text"))) > 0)
+    val lined = SpanDedup.lineDedup(quality.select("doc_id", "text"), "text", "doc_id")
+    val cleaned = SpanDedup.substringDedup(lined, "text", "doc_id", minTokens = 8)
+    val massed = cleaned
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("n_tokens",
+        when(length(col("clean_text")) === 0, lit(0L))
+          .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+    Sampling.budgetMixture(massed, "doc_id", "source", "n_tokens",
+      Seq("src0" -> 500L, "src1" -> 200L, "src2" -> 150L,
+        "src3" -> 100L, "src4" -> 50L), budget = 4000L)
+  }
+
+  /** p11/p13's shared CTE stack — the full curation replay ending at the
+    * sampled `samp` (doc_id, source, n_tokens). */
+  private def p11CtesSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, source,
        |    'ACCEPT COOKIES TO CONTINUE' || chr(10) || text
@@ -1707,10 +1744,44 @@ object LlmOps {
        |), samp AS (
        |  SELECT m.doc_id, m.source, m.n_tokens FROM mass m JOIN th USING (source)
        |  WHERE ${md5UnitSql("m.doc_id")} < th.thresh
-       |)
+       |)""".stripMargin
+
+  private def p11OracleSql: String = p11CtesSql +
+    s"""
        |SELECT doc_id, source, n_tokens, $splitCaseSql AS split FROM (
        |  SELECT doc_id, source, n_tokens, ${md5UnitSql("doc_id")} AS u FROM samp)
        |ORDER BY doc_id""".stripMargin
+
+  /** P13: p11's chain extended by t12's packing fragment and the shard
+    * manifest stats — the whole corpus build replayed. */
+  private def p13OracleSql: String = p11CtesSql +
+    """, pk AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS u1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 9),
+      |        i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % 4 AS shard
+      |  FROM samp
+      |), o2 AS (
+      |  SELECT doc_id, source, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY u1, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM pk
+      |), map2 AS (
+      |  SELECT doc_id, source, shard, off // 128 AS seq_id, off % 128 AS seq_off,
+      |         n_tokens
+      |  FROM o2
+      |), st2 AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS shard_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+      |         CAST((sum(n_tokens) + 127) // 128 AS BIGINT) AS shard_seqs
+      |  FROM map2 GROUP BY shard
+      |)
+      |SELECT m.doc_id, m.source, m.shard, m.seq_id, m.seq_off,
+      |       s2.shard_docs, s2.shard_tokens, s2.shard_seqs
+      |FROM map2 m JOIN st2 s2 USING (shard)
+      |ORDER BY doc_id""".stripMargin
 
   /** P9: both ranked lists re-derived from scratch (the t20 BM25 CTEs and
     * the s1 sequential-fold cosine), then the integer RRF combine. */
@@ -2027,6 +2098,7 @@ object LlmOps {
     "p10_budget_mixture" -> p10OracleSql,
     "t21_learned_quality" -> t21OracleSql,
     "p11_curation_v3" -> p11OracleSql,
+    "p13_corpus_build" -> p13OracleSql,
 
     // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
     // lang join, all replayed in one SQL pipeline
