@@ -416,9 +416,13 @@ object Dedup {
   def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
       score: Column, reliable: Boolean = false): DataFrame = {
     val scored = docs.select(col(idCol).as("id"), score.as("__score"))
-    val labeled = ConnectedComponents
+    // Caches-owned: the labeled frame feeds BOTH the winner election and
+    // the final join — unpinned, the label+score join tree (and through
+    // it the caller's pair derivation if it wasn't materialized) would
+    // evaluate twice
+    val labeled = Caches.owned(ConnectedComponents
       .labels(docs.select(col(idCol)), pairs, reliable = reliable)
-      .join(scored, Seq("id"))
+      .join(scored, Seq("id")))
     val winners = labeled.groupBy("component")
       // lexicographic struct max: highest score first, then -id (= min id)
       .agg(max_by(col("id"), struct(col("__score"), (-col("id")).as("__nid")))

@@ -384,6 +384,24 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r52_snapshot_evolution" -> { (s, dir) =>
+      // R52: column-add schema evolution under the manifest log — v1 files
+      // predate o_totalprice, the Append's files carry it, and a merged
+      // read resolves the union schema with nulls for the old rows. No
+      // history rewrite; a pinned v1 read keeps the narrow schema
+      // (SnapshotTableSpec). The plain-dir R29 gate covers mergeSchema on
+      // raw parquet; this certifies it composed with versioned commits.
+      val t = graft.Scratch.fresh("r52_table")
+      val o = Tables(s, dir).orders
+      SnapshotTable.commit(s, t,
+        o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "o_custkey"))
+      SnapshotTable.commit(s, t,
+        o.filter(col("o_orderkey") % 3 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        mode = SnapshotTable.Append)
+      SnapshotTable.read(s, t, mergeSchema = true).orderBy("o_orderkey")
+    },
+
     "r51_bloom_skip" -> { (s, dir) =>
       // R51: bloom point-lookup skipping on a layout R42's ranges CANNOT
       // prune — four Append commits each hold one residue class mod 4, so
@@ -1309,6 +1327,14 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R52: old commit's rows surface with NULL in the later-added column
+    "r52_snapshot_evolution" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
 
     // R51: the point lookup's exact rows; skipping is proven in-gate
     "r51_bloom_skip" ->

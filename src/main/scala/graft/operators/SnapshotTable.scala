@@ -278,14 +278,23 @@ object SnapshotTable {
   }
 
   /** Read the table at `version` (default: latest). The returned plan scans
-    * exactly that version's file list — immutable under later commits. */
-  def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    * exactly that version's file list — immutable under later commits.
+    *
+    * R52 — `mergeSchema = true`: resolve the UNION of every listed file's
+    * schema (columns an older commit predates read as null), the Delta
+    * column-add evolution shape: widening a table is just an Append whose
+    * new files carry the new column, no rewrite of history. Off by default
+    * because merged-footer resolution reads every file's footer instead of
+    * one; a pinned historical read keeps exactly the schema its files had. */
+  def read(spark: SparkSession, table: String, version: Long = -1L,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = if (version >= 0) version
       else latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
     val files = manifestFiles(table, v)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    else spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => s"$table/$f"): _*)
   }
 
   /** Drop manifests below `keepFrom` and delete data files no retained

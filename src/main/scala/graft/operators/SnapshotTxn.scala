@@ -135,6 +135,16 @@ object SnapshotTxn {
     txn
   }
 
+  /** The minimum version of `table` that any published txn still pins.
+    * [[SnapshotTable.vacuum]] on a MEMBER table must keep from at most
+    * this version — per-table vacuuming below it would delete files a
+    * retained txn cut still resolves to. (Txn manifests are the source of
+    * truth for liveness here, exactly like table manifests are for files.) */
+  def minPinnedVersion(root: String, table: String): Option[Long] = {
+    val pinned = txns(root).flatMap(t => tableVersions(root, t).get(table))
+    if (pinned.isEmpty) None else Some(pinned.min)
+  }
+
   /** Read `table` at the version `txn` pinned (default: latest txn). The
     * returned plan scans exactly that version's files — immutable under
     * later txns, so a job reading many tables from one pinned txn gets a

@@ -79,4 +79,17 @@ class SnapshotTableSpec extends SparkSpec {
     val dataDirs = Option(new java.io.File(s"$t/data").listFiles()).toSeq.flatten
     dataDirs.map(_.getName).count(_.startsWith("c0000000000000001")) shouldBe 0
   }
+
+  test("column-add evolution: merged read unions the schema, pinned reads keep theirs (R52)") {
+    val t = graft.Scratch.fresh("snap_evolve")
+    commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    commit(spark, t, Seq((2L, "b", 9.5)).toDF("k", "v", "w"), mode = Append)
+    val merged = read(spark, t, mergeSchema = true)
+    merged.columns.toSet shouldBe Set("k", "v", "w")
+    merged.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(r.fieldIndex("w"))))) shouldBe
+      Array((1L, "a", None), (2L, "b", Some(9.5)))
+    // a pinned historical read keeps exactly the schema its files had
+    read(spark, t, version = 1L).columns.toSet shouldBe Set("k", "v")
+  }
 }
