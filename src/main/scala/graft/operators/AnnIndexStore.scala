@@ -151,7 +151,13 @@ object AnnIndexStore {
     * shortlist and the exact re-rank only ever see live ids and the caller
     * still gets a full k. The tombstone side of the join is its distinct
     * id set (small by design between compactions), so AQE plans it as a
-    * broadcast anti-join — no extra shuffle on the candidate stream. */
+    * broadcast anti-join — no extra shuffle on the candidate stream.
+    *
+    * Reads through [[load]]'s PINNED consistent triple — correct for
+    * batch-built stores (S9/S10). A store maintained by streaming Appends
+    * (X18/X20) deliberately does not re-tag the codebook tables, so use
+    * [[graft.streaming.StreamingAnnIngest.searchLive]] there: it reads
+    * `encoded` at its latest version and honors the same tombstones. */
   def searchWithDeletes(spark: SparkSession, root: String, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int = 5,
       nprobe: Int = 2, shortlist: Int = 64): DataFrame = {

@@ -107,7 +107,21 @@ object SnapshotTxn {
       try Await.result(Future.sequence(pairs.map { case (name, df) =>
         require(!name.contains("/") && !name.contains("\""),
           s"table name must be a simple identifier: $name")
-        Future(name -> SnapshotTable.commit(spark, s"$root/$name", df, mode = mode))
+        // txn-level Append must append onto the LAST PUBLISHED CUT, not the
+        // per-table latest: a crashed attempt leaves a DARK version whose
+        // file list already contains its batch — plain Append on replay
+        // would carry those files AND write the batch again, doubling it.
+        // Replace(base files of the published cut) is immune by
+        // construction; Overwrite/Replace pass through untouched.
+        val effMode = mode match {
+          case SnapshotTable.Append =>
+            SnapshotTable.Replace(
+              parent.flatMap(p => tableVersions(root, p).get(name))
+                .map(v => SnapshotTable.manifestFiles(s"$root/$name", v))
+                .getOrElse(Seq.empty))
+          case other => other
+        }
+        Future(name -> SnapshotTable.commit(spark, s"$root/$name", df, mode = effMode))
       }), Duration.Inf)
       finally pool.shutdown()
     }

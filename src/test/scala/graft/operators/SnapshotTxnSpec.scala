@@ -52,6 +52,23 @@ class SnapshotTxnSpec extends SparkSpec {
     SnapshotTable.latestVersion(s"$root/a") shouldBe Some(vA)
   }
 
+  test("a crashed Append txn replays without doubling the batch (R50)") {
+    val root = graft.Scratch.fresh("txnspec_appcrash")
+    SnapshotTxn.commit(spark, root, Seq("a" -> frame(1L -> "a1")))
+    intercept[RuntimeException] {
+      SnapshotTxn.commit(spark, root, Seq("a" -> frame(2L -> "a2")),
+        mode = SnapshotTable.Append, tag = Some("app-1"),
+        beforePublish = () => throw new RuntimeException("crash"))
+    }
+    // the dark version's file list already contains batch 2; a replay that
+    // resolved Append against the per-table latest would carry it AND
+    // write it again — the published cut must hold each row exactly once
+    SnapshotTxn.commit(spark, root, Seq("a" -> frame(2L -> "a2")),
+      mode = SnapshotTable.Append, tag = Some("app-1"))
+    SnapshotTxn.readAt(spark, root, "a").as[(Long, String)].collect().toSeq
+      .sorted shouldBe Seq(1L -> "a1", 2L -> "a2")
+  }
+
   test("CAS on the parent txn rejects a racing transaction (R50)") {
     val root = graft.Scratch.fresh("txnspec_cas")
     SnapshotTxn.commit(spark, root, Seq("a" -> frame(1L -> "a1")))
