@@ -158,13 +158,26 @@ object Dedup {
     * of the index; pair dedup on bare ids before the sets re-join.
     */
   def ngramJaccardDedup(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame =
+    setJaccardPairs(shingleSets(df, textCol, idCol, shingleK), threshold)
+
+  /** W26/D4-core: generic exact set-similarity join — the AllPairs/PPJoin
+    * pass over ARBITRARY id sets, not just text shingles. This is the
+    * entity-resolution primitive ("two KG entities sharing most claims",
+    * "two suppliers shipping the same parts", "two users with the same
+    * follows"): `setsIn` is (id, __set) with `__set` a SORTED-ascending
+    * distinct `array<long>` (what [[shingleSets]] emits for text), and the
+    * result is exactly {pairs: J ≥ threshold} — blocking-invisible, so any
+    * engine can re-derive it. Same scale shape as D4: rarity-ordered
+    * prefix index, length + positional filters before the pair-dedup
+    * shuffle, native sorted-merge verification on candidates only. */
+  def setJaccardPairs(setsIn: DataFrame, threshold: Double): DataFrame = {
     // pruning bounds are relaxed by Eps so floating-point roundoff can only
     // over-admit a candidate (verification is exact), never prune a true
     // J = threshold boundary pair — e.g. ceil(t/(1+t)·(sa+sb)) computed a
     // hair above its exact integer value would otherwise drop it
     val Eps = 1e-9
-    val sets = Caches.owned(shingleSets(df, textCol, idCol, shingleK))
+    val sets = Caches.owned(setsIn)
     val ex = sets.select(col("id"), explode(col("__set")).as("sh"), size(col("__set")).as("sz"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
     val ranked = ex.join(dfreq, Seq("sh"))

@@ -1110,6 +1110,24 @@ object Relational {
         radiusMicro = 4491600L, k = 100)
     },
 
+    "w26_entity_similarity" -> { (s, dir) =>
+      // KG entity resolution re-expressed on the stand-in schema: two
+      // entities are similar when the sets of claims they carry overlap —
+      // here nations by the distinct parts their suppliers ship
+      // (lineitem ≙ claims). Exact Jaccard ≥ 0.5 through the LOSSLESS
+      // PPJoin path over arbitrary long-id sets (setJaccardPairs, the D4
+      // kernel generalized past text), so the blocking is invisible and
+      // DuckDB re-derives the pure pair set from shared elements.
+      val t = Tables(s, dir)
+      val sets = t.lineitem
+        .join(t.supplier.select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("id"))
+        .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("__set"))
+      Dedup.setJaccardPairs(sets, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     "w25_geo_pairs" -> { (s, dir) =>
       // spatial pair self-join: all pairs within 2.0 deg (squared-microdegree
       // metric) over 10k deterministic points. The operator grid-blocks
@@ -1712,6 +1730,28 @@ object Relational {
         |SELECT id, lat_micro, lon_micro, dist2 FROM d
         |WHERE dist2 <= CAST(4491600 AS BIGINT) * 4491600
         |ORDER BY dist2, id LIMIT 100""".stripMargin,
+
+    // W26: the pure semantic pair set {J >= 0.5} re-derived from shared
+    // elements — the prefix-filter blocking must be invisible
+    "w26_entity_similarity" ->
+      """WITH sets AS (
+        |  SELECT s_nationkey AS id, list_distinct(list(l_partkey)) AS s
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey
+        |), ex AS (
+        |  SELECT id, unnest(s) AS e FROM sets
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.e = b.e AND a.id < b.id
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT id, len(s) AS n FROM sets
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON inter.id_a = sa.id
+        |             JOIN sz sb ON inter.id_b = sb.id
+        |) WHERE jaccard >= 0.5""".stripMargin,
 
     // W25: brute-force replay of the same long-arithmetic pair predicate;
     // the lat-band condition makes it a DuckDB IEJoin, not a cross join

@@ -174,6 +174,28 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 6L, false), (6L, 5L, 6L, true))
   }
 
+  test("setJaccardPairs on arbitrary id sets equals brute force, boundary inclusive (W26)") {
+    val sets = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 50L)),   // J(1,2) = 3/5 = 0.6
+      (3L, Seq(10L, 20L)),             // J(1,3) = 2/4 = 0.5 — exact boundary
+      (4L, Seq(70L, 80L, 90L)),        // disjoint from all
+      (5L, Seq(10L, 20L, 30L, 40L)))   // J(1,5) = 1.0
+      .toDF("id", "__set")
+    val got = Dedup.setJaccardPairs(sets, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val raw = Seq(1L -> Set(10L, 20L, 30L, 40L), 2L -> Set(10L, 20L, 30L, 50L),
+      3L -> Set(10L, 20L), 4L -> Set(70L, 80L, 90L), 5L -> Set(10L, 20L, 30L, 40L))
+    val expect = (for {
+      (a, sa) <- raw; (b, sb) <- raw if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    got shouldBe expect
+    got.exists { case (a, b, j) => Set(a, b) == Set(1L, 3L) && j == 0.5 } shouldBe true
+  }
+
   test("softDedupWeights gives each copy 1000 div groupsize per-mille (D14)") {
     val out = Dedup.softDedupWeights(corpus, "text", "id")
       .select("id", "n_copies", "weight_pm")
