@@ -74,4 +74,50 @@ object PropertyPath {
   def closure(edges: DataFrame, maxRounds: Int = 20,
       reliable: Boolean = false): DataFrame =
     closureWithStats(edges, maxRounds, reliable).pairs
+
+  /** W27: minimum HOP DISTANCES from a source set along (src, dst) edges —
+    * the "how far up the ontology is this class" / "degrees of separation"
+    * question the boolean closure cannot answer. Frontier BFS with a
+    * min-dist visited set: round k settles every node at distance k, so
+    * the loop runs O(radius) rounds shipping (node, dist) ids only — the
+    * right trade for distance queries (path doubling would need min-plus
+    * joins carrying a dist column through every doubling, more shuffle
+    * volume for the same answer; closure stays the doubling's job).
+    * Each round is checkpointed and the superseded one released (the CC
+    * ownership rule). Unreachable nodes are absent from the result.
+    * Throws if `maxRounds` rounds leave an unsettled frontier. */
+  def hopDistances(edges: DataFrame, sources: DataFrame, maxRounds: Int = 64,
+      reliable: Boolean = false): DataFrame = {
+    val Seq(ca, cb) = edges.columns.take(2).toSeq
+    def checkpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = checkpoint(
+      edges.select(col(ca).cast("long").as("src"), col(cb).cast("long").as("dst"))
+        .filter(col("dst").isNotNull).distinct())
+    val srcCol = sources.columns.head
+    var settled = checkpoint(sources
+      .select(col(srcCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = settled
+    var round = 0
+    var frontierN = frontier.count()
+    while (frontierN > 0) {
+      require(round < maxRounds,
+        s"hopDistances did not settle within $maxRounds rounds")
+      round += 1
+      val next = checkpoint(frontier.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(settled.select("id"), Seq("id"), "left_anti")
+        .withColumn("dist", lit(round.toLong)))
+      val nextSettled = checkpoint(settled.unionByName(next))
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(settled)
+      if (round > 1) // round 1's frontier IS the initial settled frame
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(frontier)
+      settled = nextSettled
+      frontier = next
+      frontierN = next.count()
+    }
+    settled
+  }
 }

@@ -1142,6 +1142,23 @@ object Relational {
         .orderBy("id_a", "id_b")
     },
 
+    "w27_hop_distance" -> { (s, dir) =>
+      // min-hop distances from the root over the w23 claim graph with
+      // edges reversed (child→parent becomes parent→child): "how deep
+      // below the root class is each entity" — the distance question the
+      // boolean closure (w20/w21) cannot answer. Frontier BFS settles
+      // each depth in one round; DuckDB replays with a recursive
+      // UNION-dedup walk + min aggregation. BFS semantics (multi-source
+      // min, unreachable absent, round bound) are PropertyPathSpec's.
+      val tree = s.range(2, 4096).select(col("id").as("src"), expr("id div 2").as("dst"))
+      val cross = s.range(1, 4096).filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), ((col("id") * 7) % 4095 + 1).as("dst"))
+      val rev = tree.unionByName(cross)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      PropertyPath.hopDistances(rev, s.range(1, 2).toDF("id"))
+        .orderBy("id")
+    },
+
     "w23_pagerank" -> { (s, dir) =>
       // entity centrality: 5 integer-unit PageRank steps over a
       // deterministic claim graph — a 4094-edge class tree (i -> i div 2,
@@ -1730,6 +1747,22 @@ object Relational {
         |SELECT id, lat_micro, lon_micro, dist2 FROM d
         |WHERE dist2 <= CAST(4491600 AS BIGINT) * 4491600
         |ORDER BY dist2, id LIMIT 100""".stripMargin,
+
+    // W27: recursive UNION-dedup walk (rows (id, d) dedup, so the bound
+    // terminates it) + min per node ≡ BFS settling order
+    "w27_hop_distance" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT range // 2 AS src, range AS dst FROM range(2, 4096)
+        |  UNION ALL
+        |  SELECT (range * 7) % 4095 + 1 AS src, range AS dst
+        |  FROM range(1, 4096) WHERE range % 3 = 0
+        |), walk(id, d) AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  UNION
+        |  SELECT r.dst, walk.d + 1 FROM walk JOIN r ON r.src = walk.id
+        |  WHERE walk.d < 30
+        |)
+        |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin,
 
     // W26: the pure semantic pair set {J >= 0.5} re-derived from shared
     // elements — the prefix-filter blocking must be invisible

@@ -71,4 +71,25 @@ class PropertyPathSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     ccReliable shouldBe ccLocal
   }
+
+  test("hopDistances: BFS min distance, multi-source min, unreachable absent (W27)") {
+    //   1 → 2 → 3 → 4     5 → 3 (shortcut)    9 isolated target of nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 3L), (8L, 9L))
+      .toDF("src", "dst")
+    val single = PropertyPath.hopDistances(edges, Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    single shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L) // 5/8/9 unreachable
+    // multi-source: 3 settles at dist 1 via source 5, not 2 via source 1
+    val multi = PropertyPath.hopDistances(edges, Seq(1L, 5L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    multi shouldBe Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L)
+    // a cycle settles each node once and terminates
+    val cyc = PropertyPath.hopDistances(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    cyc shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+    // an unsettled frontier past maxRounds fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      PropertyPath.hopDistances(edges, Seq(1L).toDF("id"), maxRounds = 2)
+  }
 }
