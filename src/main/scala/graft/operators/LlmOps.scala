@@ -858,6 +858,26 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "t23_dataset_card" -> { (s, dir) =>
+      // T23: the dataset-card profile every corpus release ships — doc and
+      // token counts, quality share and mean doc length per (source, lang)
+      // with ROLLUP subtotals and a grand total, in ONE pass (T2/T3's
+      // measurements × R19's rollup). All integers and exact ratios:
+      // token counts are whitespace tokens, quality is T2's boolean,
+      // mean length is an integer div — cross-engine hash-exact.
+      val docs = Tables(s, dir).documents
+      val m = docs.select(col("source"), col("lang"),
+        TextAnalysis.wsTokens(col("text")).cast("long").as("toks"),
+        TextAnalysis.isQuality(col("text")).cast("long").as("q"),
+        length(col("text")).cast("long").as("len"))
+      m.rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("n_tokens"),
+          sum("q").as("n_quality"),
+          expr("sum(len) div count(1)").as("mean_chars"))
+        .orderBy("source", "lang")
+    },
+
     "t22_gopher_rules" -> { (s, dir) =>
       // T22: Gopher document-filter profile. The synthetic corpus passes
       // most rules trivially, so plant each failure mode: mod-13 docs get
@@ -2804,6 +2824,19 @@ object LlmOps {
     "t2_quality" -> t2OracleSql,
 
     "t22_gopher_rules" -> t22OracleSql,
+
+    // T23: the same measurements under ROLLUP — DuckDB's NULL subtotal
+    // rows match Spark's rollup semantics exactly
+    "t23_dataset_card" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(length(text) >= 100
+        |    AND (CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |              / length(text) END) < 0.1 AS INT)) AS BIGINT) AS n_quality,
+        |  CAST(sum(length(text)) // count(*) AS BIGINT) AS mean_chars
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)""".stripMargin,
 
     "t17_global_shuffle" ->
       """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
