@@ -384,6 +384,26 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r53_deletion_vectors" -> { (s, dir) =>
+      // R53: merge-on-read deletes — two cumulative DV batches against a
+      // two-commit base; the in-gate require proves NO data file was
+      // rewritten (the whole point vs R43's copy-on-write), and the MoR
+      // read must equal the plain predicate filter. Fold/compaction,
+      // two-axis time travel, idempotent re-delete and the
+      // rewrite-resurrection hazard are SnapshotDvSpec's.
+      val t = graft.Scratch.fresh("r53_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 2 === 1).coalesce(2),
+        mode = SnapshotTable.Append)
+      val filesBefore = SnapshotTable.filesOf(t)
+      SnapshotDv.deleteWhere(s, t, col("o_orderkey") % 7 === 0)
+      SnapshotDv.deleteWhere(s, t, col("o_custkey") % 11 === 0)
+      require(SnapshotTable.filesOf(t) == filesBefore,
+        "merge-on-read delete must not rewrite data files")
+      SnapshotDv.readMor(s, t).orderBy("o_orderkey")
+    },
+
     "r52_snapshot_evolution" -> { (s, dir) =>
       // R52: column-add schema evolution under the manifest log — v1 files
       // predate o_totalprice, the Append's files carry it, and a merged
@@ -1362,6 +1382,11 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R53: the MoR read equals the plain predicate filter
+    "r53_deletion_vectors" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_custkey % 11 <> 0""".stripMargin,
 
     // R52: old commit's rows surface with NULL in the later-added column
     "r52_snapshot_evolution" ->
