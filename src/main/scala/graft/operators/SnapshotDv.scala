@@ -52,6 +52,32 @@ object SnapshotDv {
     SnapshotTable.commit(spark, t, positions, mode = mode, tag = tag)
   }
 
+  /** [[deleteWhere]] by KEY SET instead of predicate — the streaming /
+    * request-queue shape ("delete these ids"): positions come from a
+    * semi-join of the base scan against `keys` (first column, broadcast
+    * when small), so nothing is collected to the driver and a million-key
+    * batch is just a bigger join. */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+      keyCol: String, tag: Option[String] = None): Long = {
+    val files = SnapshotTable.filesOf(table)
+    val positions = spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"), col("*"))
+      .join(keys.select(col(keys.columns.head).as(keyCol)).distinct(),
+        Seq(keyCol), "left_semi")
+      .select("file", "pos")
+    val t = dvTable(table)
+    val mode = if (SnapshotTable.latestVersion(t).isDefined) SnapshotTable.Append
+               else SnapshotTable.Overwrite
+    SnapshotTable.commit(spark, t, positions, mode = mode, tag = tag)
+  }
+
+  /** Whether a delete batch tagged `tag` is already recorded — the
+    * streaming replay check (X21). */
+  def hasTag(table: String, tag: String): Boolean =
+    SnapshotTable.latestVersion(dvTable(table)).isDefined &&
+      SnapshotTable.hasTag(dvTable(table), tag)
+
   /** The live deletion vector (empty before any delete / after a fold). */
   def vectors(spark: SparkSession, table: String, dvVersion: Long = -1L): DataFrame = {
     val t = dvTable(table)

@@ -156,6 +156,33 @@ object StreamingGates {
         capacity = 20)
     },
 
+    // X21: streaming merge-on-read deletes — the keys ≡0 (mod 7) arrive
+    // as 3 delete-request shards, each recording tombstones through a
+    // tagged DV append (replay-skipped); the MoR read must then equal
+    // the plain predicate filter with ZERO base files rewritten
+    // (in-gate require). Replay no-ops and split-independence are
+    // StreamingMorDeletesSpec's.
+    "x21_stream_mor_deletes" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val t = graft.Scratch.fresh("x21_table")
+      val in = graft.Scratch.fresh("x21_in")
+      val ckpt = graft.Scratch.fresh("x21_ckpt")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.operators.SnapshotTable.commit(s, t, o.coalesce(2))
+      val filesBefore = graft.operators.SnapshotTable.filesOf(t)
+      val dead = o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
+      (0 until 3).foreach { i =>
+        graft.Scratch.writeSingleParquet(dead.filter(col("o_orderkey") % 3 === i),
+          Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      val q = StreamingMorDeletes.start(s, in, dead.schema, "o_orderkey", t, ckpt,
+        maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      require(graft.operators.SnapshotTable.filesOf(t) == filesBefore,
+        "streaming MoR delete must not rewrite data files")
+      graft.operators.SnapshotDv.readMor(s, t).orderBy("o_orderkey")
+    },
+
     // X19: exactly-once streaming ingest across tables — the events land
     // as 3 shards, one per micro-batch; each batch merges its per-type
     // partial into the by_key rollup AND the global totals, publishing
@@ -246,6 +273,11 @@ object StreamingGates {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+
+    // X21: the MoR read after the streamed deletes ≡ the plain filter
+    "x21_stream_mor_deletes" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     // X19: maintained txn state ≡ one-shot aggregate over the landed rows
     "x19_stream_txn_ingest" ->
