@@ -526,6 +526,36 @@ object LlmOps {
         .orderBy("query_id")
     },
 
+    // S12: NATURAL-corpus recall bound for the filtered persisted store —
+    // the s8_recall construction routed entirely through searchFiltered:
+    // top-10 through the store under the even-id predicate must recover
+    // ≥ 55% of the exact filtered ground truth (s3's bound; the
+    // structural s11 gate pins correctness, this pins QUALITY), asserted
+    // in-plan as a hash-gated boolean.
+    "s12_store_recall" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+      val vecs = base.repartition(parallelism(s))
+      val n = base.count()
+      val root = graft.Scratch.fresh("s12_index")
+      val built = IvfPq.build(vecs, "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built,
+        IvfPq.encode(vecs, "vec_id", "embedding", built)
+          .withColumn("even", col("vec_id") % 2 === 0))
+      val queries = vecs.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(queries,
+          vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = AnnIndexStore.searchFiltered(s, root, queries, vecs,
+          "vec_id", "embedding", pred = col("even"), selectivity = 0.45,
+          k = 10, nprobe = 3, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= 0.55)
+            .as("recall_ok"))
+    },
+
     // S10: the s9 persisted index with tombstoned DELETES honored in-search.
     // Structural contract: every base query's planted exact copy heads the
     // ranking at cosine 1 (the s6/s9 argument) UNLESS tombstoned — odd base
@@ -856,6 +886,22 @@ object LlmOps {
           .otherwise(lit(""))).as("text"))
       TextAnalysis.repetitionProfile(planted, "doc_id", "text", ngramN = 2)
         .orderBy("doc_id")
+    },
+
+    "t24_token_drift" -> { (s, dir) =>
+      // T24: corpus-refresh drift monitor. v2 is a planted refresh of the
+      // corpus: mod-5 docs dropped (their tokens' counts fall), mod-7
+      // docs gain a "driftmarker" run (a token that did not exist in v1).
+      // The top-50 absolute count changes, exact integers, deterministic
+      // (delta desc, token) order — both engines derive the same report
+      // from the same planted refresh.
+      val v1 = Tables(s, dir).documents
+      val v2 = v1.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" driftmarker driftmarker driftmarker")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.tokenDrift(v1, v2, "text", k = 50)
     },
 
     "t23_dataset_card" -> { (s, dir) =>
@@ -2775,6 +2821,11 @@ object LlmOps {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
+    // s12: the store's filtered recall bound, asserted in-plan
+    "s12_store_recall" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
     // s11: live even copies head the ranking; odd/deleted ids never appear
     "s11_filtered_store" ->
       """SELECT vec_id AS query_id, vec_id % 4 <> 0 AS copy_returned,
@@ -2824,6 +2875,32 @@ object LlmOps {
     "t2_quality" -> t2OracleSql,
 
     "t22_gopher_rules" -> t22OracleSql,
+
+    // T24: the same planted refresh, counts full-outer joined, exact
+    // integer deltas under the same strict (delta desc, token) order
+    "t24_token_drift" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' driftmarker driftmarker driftmarker'
+        |                 ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), ca AS (
+        |  SELECT t AS token, CAST(count(*) AS BIGINT) AS c_a
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE length(t) > 0 GROUP BY t
+        |), cb AS (
+        |  SELECT t AS token, CAST(count(*) AS BIGINT) AS c_b
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM v2)
+        |  WHERE length(t) > 0 GROUP BY t
+        |)
+        |SELECT coalesce(ca.token, cb.token) AS token,
+        |       coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b,
+        |       abs(coalesce(c_a, 0) - coalesce(c_b, 0)) AS delta
+        |FROM ca FULL JOIN cb ON ca.token = cb.token
+        |ORDER BY delta DESC, token LIMIT 50""".stripMargin,
 
     // T23: the same measurements under ROLLUP — DuckDB's NULL subtotal
     // rows match Spark's rollup semantics exactly

@@ -389,6 +389,29 @@ object TextAnalysis {
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 
+  /** T24: token-frequency DRIFT between two corpus versions — the data
+    * monitor a production pipeline runs on every refresh ("did the crawl
+    * change under us?"): per-token counts of both sides, full-outer
+    * joined, ranked by absolute count change. Exact integers end to end
+    * (counts and deltas, no floating divergence measure in the hash
+    * path), deterministic (delta desc, token asc) order, top `k` via
+    * TakeOrdered — per-partition heaps + driver merge, never a global
+    * sort. One shuffle per side on the token key with map-side partial
+    * counts; tokens, not documents, cross the wire. */
+  def tokenDrift(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+      textCol: String, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    counts(a).withColumnRenamed("c", "c_a")
+      .join(counts(b).withColumnRenamed("c", "c_b"), Seq("token"), "full")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .withColumn("delta", abs(col("c_a") - col("c_b")))
+      .orderBy(col("delta").desc, col("token"))
+      .limit(k)
+  }
+
   /** T22: Gopher-style quality rule profile (Rae et al. 2021,
     * arXiv:2112.11446 — the deployed document-filter subset): per-doc rule
     * measurements plus the conjunctive `keep` flag real curation stacks

@@ -224,6 +224,20 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap shouldBe out
   }
 
+  test("tokenDrift ranks exact count changes, both directions, strict order (T24)") {
+    val v1 = Seq((1L, "alpha alpha beta gamma"), (2L, "beta delta")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha beta gamma gamma gamma"), (3L, "epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenDrift(v1, v2, "text", k = 3)
+      .select("token", "c_a", "c_b", "delta")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // gamma 1→3 (delta 2), then ties at delta 1 resolve by token asc
+    // (alpha 2→1, beta 2→1; delta/epsilon also at 1 but sort later)
+    out shouldBe Seq(
+      ("gamma", 1L, 3L, 2L),
+      ("alpha", 2L, 1L, 1L),
+      ("beta", 2L, 1L, 1L))
+  }
+
   test("gopherRules measures and gates each rule independently (T22)") {
     // 80 words, mean word length 3.9, stopwords present
     val prose = ("the quick brown foxes jumped over a lazy dog and " * 8).trim
