@@ -60,4 +60,57 @@ object Centrality {
       ranks
     } finally { nodes.unpersist(); ed.unpersist(): Unit }
   }
+
+  /** W28: per-node triangle counts — the local clustering signal ("how
+    * interlinked is this entity's neighborhood") that flags template/
+    * boilerplate cliques in a claim graph the way D4 flags them in text.
+    * Direction, multiplicity and self-loops are graph noise, not signal:
+    * edges canonicalize to the undirected simple graph first, so parallel
+    * and reverse edges count once.
+    *
+    * The scalable shape is DEGREE-ORDERED ORIENTATION (the node-iterator
+    * bound): orient every undirected edge from its (deg, id)-smaller
+    * endpoint to its larger one — a total order, so each triangle survives
+    * as exactly ONE wedge (two out-edges of its smallest-rank apex) plus
+    * its closing oriented edge. Out-degree under this orientation is
+    * O(sqrt(m)) whatever the degree skew (a hub's edges mostly point AT
+    * it), so the wedge self-join — the only quadratic-risk step — is
+    * per-node bounded: a 1e8-follower account in a social graph generates
+    * no wedge explosion because its apex role is capped by rank, not raw
+    * degree. Three shuffles total (degree agg, wedge join on apex, closing
+    * join on the (v, w) pair), all partial-aggregated or key-local; no
+    * driver state.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("id").as("a"), col("deg").as("__da"))
+    val db = deg.select(col("id").as("b"), col("deg").as("__db"))
+    // (deg, id) lexicographic rank — ties broken by id, so the order is
+    // total and the orientation acyclic
+    val aFirst = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    // three consumers (both wedge legs and the closing probe) read the
+    // oriented set — persist once, released by the caller via Caches
+    val oriented = Caches.owned(und.join(da, "a").join(db, "b").select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("__db")).otherwise(col("__da")).as("__dhi")))
+    val e1 = oriented.select(col("lo"), col("hi").as("v"), col("__dhi").as("__dv"))
+    val e2 = oriented.select(col("lo"), col("hi").as("w"), col("__dhi").as("__dw"))
+    // wedge (v, w) ordered by rank ⇒ the closing edge, if present, is
+    // oriented exactly v → w — one equi-join probe, no disjunction
+    val wedges = e1.join(e2, "lo")
+      .filter(struct(col("__dv"), col("v")) < struct(col("__dw"), col("w")))
+      .select(col("lo").as("apex"), col("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+    tris.select(explode(array(col("apex"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
 }

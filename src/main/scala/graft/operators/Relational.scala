@@ -384,6 +384,39 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r54_partition_prune" -> { (s, dir) =>
+      // R54: hidden-partition pruning + per-commit spec evolution. Commit 1
+      // lays even events out by day(ts); commit 2 APPENDS the odd events
+      // under an EVOLVED spec, bucket(user_id, 8) × identity(event_type) —
+      // two specs live in one table, no history rewrite. The query
+      // predicates on the SOURCE columns only (a 7-day window × the most
+      // frequent user); pruning must bite under each file's own spec: the
+      // in-gate require proves files were skipped in BOTH commit dirs
+      // (day-range pruning in c1, literal-hash bucket pruning in c2). The
+      // oracle replays the plain filter — pruning must be invisible to
+      // content. Transform bounds, null partitions, escaping and
+      // vacuum-recursion safety are SnapshotPartitionsSpec's.
+      val t = graft.Scratch.fresh("r54_table")
+      val ev = Tables(s, dir).events
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      SnapshotPartitions.commit(s, t, ev.filter(col("event_id") % 2 === 0),
+        Seq(SnapshotPartitions.Day("ts")))
+      SnapshotPartitions.commit(s, t, ev.filter(col("event_id") % 2 === 1),
+        Seq(SnapshotPartitions.Bucket("user_id", 8),
+          SnapshotPartitions.Identity("event_type")),
+        mode = SnapshotTable.Append)
+      val u = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(1).head().getLong(0)
+      val ts0 = ev.agg(min("ts")).head().getTimestamp(0)
+      val ts1 = new java.sql.Timestamp(ts0.getTime + 7L * 86400000L)
+      val pred = col("user_id") === u && col("ts") >= lit(ts0) && col("ts") < lit(ts1)
+      val (kept, skipped) = SnapshotPartitions.prunedFiles(s, t, pred)
+      val skippedDirs = skipped.map(_.split('/').take(2).mkString("/")).distinct
+      require(kept.nonEmpty && skippedDirs.size >= 2,
+        s"both specs must prune (kept ${kept.size}, skipped dirs $skippedDirs)")
+      SnapshotPartitions.readPruned(s, t, pred).orderBy("event_id")
+    },
+
     "r53_deletion_vectors" -> { (s, dir) =>
       // R53: merge-on-read deletes — two cumulative DV batches against a
       // two-commit base; the in-gate require proves NO data file was
@@ -1194,6 +1227,24 @@ object Relational {
       Centrality.pageRank(tree.unionByName(cross), iterations = 5)
     },
 
+    "w28_triangles" -> { (s, dir) =>
+      // per-node triangle counts over the w23 claim graph densified with
+      // grandparent short-cuts (i -> i div 4), which close one triangle
+      // {i, i div 2, i div 4} per node — plus the cross-link family for
+      // irregular closures, reverse edges and parallel edges (the
+      // canonicalization must absorb them). The operator counts via
+      // degree-ordered orientation; the oracle brute-forces the canonical
+      // a<b<c triple join — the orientation strategy must be invisible.
+      // Orientation-vs-brute equality on random graphs, skew safety and
+      // the simple-graph contract are CentralitySpec's.
+      val tree = s.range(2, 4096).select(col("id").as("src"), expr("id div 2").as("dst"))
+      val grand = s.range(4, 4096).select(col("id").as("src"), expr("id div 4").as("dst"))
+      val cross = s.range(1, 4096).filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), ((col("id") * 7) % 4095 + 1).as("dst"))
+      Centrality.triangleCounts(tree.unionByName(grand).unionByName(cross))
+        .orderBy("id")
+    },
+
     "w16_claim_filter" -> { (s, dir) =>
       // claim-value lookup with property filter: claims(id, property, value)
       // ≙ lineitem(l_orderkey, l_partkey, l_quantity) + label join.
@@ -1382,6 +1433,20 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R54: partition + stats pruning must be invisible — the pruned read
+    // equals the plain filter (most frequent user × first 7 days)
+    "r54_partition_prune" ->
+      """WITH u AS (
+        |  SELECT user_id FROM events
+        |  GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT 1
+        |),
+        |t0 AS (SELECT min(ts) AS ts0 FROM events)
+        |SELECT event_id, ts, e.user_id, event_type, value
+        |FROM events e, u, t0
+        |WHERE e.user_id = u.user_id
+        |  AND e.ts >= t0.ts0 AND e.ts < t0.ts0 + INTERVAL 7 DAY
+        |ORDER BY event_id""".stripMargin,
 
     // R53: the MoR read equals the plain predicate filter
     "r53_deletion_vectors" ->
@@ -1829,6 +1894,36 @@ object Relational {
         |WHERE (a.lat - b.lat) * (a.lat - b.lat)
         |    + (a.lon - b.lon) * (a.lon - b.lon)
         |  <= CAST(2000000 AS BIGINT) * 2000000""".stripMargin,
+
+    // W28: canonical-triple brute force — triangles are the (a < b < c)
+    // closures of the deduped undirected edge set; per-node counts fall
+    // out of unioning the three corners. The Spark side's degree-ordered
+    // orientation must produce exactly this set.
+    "w28_triangles" ->
+      """WITH e0 AS (
+        |  SELECT range AS src, range // 2 AS dst FROM range(2, 4096)
+        |  UNION ALL
+        |  SELECT range AS src, range // 4 AS dst FROM range(4, 4096)
+        |  UNION ALL
+        |  SELECT range AS src, ((range * 7) % 4095) + 1 AS dst
+        |  FROM range(1, 4096) WHERE range % 3 = 0
+        |),
+        |e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst
+        |),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |),
+        |m AS (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |)
+        |SELECT id, count(*) AS triangles FROM m GROUP BY id ORDER BY id""".stripMargin,
 
     // W23: the same 5 integer-unit PageRank steps unrolled in SQL — floor
     // division per edge, so every rank is bit-identical

@@ -150,14 +150,36 @@ object SnapshotTable {
     * streaming sinks stamp the micro-batch id so a replayed batch can
     * recognize an already-published commit (X13). Returns the committed
     * version. */
-  def commit(spark: SparkSession, table: String, df: DataFrame,
-      mode: Mode = Overwrite, expectedVersion: Long = Long.MinValue,
-      beforePublish: () => Unit = () => (), tag: Option[String] = None): Long = {
+  /** Resolve (parent, next version) under the CAS contract — shared by
+    * [[commit]] and the partition-aware writer ([[SnapshotPartitions]]),
+    * which stages its own directory layout before publishing. */
+  private[operators] def nextVersion(table: String,
+      expectedVersion: Long): (Option[Long], Long) = {
     val parent = latestVersion(table)
     if (expectedVersion != Long.MinValue &&
         parent.getOrElse(-1L) != expectedVersion)
       throw new ConcurrentCommitException(parent.getOrElse(-1L))
-    val version = parent.getOrElse(0L) + 1
+    (parent, parent.getOrElse(0L) + 1)
+  }
+
+  /** Resolve `mode` against the parent's file list and publish `written`
+    * (commit-dir-relative paths already staged on disk) as `version` —
+    * the manifest tail shared by [[commit]] and [[SnapshotPartitions]]. */
+  private[operators] def publishFiles(table: String, version: Long,
+      parent: Option[Long], mode: Mode, written: Seq[String],
+      beforePublish: () => Unit = () => (), tag: Option[String] = None): Long = {
+    val files = mode match {
+      case Overwrite => written
+      case Append => parent.map(manifestFiles(table, _)).getOrElse(Seq.empty) ++ written
+      case Replace(keep) => keep ++ written
+    }
+    publishManifest(table, version, parent, mode.label, tag, files, beforePublish)
+  }
+
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+      mode: Mode = Overwrite, expectedVersion: Long = Long.MinValue,
+      beforePublish: () => Unit = () => (), tag: Option[String] = None): Long = {
+    val (parent, version) = nextVersion(table, expectedVersion)
     // 1. data files, invisible until a manifest names them
     val commitDir = f"data/c$version%016d-${java.util.UUID.randomUUID()}"
     df.write.parquet(s"$table/$commitDir")
@@ -183,12 +205,7 @@ object SnapshotTable {
     } catch { case e: Exception =>
       System.err.println(s"[snapshot] stats capture skipped: $e")
     }
-    val files = mode match {
-      case Overwrite => written
-      case Append => parent.map(manifestFiles(table, _)).getOrElse(Seq.empty) ++ written
-      case Replace(keep) => keep ++ written
-    }
-    publishManifest(table, version, parent, mode.label, tag, files, beforePublish)
+    publishFiles(table, version, parent, mode, written, beforePublish, tag)
   }
 
   /** The shared manifest-publication tail of [[commit]]/[[restore]]/
@@ -320,14 +337,18 @@ object SnapshotTable {
         val dirVersion = name.stripPrefix("c").takeWhile(_.isDigit)
         val inFlight = dirVersion.nonEmpty && dirVersion.toLong > latest
         if (!inFlight) {
+          // RECURSIVE walk: partition-aware commits (R54) nest their data
+          // files under hive-style value dirs, so a one-level listing
+          // would see zero referenced files and delete a live commit
           val entries = {
-            val fs = Files.list(d)
+            val walk = Files.walk(d)
             try {
               import scala.jdk.CollectionConverters._
-              fs.iterator().asScala.toSeq
-            } finally fs.close()
+              walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+            } finally walk.close()
           }
-          val referenced = entries.exists(f => live.contains(s"data/$name/${f.getFileName}"))
+          def rel(f: Path): String = s"data/$name/${d.relativize(f)}"
+          val referenced = entries.exists(f => live.contains(rel(f)))
           if (!referenced) {
             val walk = Files.walk(d)
             try {
@@ -343,7 +364,7 @@ object SnapshotTable {
               .filter { f =>
                 val n = f.getFileName.toString
                 n.startsWith("part-") && n.endsWith(".parquet") &&
-                  !live.contains(s"data/$name/$n")
+                  !live.contains(rel(f))
               }
               .foreach(Files.deleteIfExists(_))
           }

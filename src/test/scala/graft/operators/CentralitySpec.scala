@@ -71,4 +71,56 @@ class CentralitySpec extends SparkSpec {
     a shouldBe b
     a shouldBe brute(edges, 4)
   }
+
+  // ------------------------------------------------------------- W28
+
+  /** Reference triangle count: brute-force over the canonical simple graph. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.collect { case (u, v) if u != v =>
+      (math.min(u, v), math.max(u, v)) }.distinct.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, i) <- nodes.zipWithIndex; b <- nodes.drop(i + 1); c <- nodes
+      if c > b && e((a, b)) && e((b, c)) && e((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    try Centrality.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    finally Caches.releaseAll()
+
+  test("orientation counting ≡ brute force on random graphs (W28)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n * 4)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      runTriangles(edges) shouldBe bruteTriangles(edges)
+    }
+  }
+
+  test("direction, duplicates and self-loops are invisible (simple-graph contract) (W28)") {
+    val base = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L) // one triangle
+    val noisy = base ++ Seq(2L -> 1L, 3L -> 1L, 1L -> 2L, 2L -> 2L)
+    runTriangles(noisy) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    runTriangles(noisy) shouldBe runTriangles(base)
+  }
+
+  test("hub skew: star graph has no triangles, wheel closes one per spoke pair (W28)") {
+    val star = (1L to 50L).map(i => 0L -> i)
+    runTriangles(star) shouldBe Map.empty
+    // wheel = star + rim cycle: spoke i, rim edge (i, i+1) and hub close
+    // a triangle per rim edge; each rim node sits in 2, the hub in 50
+    val wheel = star ++ (1L to 50L).map(i => i -> (if (i == 50L) 1L else i + 1))
+    val got = runTriangles(wheel)
+    got(0L) shouldBe 50L
+    (1L to 50L).foreach(i => got(i) shouldBe 2L)
+  }
+
+  test("triangle-free bipartite graph yields the empty frame (W28)") {
+    val bip = for (a <- 0L to 9L; b <- 10L to 19L) yield a -> b
+    runTriangles(bip) shouldBe Map.empty
+  }
 }
