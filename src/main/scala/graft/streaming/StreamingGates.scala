@@ -233,6 +233,39 @@ object StreamingGates {
         Seq("dup", "merge", "vector", "spark", "quantum"), k = 50)
     },
 
+    // X22: the snapshot table AS a streaming source — a three-version
+    // source history (clustered base commit, R43 merge of updates+deletes,
+    // Append of the odd keys) is tailed version-by-version off the
+    // manifest log into a destination snapshot table; the destination must
+    // equal the source's LATEST content (the in-gate require proves it was
+    // built INCREMENTALLY: one destination version per source version, so
+    // a bootstrap-only shortcut fails loudly). Replay/checkpoint-loss
+    // idempotency, net-span folding and maintenance-commit suppression
+    // are SnapshotTailStreamSpec's.
+    "x22_snapshot_tail" -> { (s, dir) =>
+      val src = graft.Scratch.fresh("x22_src")
+      val dst = graft.Scratch.fresh("x22_dst")
+      val ckpt = graft.Scratch.fresh("x22_ckpt")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.operators.SnapshotTable.commit(s, src,
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val upd = o.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("op", lit("U"))
+      val del = o.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 6 =!= 0)
+        .withColumn("op", lit("D"))
+      graft.operators.SnapshotTable.merge(s, src, upd.unionByName(del), Seq("o_orderkey"))
+      graft.operators.SnapshotTable.commit(s, src,
+        o.filter(col("o_orderkey") % 2 === 1), mode = graft.operators.SnapshotTable.Append)
+      val q = SnapshotTailStream.start(s, src, Seq("o_orderkey"), dst, ckpt,
+        maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      require(graft.operators.SnapshotTable.versions(dst).size == 3,
+        "tail must fold one destination version per source version")
+      graft.operators.SnapshotTable.read(s, dst).orderBy("o_orderkey")
+    },
+
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -273,6 +306,17 @@ object StreamingGates {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+
+    // X22: the tailed destination ≡ the source's latest content — updates
+    // landed on keys ≡0 mod 6, deletes removed keys ≡0 mod 10 (except the
+    // updated ones), the Append added the odd keys
+    "x22_snapshot_tail" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 10
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 0 AND o_orderkey % 6 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // X21: the MoR read after the streamed deletes ≡ the plain filter
     "x21_stream_mor_deletes" ->
