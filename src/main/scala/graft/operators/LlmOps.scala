@@ -1185,6 +1185,40 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "p14_corpus_refresh" -> { (s, dir) =>
+      // P14: the incremental crawl-ingest loop — bootstrap the corpus from
+      // batch 1 (doc_id % 3 ≠ 2), then land a second crawl that mixes the
+      // genuinely-new batch-2 docs with PLANTED noise a real crawl always
+      // carries: re-crawls of corpus docs (+1e6 ids, %7 of batch 1 — must
+      // vanish against the incumbent) and in-batch dup pairs (+2e6 ids,
+      // %5 of batch 2 — must lose to their batch sibling). The refresh
+      // dedupes the batch, anti-joins the corpus's persisted hash column
+      // and Appends atomically; the oracle replays first-arrival-wins over
+      // the identical planted union, so a leaked re-crawl, a lost novel
+      // doc, or a wrong winner all break the hash. The require proves the
+      // landing was INCREMENTAL (one Append, not a rebuild). Replay
+      // no-ops, all-dup batches and hash-column pruning are
+      // IncrementalCorpusSpec's.
+      val t = graft.Scratch.fresh("p14_corpus")
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      val batch1 = docs.filter(col("doc_id") % 3 =!= 2)
+      val recrawl = batch1.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val batch2core = docs.filter(col("doc_id") % 3 === 2)
+      val inBatchDup = batch2core.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+      IncrementalCorpus.bootstrap(s, t, batch1, "text", "doc_id")
+      IncrementalCorpus.refresh(s, t,
+        batch2core.unionByName(recrawl).unionByName(inBatchDup),
+        "text", "doc_id", tag = Some("crawl-2"))
+      require(SnapshotTable.versions(t) == Seq(1L, 2L),
+        "refresh must land as one incremental Append")
+      SnapshotTable.read(s, t)
+        .select("doc_id", "lang", "source", "n_chars", "content_hash")
+        .orderBy("doc_id")
+    },
+
     "p13_corpus_build" -> { (s, dir) =>
       // P13: the whole corpus build, raw dump to training shards, as ONE
       // derivation + ONE atomic publication: p11's curation/mixture chain
@@ -2165,6 +2199,28 @@ object LlmOps {
     "t21_learned_quality" -> t21OracleSql,
     "p11_curation_v3" -> p11OracleSql,
     "p13_corpus_build" -> p13OracleSql,
+
+    // P14: first-arrival-wins over the identical planted union — batch 1
+    // incumbents (b=0) beat everything; within a batch the min id wins
+    "p14_corpus_refresh" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    CASE WHEN doc_id % 3 <> 2 THEN 0 ELSE 1 END AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, n_chars, text, 1
+        |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, source, n_chars, text, 1
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+        |),
+        |ranked AS (
+        |  SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY b, doc_id) AS rn
+        |  FROM all_docs
+        |)
+        |SELECT doc_id, lang, source, n_chars, content_hash
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // P7: t18's scoring CTEs + the weight band + t19's md5 draw + the
     // lang join, all replayed in one SQL pipeline
