@@ -120,4 +120,101 @@ object PropertyPath {
     }
     settled
   }
+
+  /** W29: single-pair shortest-path distance with its MEET CERTIFICATE —
+    * "how are X and Y related, and through what" — via BIDIRECTIONAL BFS:
+    * expand a forward frontier from `srcId` and a backward frontier (over
+    * reversed edges) from `dstId`, always growing the SMALLER one. Result:
+    * every node u lying on SOME shortest src→dst path — the nodes with
+    * dist(src, u) + dist(u, dst) = D — as (meet_id, dist = D) rows, empty
+    * if unreachable. The certificate is a deterministic, engine-replayable
+    * set (no arbitrary single-path tiebreak to pin down).
+    *
+    * Why bidirectional: a single-source BFS explores O(b^D) nodes; meeting
+    * in the middle explores O(b^(D/2)) from each end — on a KG with
+    * branching in the hundreds this is the difference between touching the
+    * whole graph and touching two small balls. The smaller-frontier rule
+    * keeps the balls balanced when one side hits a hub (the root of an
+    * ontology expands everything in one hop; the leaf side stays narrow,
+    * so it does the walking).
+    *
+    * Two phases. DISTANCE first, with the classic soundness bound: after
+    * expanding to depths (a, b), ANY path of length L <= a + b has a node
+    * settled on both sides (its position-(L-b) node), so once the best
+    * meet candidate satisfies candidate <= a + b, no shorter path can
+    * exist — D is final. Then the CERTIFICATE: the full on-path set needs
+    * dist(src, u) AND dist(u, dst) for every u with their sum = D, so both
+    * sides complete their BFS **bounded to depth D** — the distance phase
+    * has capped the exploration radius at D, where a single exhaustive BFS
+    * would explore to the graph's eccentricity before knowing it could
+    * stop. A side whose frontier empties has its complete reachable set
+    * settled and stops contributing early. `maxRounds` bounds the DEPTH of
+    * either side. Each round ships (id, dist) pairs only; same
+    * checkpoint-and-release discipline as [[hopDistances]]. */
+  def shortestMeet(edges: DataFrame, srcId: Long, dstId: Long,
+      maxRounds: Int = 64, reliable: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    val Seq(ca, cb) = edges.columns.take(2).toSeq
+    def checkpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val fwd = checkpoint(
+      edges.select(col(ca).cast("long").as("src"), col(cb).cast("long").as("dst"))
+        .filter(col("dst").isNotNull).distinct())
+    val bwd = checkpoint(fwd.select(col("dst").as("src"), col("src").as("dst")))
+
+    final case class Side(var settled: DataFrame, var frontier: DataFrame,
+      var depth: Int, var n: Long, edges: DataFrame)
+    def mkSide(id: Long, e: DataFrame): Side = {
+      val s = checkpoint(spark.range(id, id + 1)
+        .select(col("id"), lit(0L).as("d")))
+      Side(s, s, 0, 1L, e)
+    }
+    val a = mkSide(srcId, fwd)
+    val b = mkSide(dstId, bwd)
+
+    def expand(s: Side): Unit = {
+      s.depth += 1
+      val next = checkpoint(s.frontier.join(s.edges, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(s.settled.select("id"), Seq("id"), "left_anti")
+        .withColumn("d", lit(s.depth.toLong)))
+      val nextSettled = checkpoint(s.settled.unionByName(next))
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(s.settled)
+      if (s.depth > 1)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(s.frontier)
+      s.settled = nextSettled
+      s.frontier = next
+      s.n = next.count()
+    }
+    def meets: DataFrame = a.settled.select(col("id"), col("d").as("__da"))
+      .join(b.settled.select(col("id"), col("d").as("__db")), "id")
+      .select(col("id").as("meet_id"), (col("__da") + col("__db")).as("dist"))
+    def candidate: Long =
+      meets.agg(min("dist")).head() match {
+        case r if r.isNullAt(0) => Long.MaxValue
+        case r => r.getLong(0)
+      }
+
+    var best = candidate // src == dst settles at 0 immediately
+    while (best > (a.depth.toLong + b.depth.toLong) && (a.n > 0 || b.n > 0)) {
+      // expand the smaller LIVE frontier; an exhausted side certifies
+      // distances by completeness, so only the other can still learn
+      val side = if (a.n == 0) b else if (b.n == 0) a else if (a.n <= b.n) a else b
+      require(side.depth < maxRounds,
+        s"shortestMeet did not settle within depth $maxRounds")
+      expand(side)
+      best = candidate
+    }
+    if (best == Long.MaxValue)
+      spark.emptyDataFrame.select(lit(0L).as("meet_id"), lit(0L).as("dist")).limit(0)
+    else {
+      // certificate phase: complete both sides to the now-known radius D
+      for (side <- Seq(a, b)) while (side.depth < best && side.n > 0) {
+        require(side.depth < maxRounds,
+          s"shortestMeet did not settle within depth $maxRounds")
+        expand(side)
+      }
+      meets.filter(col("dist") === best)
+    }
+  }
 }

@@ -1212,6 +1212,23 @@ object Relational {
         .orderBy("id")
     },
 
+    "w29_shortest_path" -> { (s, dir) =>
+      // single-pair shortest path with its meet certificate: from deep
+      // leaf 4093 to the root over the w23 claim graph (tree edges point
+      // child → parent; cross links add shortcuts, so the answer is NOT
+      // simply the tree depth). The operator meets in the middle
+      // (bidirectional BFS, smaller-frontier rule); the oracle replays
+      // two full recursive BFS walks and intersects — the search strategy
+      // must be invisible in the (meet_id, dist) set. Brute-force
+      // equality on random graphs, unreachable pairs, self pairs and the
+      // early-exit bound are PropertyPathSpec's.
+      val tree = s.range(2, 4096).select(col("id").as("src"), expr("id div 2").as("dst"))
+      val cross = s.range(1, 4096).filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), ((col("id") * 7) % 4095 + 1).as("dst"))
+      PropertyPath.shortestMeet(tree.unionByName(cross), srcId = 4093L, dstId = 1L)
+        .orderBy("meet_id")
+    },
+
     "w23_pagerank" -> { (s, dir) =>
       // entity centrality: 5 integer-unit PageRank steps over a
       // deterministic claim graph — a 4094-edge class tree (i -> i div 2,
@@ -1924,6 +1941,30 @@ object Relational {
         |  UNION ALL SELECT z FROM tri
         |)
         |SELECT id, count(*) AS triangles FROM m GROUP BY id ORDER BY id""".stripMargin,
+
+    // W29: two full recursive BFS walks (forward from 4093, backward from
+    // the root), intersected; the meet set is every node with
+    // da + db = min — the bidirectional strategy must land on exactly it
+    "w29_shortest_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT range AS src, range // 2 AS dst FROM range(2, 4096)
+        |  UNION ALL
+        |  SELECT range AS src, ((range * 7) % 4095) + 1 AS dst
+        |  FROM range(1, 4096) WHERE range % 3 = 0
+        |), fa(id, d) AS (
+        |  SELECT CAST(4093 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  UNION
+        |  SELECT e.dst, fa.d + 1 FROM fa JOIN e ON e.src = fa.id WHERE fa.d < 20
+        |), fb(id, d) AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  UNION
+        |  SELECT e.src, fb.d + 1 FROM fb JOIN e ON e.dst = fb.id WHERE fb.d < 20
+        |), da AS (SELECT id, min(d) AS d1 FROM fa GROUP BY id),
+        |db AS (SELECT id, min(d) AS d2 FROM fb GROUP BY id),
+        |m AS (SELECT da.id, d1 + d2 AS dist FROM da JOIN db USING (id)),
+        |t AS (SELECT min(dist) AS best FROM m)
+        |SELECT m.id AS meet_id, m.dist FROM m, t WHERE m.dist = t.best
+        |ORDER BY meet_id""".stripMargin,
 
     // W23: the same 5 integer-unit PageRank steps unrolled in SQL — floor
     // division per edge, so every rank is bit-identical

@@ -266,6 +266,41 @@ object StreamingGates {
       graft.operators.SnapshotTable.read(s, dst).orderBy("o_orderkey")
     },
 
+    // X23: the P14 crawl loop streamed — the corpus bootstraps from batch
+    // 1, then three crawl shards drain one per micro-batch: the genuinely
+    // new docs (must land), planted re-crawls of corpus docs (must vanish
+    // against the incumbents) and planted in-batch dup copies (must lose
+    // to their shard-0 originals). Same first-arrival oracle as p14 — the
+    // streaming transport must be invisible; the require proves only ONE
+    // shard landed a version (the other two were pure duplicates).
+    // Replay no-ops and order semantics are StreamingCorpusRefreshSpec's.
+    "x23_stream_corpus" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val t = graft.Scratch.fresh("x23_corpus")
+      val in = graft.Scratch.fresh("x23_in")
+      val ckpt = graft.Scratch.fresh("x23_ckpt")
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      val batch1 = docs.filter(col("doc_id") % 3 =!= 2)
+      val recrawl = batch1.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val batch2core = docs.filter(col("doc_id") % 3 === 2)
+      val inBatchDup = batch2core.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+      graft.operators.IncrementalCorpus.bootstrap(s, t, batch1, "text", "doc_id")
+      Seq(batch2core, recrawl, inBatchDup).zipWithIndex.foreach { case (df, i) =>
+        graft.Scratch.writeSingleParquet(df, Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      val q = StreamingCorpusRefresh.start(s, in, batch2core.schema,
+        "text", "doc_id", t, ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      require(graft.operators.SnapshotTable.versions(t) == Seq(1L, 2L),
+        "only the novel shard may land a corpus version")
+      graft.operators.SnapshotTable.read(s, t)
+        .select("doc_id", "lang", "source", "n_chars", "content_hash")
+        .orderBy("doc_id")
+    },
+
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -317,6 +352,28 @@ object StreamingGates {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 0 AND o_orderkey % 6 <> 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // X23: identical first-arrival replay to the batch p14 oracle — the
+    // streaming transport must be invisible in the corpus content
+    "x23_stream_corpus" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    CASE WHEN doc_id % 3 <> 2 THEN 0 ELSE 1 END AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, n_chars, text, 1
+        |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, source, n_chars, text, 1
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+        |),
+        |ranked AS (
+        |  SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY b, doc_id) AS rn
+        |  FROM all_docs
+        |)
+        |SELECT doc_id, lang, source, n_chars, content_hash
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // X21: the MoR read after the streamed deletes ≡ the plain filter
     "x21_stream_mor_deletes" ->

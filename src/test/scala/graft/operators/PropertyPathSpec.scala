@@ -92,4 +92,70 @@ class PropertyPathSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       PropertyPath.hopDistances(edges, Seq(1L).toDF("id"), maxRounds = 2)
   }
+
+  // ------------------------------------------------------------- W29
+
+  /** Reference meet set: full BFS from both ends, nodes minimizing
+    * da + db (= the nodes on some shortest path), with the distance. */
+  private def bruteMeet(edges: Seq[(Long, Long)], src: Long,
+      dst: Long): Set[(Long, Long)] = {
+    def bfsLevels(adj: Map[Long, Seq[Long]], s: Long): Map[Long, Long] = {
+      var dist = Map(s -> 0L); var frontier = Set(s); var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(u => adj.getOrElse(u, Seq.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist += v -> d)
+        frontier = next
+      }
+      dist
+    }
+    val fwd = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bwd = edges.map(e => (e._2, e._1)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val da = bfsLevels(fwd, src)
+    val db = bfsLevels(bwd, dst)
+    val common = da.keySet intersect db.keySet
+    if (common.isEmpty) Set.empty
+    else {
+      val best = common.map(u => da(u) + db(u)).min
+      common.collect { case u if da(u) + db(u) == best => (u, best) }
+    }
+  }
+
+  private def runMeet(edges: Seq[(Long, Long)], src: Long, dst: Long): Set[(Long, Long)] =
+    PropertyPath.shortestMeet(edges.toDF("src", "dst"), src, dst)
+      .as[(Long, Long)].collect().toSet
+
+  test("shortestMeet ≡ brute force on random graphs, both directions (W29)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      runMeet(edges, 0L, (n - 1).toLong) shouldBe bruteMeet(edges, 0L, (n - 1).toLong)
+      runMeet(edges, (n - 1).toLong, 0L) shouldBe bruteMeet(edges, (n - 1).toLong, 0L)
+    }
+  }
+
+  test("self pair, adjacent pair, unreachable pair (W29)") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    runMeet(chain, 2L, 2L) shouldBe Set((2L, 0L))
+    runMeet(chain, 1L, 2L) shouldBe Set((1L, 1L), (2L, 1L))
+    runMeet(chain, 1L, 11L) shouldBe Set.empty
+    runMeet(chain, 4L, 1L) shouldBe Set.empty // edges are directed
+  }
+
+  test("meet certificate is the full on-a-shortest-path set (W29)") {
+    // diamond: 1 → {2, 3} → 4, plus a longer detour 1 → 5 → 6 → 4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L))
+    runMeet(edges, 1L, 4L) shouldBe Set((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L))
+  }
+
+  test("deep chain: every path node certifies; an undersized round budget fails loudly (W29)") {
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    runMeet(chain, 1L, 60L) shouldBe (1L to 60L).map(i => (i, 59L)).toSet
+    an[IllegalArgumentException] should be thrownBy
+      PropertyPath.shortestMeet(chain.toDF("src", "dst"), 1L, 60L, maxRounds = 20)
+  }
 }
