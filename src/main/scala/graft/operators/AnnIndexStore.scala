@@ -211,6 +211,56 @@ object AnnIndexStore {
     * compaction bumps that version and surfaces as
     * [[SnapshotTable.ConcurrentCommitException]] instead of being silently
     * resurrected by the clear. */
+  /** S13: REINDEX — re-train the whole geometry on the store's CURRENT
+    * live membership and re-encode it, published as one fresh consistent
+    * triple. This is the maintenance operation drift forces on every real
+    * vector store: centroids trained at bootstrap stop fitting after
+    * months of appends (X18) and deletes (S10/X20) — cells go lopsided,
+    * nprobe recall decays — and no amount of tombstone compaction fixes a
+    * stale codebook, because compaction deliberately never moves centroids
+    * other codes were quantized against.
+    *
+    * Membership is taken from the STORE, not the passed corpus: live ids =
+    * encoded ids minus tombstones, then the raw vectors fetch from
+    * `corpus` by semi-join (survivor-sized). Metadata columns the caller
+    * attached to the encoded table (S11's filtered-search columns) are
+    * carried onto the fresh encode by id. Tombstones fold into the
+    * re-encode and the table clears — CAS'd on the version observed BEFORE
+    * training, so a delete racing the rebuild surfaces as
+    * [[SnapshotTable.ConcurrentCommitException]] instead of silently
+    * resurrecting its id. Readers pinned to the old triple are unaffected
+    * until they re-[[load]]; the publish is the same shared-tag atomic
+    * group as [[save]].
+    *
+    * Cost shape: one training sample pass + one full re-encode of the live
+    * set — the honest price of new geometry; schedule it like R41
+    * OPTIMIZE, off the query path, at drift cadence (S12's recall bound is
+    * the trigger a production deployment watches). */
+  def reindex(spark: SparkSession, root: String, corpus: DataFrame,
+      idCol: String, vecCol: String, cells: Int, m: Int, k: Int,
+      knownN: Long = -1L, tag: Option[String] = None): (IvfPq.Index, DataFrame) = {
+    val tombT = s"$root/$TombstoneTable"
+    val tombV = SnapshotTable.latestVersion(tombT).getOrElse(-1L)
+    val (_, encoded) = load(spark, root)
+    val liveIds = encoded.select(idCol).join(
+      tombstones(spark, root).withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    val live = corpus.join(liveIds, Seq(idCol), "left_semi")
+    val index = IvfPq.build(live, vecCol, cells, m, k, knownN = knownN)
+    val fresh = IvfPq.encode(live, idCol, vecCol, index)
+    val extraCols = encoded.columns.filterNot(
+      Set(idCol, "cid", "pq_codes").contains).toSeq
+    val withMeta =
+      if (extraCols.isEmpty) fresh
+      else fresh.join(
+        encoded.select(idCol, extraCols: _*), Seq(idCol), "left")
+    save(spark, root, index, withMeta, tag = tag.orElse(Some(
+      s"reindex-${java.util.UUID.randomUUID().toString.take(8)}")))
+    if (tombV >= 0)
+      SnapshotTable.commit(spark, tombT, spark.range(0).toDF("id"),
+        mode = SnapshotTable.Overwrite, expectedVersion = tombV): Unit
+    load(spark, root)
+  }
+
   def compactDeletes(spark: SparkSession, root: String, idCol: String): Unit = {
     val tombT = s"$root/$TombstoneTable"
     val tombV = SnapshotTable.latestVersion(tombT).getOrElse(-1L)

@@ -556,6 +556,47 @@ object LlmOps {
             .as("recall_ok"))
     },
 
+    // S13: REINDEX under drift — the s10 store (odd copies tombstoned) is
+    // re-trained at a DIFFERENT geometry (8 → 12 cells) from its live
+    // membership; the in-gate requires prove the new geometry took and the
+    // tombstones folded away, and the hash carries (a) the s10 search
+    // contract re-derived through the REBUILT index — even queries' copies
+    // still head the ranking at cosine 1, deleted ids never resurface even
+    // though the tombstone table is now EMPTY (a membership leak in the
+    // re-encode would flip this) — and (b) the store's exact row count
+    // (2n minus the deleted odd copies). Metadata carry-over, racing
+    // deletes and membership equality are AnnIndexStoreSpec's.
+    "s13_reindex" -> { (s, dir) =>
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      val root = graft.Scratch.fresh("s13_index")
+      val built = IvfPq.build(Tables(s, dir).embeddings.repartition(parallelism(s)),
+        "embedding", cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built,
+        IvfPq.encode(vecs, "vec_id", "embedding", built))
+      val dead = vecs.filter(col("vec_id") < CopyOffset && col("vec_id") % 2 === 1)
+        .select((col("vec_id") + CopyOffset).as("id"))
+      AnnIndexStore.delete(s, root, dead)
+      val (index2, encoded2) = AnnIndexStore.reindex(s, root, vecs,
+        "vec_id", "embedding", cells = 12, m = 8, k = 64)
+      require(index2.centroids.size == 12, "reindex must apply the new geometry")
+      require(AnnIndexStore.tombstones(s, root).count() == 0L,
+        "reindex must fold tombstones away")
+      val stored = encoded2.count()
+      AnnIndexStore.searchWithDeletes(s, root,
+          vecs.filter(col("vec_id") < 32), vecs, "vec_id", "embedding",
+          k = 5, nprobe = 4, shortlist = 64)
+        .join(dead.withColumnRenamed("id", "neighbor_id")
+          .withColumn("__dead", lit(1)), Seq("neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          (max(when(col("neighbor_id") === col("query_id") + CopyOffset, 1)
+            .otherwise(0)) === 1).as("copy_returned"),
+          (max(coalesce(col("__dead"), lit(0))) === 1).as("deleted_returned"))
+        .withColumn("n_store", lit(stored))
+        .orderBy("query_id")
+    },
+
     // S10: the s9 persisted index with tombstoned DELETES honored in-search.
     // Structural contract: every base query's planted exact copy heads the
     // ranking at cosine 1 (the s6/s9 argument) UNLESS tombstoned — odd base
@@ -2892,6 +2933,16 @@ object LlmOps {
     "x20_stream_ann_deletes" ->
       """SELECT vec_id AS query_id, vec_id % 2 = 0 AS copy_returned,
         |       false AS deleted_returned
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s13: the s10 contract survives the rebuild, and the re-encoded
+    // store holds exactly the live membership (2n minus odd copies)
+    "s13_reindex" ->
+      """SELECT vec_id AS query_id, vec_id % 2 = 0 AS copy_returned,
+        |       false AS deleted_returned,
+        |       CAST((SELECT count(*) * 2 FROM embeddings)
+        |            - (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)
+        |         AS BIGINT) AS n_store
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     // s10: evenness ≡ live-copy-at-top, tombstones never surface

@@ -139,6 +139,40 @@ class AnnIndexStoreSpec extends SparkSpec {
     run(0.01) shouldBe expect // selective: metadata-prefilter + exact scan
   }
 
+  test("reindex re-trains on live membership, carries metadata, folds tombstones (S13)") {
+    val vecs = corpus(71, 400)
+    val queries = vecs.filter($"vec_id" < 8)
+    val root = graft.Scratch.fresh("s13spec")
+    val b = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 400)
+    AnnIndexStore.save(spark, root, b,
+      IvfPq.encode(vecs, "vec_id", "embedding", b)
+        .withColumn("lab", col("vec_id") % 3))
+    val deadIds = (0L until 400L).filter(_ % 5 == 0)
+    AnnIndexStore.delete(spark, root, deadIds.toDF("id"))
+    val (ix2, enc2) = AnnIndexStore.reindex(spark, root, vecs,
+      "vec_id", "embedding", cells = 6, m = 4, k = 8)
+    // new geometry, live membership only, metadata carried, tombstones gone
+    ix2.centroids.size shouldBe 6
+    enc2.select("vec_id").as[Long].collect().toSet shouldBe
+      (0L until 400L).filterNot(_ % 5 == 0).toSet
+    enc2.columns.toSet shouldBe Set("vec_id", "cid", "pq_codes", "lab")
+    enc2.filter($"lab" =!= $"vec_id" % 3).count() shouldBe 0L
+    AnnIndexStore.tombstones(spark, root).count() shouldBe 0L
+    // search through the rebuilt store ≡ fresh-index search over survivors
+    val res = AnnIndexStore.searchWithDeletes(spark, root, queries, vecs,
+        "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 400)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expect = Similarity.bruteForceTopK(queries,
+        vecs.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    res shouldBe expect // full probe + full shortlist + exact re-rank
+    // the pre-reindex triple stays pinned: version 1 still loads the
+    // 4-cell geometry with the full 400-row encode
+    val (ixOld, encOld) = AnnIndexStore.load(spark, root, version = 1)
+    ixOld.centroids.size shouldBe 4
+    encOld.count() shouldBe 400L
+  }
+
   test("a delete racing compactDeletes fails the clear loudly, never resurrects (S10)") {
     val vecs = corpus(51, 200)
     val root = graft.Scratch.fresh("s10spec_race")
