@@ -226,4 +226,45 @@ object IvfAnn {
     // the window formulation sent every candidate of a query to one partition
     Similarity.topKFinish(scored, k)
   }
+
+  /** S14: distributed k-NN JOIN — top-k right-side neighbors for EVERY
+    * left row when BOTH sides are cluster-scale. S1 broadcasts the query
+    * side and S3 broadcasts the probe list: both assume a driver-bounded
+    * query set. A corpus-vs-corpus join (retrieval evaluation, semantic
+    * linking, nearest-neighbor graphs for clustering) has none — at 1e9 ×
+    * 1e9 the only viable shape is co-partitioning both sides by a shared
+    * coarse quantizer: train cells on the RIGHT corpus (sample-capped
+    * Lloyd), assign each right row to its home cell and each left row to
+    * its `nprobe` nearest cells (multi-probe, the recall lever), SHUFFLE-
+    * join on cell id, score with the native cosine kernel, bounded-heap
+    * top-k per left row.
+    *
+    * No cross join ever exists and nothing driver-sized is assumed:
+    * shuffle volume is |right| + nprobe·|left| (id, vector) rows; per-cell
+    * work is left-in-cell × right-in-cell, bounded by the sqrt(n) cell
+    * law; the heap finish ships k rows per left id. With `nprobe` = cells
+    * the result is exactly the brute-force join (spec-asserted) — recall
+    * tuning is the same constant-probed-fraction story as S3, one join
+    * wider. `excludeSelf` drops id-equal pairs for self-join uses (a
+    * k-NN graph over one corpus). */
+  def knnJoin(left: DataFrame, right: DataFrame, leftId: String,
+      rightId: String, vecCol: String, k: Int = 5, cells: Int = 0,
+      nprobe: Int = 0, excludeSelf: Boolean = false,
+      knownN: Long = -1L): DataFrame = {
+    val n = if (knownN >= 0) knownN else right.count()
+    val plan = ivfPlan(n)
+    val c = if (cells > 0) cells else plan.cells
+    val np = math.min(if (nprobe > 0) nprobe else plan.nprobe, c)
+    val cents = trainCentroids(right, vecCol, c, knownN = n)
+    val cellsOf = cellSelector(cents)
+    val r = right.select(col(rightId).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("cid", element_at(cellsOf(col("__cv"), 1), 1))
+    val l = left.select(col(leftId).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cid", explode(cellsOf(col("__qv"), np)))
+    val joined = l.join(r, Seq("cid"))
+    val paired = if (excludeSelf)
+      joined.filter(col("query_id") =!= col("neighbor_id")) else joined
+    Similarity.topKFinish(paired.select(col("query_id"), col("neighbor_id"),
+      VectorExpressions.cosineNative(col("__qv"), col("__cv")).as("cosine")), k)
+  }
 }

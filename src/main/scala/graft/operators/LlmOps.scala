@@ -556,6 +556,24 @@ object LlmOps {
             .as("recall_ok"))
     },
 
+    // S14: distributed k-NN JOIN — EVERY base vector is a query (no
+    // broadcastable query set exists, the regime S1/S3 cannot serve); the
+    // right side is the planted corpus, so each left row's exact copy
+    // shares its home cell and must come back at top-1/cosine 1 through
+    // the cell-cohabitation shuffle join. The oracle enumerates the full
+    // n-row answer. Full-probe ≡ brute-force and the no-broadcast shape
+    // are IvfAnnSpec's.
+    "s14_knn_join" -> { (s, dir) =>
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      IvfAnn.knnJoin(Tables(s, dir).embeddings.repartition(parallelism(s)),
+          vecs, "vec_id", "vec_id", "embedding",
+          k = 1, cells = 8, nprobe = 3, excludeSelf = true, knownN = 2 * n)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id")
+    },
+
     // S13: REINDEX under drift — the s10 store (odd copies tombstoned) is
     // re-trained at a DIFFERENT geometry (8 → 12 cells) from its live
     // membership; the in-gate requires prove the new geometry took and the
@@ -2934,6 +2952,11 @@ object LlmOps {
       """SELECT vec_id AS query_id, vec_id % 2 = 0 AS copy_returned,
         |       false AS deleted_returned
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s14: every base row recovers its planted copy through the join
+    "s14_knn_join" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // s13: the s10 contract survives the rebuild, and the re-encoded
     // store holds exactly the live membership (2n minus odd copies)

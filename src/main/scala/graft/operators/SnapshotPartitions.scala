@@ -340,6 +340,33 @@ object SnapshotPartitions {
     }
   }
 
+  /** R54 × R41: OPTIMIZE that PRESERVES the partition layout — plain
+    * [[SnapshotTable.optimize]] rewrites through a flat commit, which
+    * silently demotes a partitioned table to unprunable on the optimized
+    * version (content identical, pruning gone). This variant re-commits
+    * the pinned read through the partitioned writer under `transforms`
+    * (default: the spec of the LATEST partitioned commit), bin-packing the
+    * scan side, so dribbled ingest compacts INTO the layout instead of out
+    * of it. Also the re-partitioning migration tool: pass a new spec and
+    * the whole table rewrites under it in one atomic, CAS-guarded commit. */
+  def optimize(spark: SparkSession, table: String,
+      transforms: Seq[Transform] = Seq.empty,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val v = SnapshotTable.latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val spec =
+      if (transforms.nonEmpty) transforms
+      else SnapshotTable.manifestFiles(table, v)
+        .map(f => f.split('/').take(2).mkString("/")).distinct.reverse
+        .map(d => loadSpec(Paths.get(table, d))).find(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no partitioned commit to take a spec from; pass transforms"))
+    Compaction.withBinPackedScan(spark, targetBytes) {
+      commit(spark, table, SnapshotTable.read(spark, table, v), spec,
+        expectedVersion = v)
+    }
+  }
+
   /** Read with partition + stats pruning, `pred` re-applied as the exact
     * residual filter. */
   def readPruned(spark: SparkSession, table: String, pred: Column,

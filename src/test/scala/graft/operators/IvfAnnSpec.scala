@@ -67,4 +67,36 @@ class IvfAnnSpec extends SparkSpec {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     recall should be >= 0.9 // separated clusters: nprobe=1 already suffices
   }
+
+  test("knnJoin at full probe ≡ brute force for every left row (S14)") {
+    val rng = new scala.util.Random(23)
+    val right = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val left = (1000 until 1200).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val got = IvfAnn.knnJoin(left, right, "vec_id", "vec_id", "embedding",
+        k = 3, cells = 4, nprobe = 4, knownN = 300)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expect = Similarity.bruteForceTopK(left, right, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    got shouldBe expect
+    got.map(_._1) shouldBe (1000L until 1200L).toSet // EVERY left row answered
+  }
+
+  test("knnJoin self-join: excludeSelf drops the trivial match, copies surface at top-1 (S14)") {
+    val rng = new scala.util.Random(29)
+    val base = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val planted = (base ++ base.map { case (i, v) => (i + 1000L, v) })
+      .toDF("vec_id", "embedding")
+    val top1 = IvfAnn.knnJoin(base.toDF("vec_id", "embedding"), planted,
+        "vec_id", "vec_id", "embedding",
+        k = 1, cells = 4, nprobe = 2, excludeSelf = true, knownN = 400)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    top1.length shouldBe 200
+    top1.foreach { case (q, nb, cos) =>
+      nb shouldBe q + 1000L
+      cos shouldBe 1.0 +- 1e-9
+    }
+  }
 }

@@ -128,6 +128,27 @@ class SnapshotPartitionsSpec extends SparkSpec {
     SnapshotTable.versions(t) shouldBe Seq(2L)
   }
 
+  test("partition-preserving OPTIMIZE compacts into the layout; a new spec migrates it (R54×R41)") {
+    val t = graft.Scratch.fresh("part_optimize")
+    val df = spark.range(2000).select(col("id"), (col("id") % 4).as("g"))
+    commit(spark, t, df.filter(col("id") % 4 === 0).coalesce(2), Seq(Identity("g")))
+    for (i <- 1 until 4)
+      commit(spark, t, df.filter(col("id") % 4 === i).coalesce(2), Seq(Identity("g")),
+        mode = SnapshotTable.Append)
+    def content = SnapshotTable.read(spark, t).as[(Long, Long)].collect().toSet
+    val before = content
+    val filesBefore = keptOf(t, lit(true))._2
+    SnapshotPartitions.optimize(spark, t) // spec inferred from latest commit
+    content shouldBe before
+    val total = keptOf(t, lit(true))._2
+    total should be < filesBefore // dribbled files compacted
+    keptOf(t, col("g") === 2L)._1 shouldBe total / 4 // pruning survived
+    // migration: rewrite the whole table under a bucket spec
+    SnapshotPartitions.optimize(spark, t, Seq(Bucket("id", 8)))
+    content shouldBe before
+    keptOf(t, col("id") === 123L)._1 shouldBe 1
+  }
+
   test("CAS, tags and Append interop with the shared protocol (R54)") {
     val t = graft.Scratch.fresh("part_cas")
     val df = spark.range(50).select(col("id"), (col("id") % 2).as("g"))
