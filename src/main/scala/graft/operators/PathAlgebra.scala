@@ -57,14 +57,23 @@ object PathAlgebra {
   final case class Star(p: PathExpr) extends PathExpr
   /** 0 or 1 hops. */
   final case class Optional(p: PathExpr) extends PathExpr
+  /** W30: SPARQL negated property set `!(P1|^P2|…)` — "any claim EXCEPT
+    * these": forward edges whose property is not in `fwd`, unioned (per the
+    * SPARQL 1.1 translation) with REVERSED edges whose property is not in
+    * `inv`; a direction's leg exists only if it lists at least one property
+    * (`!P1` matches no inverse edge, `!(^P2)` no forward edge). The one
+    * algebra member that cannot filter to a property at the leaf — it needs
+    * the (pid, src, dst) claim frame, supplied via `eval`'s `allEdges`. */
+  final case class NegatedSet(fwd: Seq[Long], invProps: Seq[Long]) extends PathExpr
 
-  /** Parse a SPARQL-style path string: `(P31|P101)/P279*`, `^P279+`, `P1?`.
-    * Grammar (standard precedence — postfix binds tightest, then `^`, then
-    * `/`, then `|`):
+  /** Parse a SPARQL-style path string: `(P31|P101)/P279*`, `^P279+`, `P1?`,
+    * `!(P31|^P279)`. Grammar (standard precedence — postfix binds tightest,
+    * then `^`/`!`, then `/`, then `|`):
     *   alt  := seq ('|' seq)*
     *   seq  := step ('/' step)*
-    *   step := '^'? atom ('*' | '+' | '?')?
+    *   step := ('^' atom | '!' nset | atom) ('*' | '+' | '?')?
     *   atom := 'P' digits | '(' alt ')'
+    *   nset := '^'? 'P' digits | '(' '^'? 'P' digits ('|' '^'? 'P' digits)* ')'
     */
   def parse(s: String): PathExpr = {
     val in = s.replaceAll("\\s+", "")
@@ -89,10 +98,37 @@ object PathAlgebra {
       case c => throw new IllegalArgumentException(
         s"path parse error at $pos in '$s': expected 'P<num>' or '(', got '$c'")
     }
+    def propNum(): Long = {
+      require(peek == 'P' || peek == 'p',
+        s"path parse error at $pos in '$s': expected 'P<num>'")
+      pos += 1
+      val start = pos
+      while (peek.isDigit) pos += 1
+      require(pos > start, s"path parse error at $pos in '$s': expected property number")
+      in.substring(start, pos).toLong
+    }
+    def nsetItem(): (Boolean, Long) = {
+      val invFlag = peek == '^'
+      if (invFlag) pos += 1
+      (invFlag, propNum())
+    }
+    def nset(): PathExpr = {
+      val items =
+        if (peek == '(') {
+          pos += 1
+          val buf = scala.collection.mutable.Buffer(nsetItem())
+          while (peek == '|') { pos += 1; buf += nsetItem() }
+          expect(')')
+          buf.toSeq
+        } else Seq(nsetItem())
+      NegatedSet(items.collect { case (false, p) => p },
+        items.collect { case (true, p) => p })
+    }
     def step(): PathExpr = {
       val inverted = peek == '^'
-      if (inverted) pos += 1
-      var e = atom()
+      val negated = peek == '!'
+      if (inverted || negated) pos += 1
+      var e = if (negated) nset() else atom()
       if (inverted) e = Inverse(e)
       peek match {
         case '*' => pos += 1; Star(e)
@@ -118,10 +154,30 @@ object PathAlgebra {
 
   /** Evaluate to the (src, dst) pair frame. `edgesOf(pid)` supplies one
     * property's edges — first two columns are used as (src, dst); QueryApi
-    * wires it to the claims entity table filtered by property_id. */
+    * wires it to the claims entity table filtered by property_id.
+    * `allEdges` supplies the FULL (pid, src, dst) claim frame, needed only
+    * by negated property sets (the one leaf that can't filter to a
+    * property); the filter `pid ∉ set` still reaches the scan. */
   def eval(expr: PathExpr, edgesOf: Long => DataFrame,
-      maxRounds: Int = 20, reliable: Boolean = false): DataFrame = {
+      maxRounds: Int = 20, reliable: Boolean = false,
+      allEdges: () => DataFrame = () => throw new IllegalArgumentException(
+        "negated property sets need eval's allEdges — pass the (pid, src, dst) claim frame")): DataFrame = {
     def pairs(e: PathExpr): DataFrame = e match {
+      case NegatedSet(fwd, invd) =>
+        val df = allEdges()
+        val Seq(cp, ca, cb) = df.columns.take(3).toSeq
+        val base = df.select(col(cp).cast("long").as("pid"),
+            col(ca).cast("long").as("src"), col(cb).cast("long").as("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+        val legs =
+          (if (fwd.nonEmpty)
+            Seq(base.filter(!col("pid").isin(fwd: _*)).select("src", "dst"))
+          else Nil) ++
+          (if (invd.nonEmpty)
+            Seq(base.filter(!col("pid").isin(invd: _*))
+              .select(col("dst").as("src"), col("src").as("dst")))
+          else Nil)
+        legs.reduce(_ unionByName _).distinct()
       case Prop(pid) =>
         val df = edgesOf(pid)
         val Seq(ca, cb) = df.columns.take(2).toSeq
@@ -161,4 +217,9 @@ object PathAlgebra {
   /** Parse-and-evaluate convenience. */
   def eval(expr: String, edgesOf: Long => DataFrame): DataFrame =
     eval(parse(expr), edgesOf)
+
+  /** Parse-and-evaluate with the full claim frame (negated sets allowed). */
+  def eval(expr: String, edgesOf: Long => DataFrame,
+      allEdges: () => DataFrame): DataFrame =
+    eval(parse(expr), edgesOf, allEdges = allEdges)
 }

@@ -1147,6 +1147,32 @@ object Relational {
         .orderBy("src", "dst")
     },
 
+    "w30_negated_path" -> { (s, dir) =>
+      // SPARQL negated property sets composed into the algebra:
+      // `(!(P31|P101)/P279*) | !(^P279)` over the w21 claim universe. The
+      // first leg negates every instance property, leaving exactly the
+      // P279 edges, whose composition with P279* is the P279+ closure —
+      // negation feeding sequence and closure; the second leg is the
+      // INVERSE-negated set (reversed edges of everything but P279),
+      // exercising the mixed translation. A leg that leaks the negated
+      // property, or a forward edge in the inverse leg, breaks the hash.
+      // Per-direction leg semantics and parser shapes are PathAlgebraSpec's.
+      def edgesOf(pid: Long): DataFrame = pid match {
+        case 279L => s.range(2, 1025).select(col("id").as("src"), expr("id div 2").as("dst"))
+        case 31L => s.range(0, 5000).select(
+          (col("id") + 100000L).as("src"), (col("id") % 1023 + 2).as("dst"))
+        case 101L => s.range(0, 1000).filter(col("id") % 7 === 0).select(
+          (col("id") + 100000L).as("src"), (col("id") * 3 % 1023 + 2).as("dst"))
+        case other => sys.error(s"no edges for P$other")
+      }
+      def allEdges(): DataFrame =
+        Seq(279L, 31L, 101L).map(p => edgesOf(p).select(lit(p).as("pid"),
+          col("src"), col("dst"))).reduce(_ unionByName _)
+      graft.operators.PathAlgebra.eval("(!(P31|P101)/P279*) | !(^P279)",
+          edgesOf, allEdges _)
+        .orderBy("src", "dst")
+    },
+
     "w24_geo_radius" -> { (s, dir) =>
       // geo-radius search: 100 nearest of 50k deterministic points
       // (multiplicative-hash spread over lat ∈ ±60°, lon ∈ ±180°, exactly
@@ -1834,6 +1860,27 @@ object Relational {
       """SELECT l_orderkey AS id, p_name AS label, l_quantity AS quantity
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#3' AND l_quantity >= 50""".stripMargin,
+
+    // W30: negating the instance properties leaves exactly P279, so the
+    // first leg is the P279+ closure; the inverse-negated set is the
+    // reversed instance edges
+    "w30_negated_path" ->
+      """WITH RECURSIVE p279 AS (
+        |  SELECT id AS src, id // 2 AS dst FROM range(2, 1025) t(id)
+        |), plus AS (
+        |  SELECT src, dst FROM p279
+        |  UNION
+        |  SELECT plus.src, p279.dst FROM plus JOIN p279 ON plus.dst = p279.src
+        |), step1 AS (
+        |  SELECT 100000 + i AS src, 2 + (i % 1023) AS dst FROM range(0, 5000) t(i)
+        |  UNION
+        |  SELECT 100000 + i AS src, 2 + ((i * 3) % 1023) AS dst
+        |  FROM range(0, 1000) t(i) WHERE i % 7 = 0
+        |)
+        |SELECT src, dst FROM plus
+        |UNION
+        |SELECT dst AS src, src AS dst FROM step1
+        |ORDER BY src, dst""".stripMargin,
 
     // W24: same deterministic point set from range(); the oracle needs no
     // bbox (that is pushdown plumbing, not semantics) — the integer circle

@@ -73,7 +73,11 @@ final case class QueryApi(tables: WikidataTables) {
     graft.operators.PathAlgebra.eval(graft.operators.PathAlgebra.parse(expr),
       pid => tables.entity.filter(col("property_id") === pid)
         .select(col("id"), col("entity_id")),
-      reliable = reliable)
+      reliable = reliable,
+      // negated sets (`!(P31|^P279)`, W30) read the full claim frame with
+      // the pid ∉ set filter pushed to the scan
+      allEdges = () => tables.entity
+        .select(col("property_id"), col("id"), col("entity_id")))
 
   /** Entities whose textual id matches, e.g. byId("Q42"). */
   def byId(textId: String): DataFrame = {

@@ -95,4 +95,40 @@ class PathAlgebraSpec extends SparkSpec {
     val viaClosure = api.pathClosure(279L).as[(Long, Long)].collect().toSet
     viaAlgebra shouldBe viaClosure
   }
+
+  // ------------------------------------------------------------- W30
+
+  private def allEdges(): DataFrame =
+    (e31.map { case (s, d) => (31L, s, d) } ++
+      e279.map { case (s, d) => (279L, s, d) })
+      .toDF("pid", "src", "dst")
+
+  private def runNeg(expr: String): Set[(Long, Long)] =
+    PathAlgebra.eval(expr, edgesOf, allEdges _).as[(Long, Long)].collect().toSet
+
+  test("negated property sets: per-direction legs match SPARQL semantics (W30)") {
+    val fwd31 = e31.toSet
+    val fwd279 = e279.toSet
+    val rev = (s: Set[(Long, Long)]) => s.map { case (a, b) => (b, a) }
+    runNeg("!P31") shouldBe fwd279 // forward leg only, P31 excluded
+    runNeg("!(P31|P279)") shouldBe Set.empty // everything excluded
+    runNeg("!(^P31)") shouldBe rev(fwd279) // inverse leg only
+    // mixed: forward-not-31 ∪ reversed-not-279
+    runNeg("!(P31|^P279)") shouldBe (fwd279 ++ rev(fwd31))
+    // a property never negated passes both legs
+    runNeg("!(P999)") shouldBe (fwd31 ++ fwd279)
+  }
+
+  test("negated sets compose with sequence and closure (W30)") {
+    // !P31 ≡ P279 here, so !P31+ must equal the P279 closure
+    runNeg("!P31+") shouldBe closure(e279.toSet)
+    runNeg("P31/!P31") shouldBe comp(e31.toSet, e279.toSet)
+    // parser shapes
+    parse("!P31") shouldBe NegatedSet(Seq(31L), Nil)
+    parse("!(P31|^P279|P5)*") shouldBe Star(NegatedSet(Seq(31L, 5L), Seq(279L)))
+    intercept[IllegalArgumentException](parse("!(P31|"))
+    // evaluating a negated set without allEdges fails loudly
+    intercept[IllegalArgumentException](
+      PathAlgebra.eval("!P31", edgesOf).collect())
+  }
 }
