@@ -45,14 +45,19 @@ object SnapshotIvm {
       .getOrElse(0L)
 
   /** Bring the (n, sum_<c> per `sumCols`) rollup of `baseTable` grouped by
-    * `groupKeys` up to the base's latest version, incrementally. `rowKeys`
-    * identifies base rows for the CDC diff (the base's merge/upsert key).
-    * Returns the MV version now current (committed or already there). */
+    * `groupKeys` up to the base's latest version — or exactly `toVersion`
+    * when given (X24's log tail follows version-by-version) —
+    * incrementally. `rowKeys` identifies base rows for the CDC diff (the
+    * base's merge/upsert key). A target at or below the reflected version
+    * is a no-op (replayed/out-of-order wake-ups). Returns the MV version
+    * now current (committed or already there). */
   def refresh(spark: SparkSession, baseTable: String, mvTable: String,
       rowKeys: Seq[String], groupKeys: Seq[String],
-      sumCols: Seq[String]): Long = {
-    val baseV = SnapshotTable.latestVersion(baseTable).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $baseTable"))
+      sumCols: Seq[String], toVersion: Long = -1L): Long = {
+    val baseV =
+      if (toVersion >= 0) toVersion
+      else SnapshotTable.latestVersion(baseTable).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $baseTable"))
     // ONE observation of the MV: version, reflected-base tag, and the state
     // read all pin to the same `mvV`. Reading them separately would let a
     // racing refresher land in between — `from` computed against the OLD
@@ -63,7 +68,7 @@ object SnapshotIvm {
       .filter(_.startsWith(TagPrefix))
       .map(_.stripPrefix(TagPrefix).toLong)
       .getOrElse(0L)
-    if (from == baseV) return mvV.getOrElse(0L) // current: replay no-op
+    if (from >= baseV) return mvV.getOrElse(0L) // current/ahead: replay no-op
     val state =
       if (mvV.isEmpty)
         // bootstrap: the only full base scan the MV ever takes

@@ -301,6 +301,45 @@ object StreamingGates {
         .orderBy("doc_id")
     },
 
+    // X24: a LIVE MV over a snapshot table — the x22 history (clustered
+    // bootstrap of even keys, R43 merge of decimal price updates +
+    // deletes, Append of odd keys) is followed off the manifest log alone,
+    // no changeset feed; each micro-batch advances the per-status rollup
+    // by exactly one base version (the in-gate require proves three MV
+    // versions reflecting base v3). The oracle recomputes the final
+    // rollup over the live row set — a drifted fold at any link breaks
+    // the hash. Replay/out-of-order no-ops and ceiling-vs-latest
+    // equivalence are SnapshotIvmTailSpec's.
+    "x24_tail_ivm" -> { (s, dir) =>
+      val base = graft.Scratch.fresh("x24_base")
+      val mv = graft.Scratch.fresh("x24_mv")
+      val ckpt = graft.Scratch.fresh("x24_ckpt")
+      val dec182 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
+      val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec182).as("price"))
+      graft.operators.SnapshotTable.commit(s, base,
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val upd = o.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("price", (col("price") + 10).cast(dec182))
+        .withColumn("op", lit("U"))
+      val del = o.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 6 =!= 0)
+        .withColumn("op", lit("D"))
+      graft.operators.SnapshotTable.merge(s, base, upd.unionByName(del), Seq("o_orderkey"))
+      graft.operators.SnapshotTable.commit(s, base,
+        o.filter(col("o_orderkey") % 2 === 1), mode = graft.operators.SnapshotTable.Append)
+      val q = SnapshotIvmTail.start(s, base, mv, Seq("o_orderkey"),
+        Seq("o_orderstatus"), Seq("price"), ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      require(graft.operators.SnapshotTable.versions(mv).size == 3 &&
+        graft.operators.SnapshotIvm.reflectedVersion(mv) == 3L,
+        "tail must advance the MV one base version per batch to v3")
+      graft.operators.SnapshotTable.read(s, mv)
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -374,6 +413,20 @@ object StreamingGates {
         |)
         |SELECT doc_id, lang, source, n_chars, content_hash
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // X24: the maintained rollup ≡ a recompute over the live row set
+    // (updates +10 on keys ≡0 mod 6, deletes on ≡0 mod 10 except updated,
+    // odd keys appended unchanged)
+    "x24_tail_ivm" ->
+      """WITH live AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) +
+        |      CASE WHEN o_orderkey % 6 = 0 THEN 10 ELSE 0 END AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 10 = 0 AND o_orderkey % 6 <> 0)
+        |)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // X21: the MoR read after the streamed deletes ≡ the plain filter
     "x21_stream_mor_deletes" ->
