@@ -384,6 +384,32 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r55_time_travel" -> { (s, dir) =>
+      // R55: AS OF TIMESTAMP — three commits with wall-clock boundaries
+      // captured between them; reading at the boundary AFTER the overwrite
+      // must resolve to version 2 exactly (the appended v3 rows invisible),
+      // and the in-gate require pins the v1 boundary too. The sleeps
+      // guarantee strictly-later manifest times at millisecond clock
+      // resolution. Missing-ts tolerance, skew handling and the
+      // before-first-commit error are SnapshotTableSpec's.
+      val t = graft.Scratch.fresh("r55_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      Thread.sleep(5)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(5)
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      Thread.sleep(5)
+      val t2 = System.currentTimeMillis()
+      Thread.sleep(5)
+      SnapshotTable.commit(s, t, o.limit(5), mode = SnapshotTable.Append)
+      require(SnapshotTable.versionAsOf(t, t1) == 1L &&
+        SnapshotTable.versionAsOf(t, t2) == 2L &&
+        SnapshotTable.versionAsOf(t, System.currentTimeMillis()) == 3L,
+        "AS OF must resolve each boundary to the version current at it")
+      SnapshotTable.readAsOf(s, t, t2).orderBy("o_orderkey")
+    },
+
     "r54_partition_prune" -> { (s, dir) =>
       // R54: hidden-partition pruning + per-commit spec evolution. Commit 1
       // lays even events out by day(ts); commit 2 APPENDS the odd events
@@ -1476,6 +1502,11 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R55: AS OF the post-overwrite boundary sees exactly version 2
+    "r55_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""".stripMargin,
 
     // R54: partition + stats pruning must be invisible — the pruned read
     // equals the plain filter (most frequent user × first 7 days)

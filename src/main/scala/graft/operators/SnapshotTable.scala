@@ -100,6 +100,39 @@ object SnapshotTable {
     manifestFiles(table, v).map(f => s"$table/$f")
   }
 
+  /** R55: the wall-clock commit time recorded in `version`'s manifest
+    * (milliseconds; None for manifests predating the field). */
+  def commitTime(table: String, version: Long): Option[Long] = {
+    val p = manifestPath(table, version)
+    if (!Files.isRegularFile(p)) None
+    else "\"ts\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1).toLong)
+  }
+
+  /** R55: the version current AS OF `tsMillis` — the LATEST version whose
+    * recorded commit time is at or before the cutoff (versions without a
+    * recorded time count as always-qualifying: they predate the field).
+    * Clock skew between writers is tolerated by scanning every retained
+    * manifest rather than assuming time is monotone in version. Throws if
+    * the cutoff precedes the table's first commit. */
+  def versionAsOf(table: String, tsMillis: Long): Long =
+    versions(table).filter(v => commitTime(table, v).forall(_ <= tsMillis))
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no version of $table committed at or before $tsMillis"))
+
+  /** R55: read the table AS OF a wall-clock instant — the Delta
+    * `TIMESTAMP AS OF` shape ("what did the dashboard show at 9am",
+    * incident forensics, reproducing a training run against the corpus a
+    * job actually read). Resolution is a driver-side manifest scan
+    * (O(retained versions) small reads, no data I/O); the read itself is
+    * the ordinary pinned-version scan with full snapshot isolation, and
+    * vacuum bounds how far back an AS OF can reach exactly as it bounds
+    * numbered time travel. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    read(spark, table, versionAsOf(table, tsMillis), mergeSchema)
+
   /** Whether ANY retained manifest of `table` records `tag` — the replay
     * check that stays correct when foreign commits (an OPTIMIZE job, a
     * vacuum-then-commit) land between a tagged commit and its replay:
@@ -223,8 +256,10 @@ object SnapshotTable {
     tag.foreach(t => require(!t.contains("\"") && !t.contains("\\"),
       s"""tag must not contain '"' or '\\': $t"""))
     val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
+    // R55: commit wall time — the AS OF TIMESTAMP resolution key
     val json = files.map(f => "\"" + f + "\"").mkString(
       s"""{"version":$version,"parent":${parent.getOrElse(-1L)},$tagField""" +
+        s""""ts":${System.currentTimeMillis()},""" +
         s""""mode":"$modeLabel","files":[""", ",", "]}")
     Files.write(tmp, json.getBytes("UTF-8"))
     beforePublish()

@@ -83,6 +83,19 @@ class IvfAnnSpec extends SparkSpec {
     got.map(_._1) shouldBe (1000L until 1200L).toSet // EVERY left row answered
   }
 
+  test("knnJoin plans an equi-join on the cell id — never a cartesian/nested loop (S14)") {
+    val rng = new scala.util.Random(31)
+    val right = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val left = (1000 until 1100).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val plan = IvfAnn.knnJoin(left, right, "vec_id", "vec_id", "embedding",
+        k = 3, cells = 4, nprobe = 2, knownN = 200)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("knnJoin self-join: excludeSelf drops the trivial match, copies surface at top-1 (S14)") {
     val rng = new scala.util.Random(29)
     val base = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))

@@ -92,4 +92,30 @@ class SnapshotTableSpec extends SparkSpec {
     // a pinned historical read keeps exactly the schema its files had
     read(spark, t, version = 1L).columns.toSet shouldBe Set("k", "v")
   }
+
+  test("AS OF TIMESTAMP resolves each boundary; pre-history errors; legacy manifests qualify (R55)") {
+    val t = graft.Scratch.fresh("snap_asof")
+    val t0 = System.currentTimeMillis() - 5
+    commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(5); val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    commit(spark, t, Seq((2L, "b")).toDF("k", "v"))
+    Thread.sleep(5); val t2 = System.currentTimeMillis(); Thread.sleep(5)
+    commit(spark, t, Seq((3L, "c")).toDF("k", "v"), mode = Append)
+    versionAsOf(t, t1) shouldBe 1L
+    versionAsOf(t, t2) shouldBe 2L
+    versionAsOf(t, System.currentTimeMillis()) shouldBe 3L
+    rows(t, versionAsOf(t, t2)) shouldBe Set((2L, "b"))
+    readAsOf(spark, t, t1).as[(Long, String)].collect().toSet shouldBe Set((1L, "a"))
+    an[IllegalArgumentException] should be thrownBy versionAsOf(t, t0)
+    // a manifest PREDATING the ts field (strip it) counts as always
+    // qualifying — pre-historic, never a resolution hole
+    val m1 = java.nio.file.Paths.get(t, "_log", f"v${1L}%016d.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .replaceAll("\"ts\":\\d+,", "")
+    java.nio.file.Files.delete(m1)
+    java.nio.file.Files.write(m1, stripped.getBytes("UTF-8"))
+    commitTime(t, 1L) shouldBe None
+    versionAsOf(t, t0) shouldBe 1L // legacy v1 now qualifies even pre-t0
+    versionAsOf(t, t2) shouldBe 2L // and never shadows a timed later version
+  }
 }
