@@ -384,6 +384,33 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r56_history" -> { (s, dir) =>
+      // R56: DESCRIBE HISTORY — a fixed lifecycle (overwrite, append,
+      // restore-to-v1, tagged append) read back as the audit trail, with
+      // each version's visible ROW COUNT joined on so the history rows
+      // prove not just what the log says happened but what each version
+      // actually holds. Modes, parent lineage and the tag all ride the
+      // hash; ts/n_files are env-dependent and in-gate require'd instead.
+      val t = graft.Scratch.fresh("r56_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 1),
+        mode = SnapshotTable.Append)
+      SnapshotTable.restore(t, toVersion = 1L)
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 2),
+        mode = SnapshotTable.Append, tag = Some("batch-7"))
+      val h = SnapshotTable.history(s, t)
+      require(h.filter(col("ts_millis").isNull || col("n_files") <= 0).count() == 0,
+        "every manifest must carry a commit time and files")
+      import s.implicits._
+      val counts = SnapshotTable.versions(t).map(v =>
+        (v, SnapshotTable.read(s, t, v).count())).toDF("version", "n_rows")
+      h.join(counts, Seq("version"))
+        .select(col("version"), col("parent"), col("mode"),
+          coalesce(col("tag"), lit("")).as("tag"), col("n_rows"))
+        .orderBy("version")
+    },
+
     "r55_time_travel" -> { (s, dir) =>
       // R55: AS OF TIMESTAMP — three commits with wall-clock boundaries
       // captured between them; reading at the boundary AFTER the overwrite
@@ -1502,6 +1529,23 @@ object Relational {
     "r40_snapshot_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // R56: the audit trail replayed as literals over the lifecycle's
+    // deterministic row counts — parent lineage, modes, the tag and each
+    // version's visible rows all pinned
+    "r56_history" ->
+      """WITH c AS (
+        |  SELECT count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS c0,
+        |         count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS c1,
+        |         count(CASE WHEN o_orderkey % 3 = 2 THEN 1 END) AS c2
+        |  FROM orders
+        |)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(-1 AS BIGINT) AS parent,
+        |       'Overwrite' AS mode, '' AS tag, CAST(c0 AS BIGINT) AS n_rows FROM c
+        |UNION ALL SELECT 2, 1, 'Append', '', CAST(c0 + c1 AS BIGINT) FROM c
+        |UNION ALL SELECT 3, 2, 'Restore', '', CAST(c0 AS BIGINT) FROM c
+        |UNION ALL SELECT 4, 3, 'Append', 'batch-7', CAST(c0 + c2 AS BIGINT) FROM c
+        |ORDER BY version""".stripMargin,
 
     // R55: AS OF the post-overwrite boundary sees exactly version 2
     "r55_time_travel" ->

@@ -133,6 +133,28 @@ object SnapshotTable {
       mergeSchema: Boolean = false): DataFrame =
     read(spark, table, versionAsOf(table, tsMillis), mergeSchema)
 
+  /** R56: DESCRIBE HISTORY — one row per retained version, newest last:
+    * (version, parent, mode, tag, ts_millis, n_files), straight from the
+    * manifests (driver-side metadata reads, O(retained versions), no data
+    * I/O). The audit surface every table format ships: what landed, when,
+    * how (Overwrite/Append/Replace/Restore/Clone), and under which
+    * idempotency tag — the first thing an incident review reads, and the
+    * programmatic source for retention policy (pair with [[vacuum]]) and
+    * replay forensics (which batch tags are in-tree). Missing fields
+    * (legacy manifests) surface as nulls, never errors. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val json = new String(Files.readAllBytes(manifestPath(table, v)), "UTF-8")
+      def longField(name: String): Option[Long] =
+        ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+          .map(_.group(1).toLong)
+      (v, longField("parent"),
+        "\"mode\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1)),
+        tagOf(table, v), longField("ts"), manifestFiles(table, v).size.toLong)
+    }.toDF("version", "parent", "mode", "tag", "ts_millis", "n_files")
+  }
+
   /** Whether ANY retained manifest of `table` records `tag` — the replay
     * check that stays correct when foreign commits (an OPTIMIZE job, a
     * vacuum-then-commit) land between a tagged commit and its replay:

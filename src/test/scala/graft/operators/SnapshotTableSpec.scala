@@ -118,4 +118,22 @@ class SnapshotTableSpec extends SparkSpec {
     versionAsOf(t, t0) shouldBe 1L // legacy v1 now qualifies even pre-t0
     versionAsOf(t, t2) shouldBe 2L // and never shadows a timed later version
   }
+
+  test("DESCRIBE HISTORY: lineage/modes/tags/times per retained version; vacuum trims it (R56)") {
+    val t = graft.Scratch.fresh("snap_history")
+    commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    commit(spark, t, Seq((2L, "b")).toDF("k", "v"), mode = Append, tag = Some("b-2"))
+    restore(t, toVersion = 1L)
+    val h = history(spark, t).orderBy("version").collect()
+    h.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    h.map(_.getLong(1)).toSeq shouldBe Seq(-1L, 1L, 2L)
+    h.map(_.getString(2)).toSeq shouldBe Seq("Overwrite", "Append", "Restore")
+    h.map(r => Option(r.getString(3))).toSeq shouldBe Seq(None, Some("b-2"), None)
+    h.foreach { r =>
+      r.isNullAt(r.fieldIndex("ts_millis")) shouldBe false
+      r.getAs[Long]("n_files") should be >= 1L
+    }
+    vacuum(t, keepFrom = 3L)
+    history(spark, t).select("version").as[Long].collect().toSeq shouldBe Seq(3L)
+  }
 }
