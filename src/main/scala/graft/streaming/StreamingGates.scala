@@ -340,6 +340,41 @@ object StreamingGates {
         .orderBy("o_orderstatus")
     },
 
+    // X25: the always-on retrieval loop end to end — the x23 crawl shards
+    // stream into the deduped corpus (novel docs only, atomic Appends),
+    // then the SEARCH INDEX follows the corpus's manifest log and serves
+    // BM25 FROM ITS STATE. The oracle recomputes bm25 over the
+    // first-arrival corpus content in SQL, so a shard that leaked a
+    // duplicate into the index, a lost novel doc, or any scoring drift
+    // across the two commit-protocol hops breaks the hash. Insert-only
+    // enforcement and replay no-ops are SearchIndexTailSpec's.
+    "x25_live_search" -> { (s, dir) =>
+      import java.nio.file.Paths
+      val t = graft.Scratch.fresh("x25_corpus")
+      val in = graft.Scratch.fresh("x25_in")
+      val ckpt1 = graft.Scratch.fresh("x25_ckpt1")
+      val idx = graft.Scratch.fresh("x25_idx")
+      val ckpt2 = graft.Scratch.fresh("x25_ckpt2")
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      val batch1 = docs.filter(col("doc_id") % 3 =!= 2)
+      val recrawl = batch1.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val batch2core = docs.filter(col("doc_id") % 3 === 2)
+      val inBatchDup = batch2core.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+      graft.operators.IncrementalCorpus.bootstrap(s, t, batch1, "text", "doc_id")
+      Seq(batch2core, recrawl, inBatchDup).zipWithIndex.foreach { case (df, i) =>
+        graft.Scratch.writeSingleParquet(df, Paths.get(in, f"shard-$i%05d.parquet"))
+      }
+      StreamingCorpusRefresh.start(s, in, batch2core.schema,
+        "text", "doc_id", t, ckpt1, maxFilesPerTrigger = 1).awaitTermination()
+      SearchIndexTail.start(s, t, "text", "doc_id", idx, ckpt2,
+        maxFilesPerTrigger = 1).awaitTermination()
+      StreamingSearchIndex.search(s, idx, "doc_id",
+        Seq("dup", "merge", "vector", "spark", "quantum"), k = 50)
+    },
+
     // X4 batch equivalent: deterministic first-occurrence per event_id (the
     // streaming form keeps the first arrival; batch pins "first" with a
     // total order so both engines agree).
@@ -427,6 +462,31 @@ object StreamingGates {
         |)
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
         |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // X25: bm25 over the first-arrival corpus content — both streaming
+    // hops (crawl → corpus, corpus log → index) must be invisible
+    "x25_live_search" -> {
+      """WITH all_docs AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 <> 2 THEN 0 ELSE 1 END AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 1
+        |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 1
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+        |),
+        |ranked AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY b, doc_id) AS rn
+        |  FROM all_docs
+        |),
+        |corpus AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+        |""".stripMargin +
+        graft.operators.LlmOps.bm25OracleSql("corpus",
+          Seq("dup", "merge", "vector", "spark", "quantum"), 50)
+    },
 
     // X21: the MoR read after the streamed deletes ≡ the plain filter
     "x21_stream_mor_deletes" ->
