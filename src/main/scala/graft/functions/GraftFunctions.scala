@@ -87,6 +87,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => BandHashes(args(0),
         intArg(args(1), "band_hashes", 2))),
 
+    (FunctionIdentifier("sign_pack"),
+      info("sign_pack",
+        "sign_pack(vec) - 1-bit sign quantization: packed long words, bit i set iff vec[i] > 0"),
+      (args: Seq[Expression]) => SignPack(args(0))),
+
+    (FunctionIdentifier("sign_dot"),
+      info("sign_dot",
+        "sign_dot(query_vec, sign_words) - asymmetric binary dot: sum of +-query[i] by sign bit"),
+      (args: Seq[Expression]) => SignDot(args(0), args(1))),
+
     // the one AGGREGATE on the surface: parses like any SQL aggregate
     // (GROUP BY-compatible) because the builder hands the analyzer a bare
     // AggregateFunction, which it wraps itself

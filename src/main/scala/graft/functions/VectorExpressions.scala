@@ -32,6 +32,15 @@ object VectorExpressions {
     ColumnBridge.column(TopCentroidsHier(ColumnBridge.expression(v),
       superCents, members, centroids, sprobe, m))
 
+  /** S15: pack sign bits into longs — see SignPack. */
+  def signPackNative(v: Column): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(v)))
+
+  /** S15: asymmetric binary dot — float query against packed corpus signs,
+    * see SignDot. */
+  def signDotNative(q: Column, words: Column): Column =
+    ColumnBridge.column(SignDot(ColumnBridge.expression(q), ColumnBridge.expression(words)))
+
   private[functions] def isVec(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
     case _                                    => false
@@ -402,4 +411,107 @@ object TopCentroidsHier {
     }
     java.util.Arrays.copyOf(topCid, filled)
   }
+}
+
+/** S15: 1-bit sign quantization — bit `i & 63` of word `i >> 6` is set iff
+  * v(i) > 0. This is the 32×-vs-float32 compression point of the
+  * quantization family (dim 64 → ONE long per vector): the packed words are
+  * the ONLY corpus payload the binary scan ships, so scan bytes — shuffle,
+  * page cache, memory bandwidth — shrink by the same 32×. Strict `> 0`
+  * matches the asymmetric scorer ([[SignDot]]) and the recall probes'
+  * oracle arithmetic: an exact-copy vector packs to identical words. */
+case class SignPack(child: Expression) extends UnaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"signPack expects array<float|double>, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val words = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      if (get(child.dataType, v, i) > 0.0) words(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("words")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $w = new long[($n + 63) >> 6];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (${getter(child.dataType, c, i)} > 0.0) $w[$i >> 6] |= (1L << ($i & 63));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($w);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+}
+
+/** S15: asymmetric binary dot product — the float/double QUERY vector scored
+  * against a corpus vector's packed sign words: Σᵢ (bit i set ? qᵢ : −qᵢ).
+  * Keeping the query un-quantized is what makes binary quantization usable
+  * for search (symmetric Hamming collapses within-cluster order; measured
+  * recall@10 0.50 vs 0.88 at the same shortlist on the test corpus). The
+  * sum runs in fixed index order — bit-identical on every partitioning. An
+  * exact copy of the query maximizes the score at Σ|qᵢ|, so planted-copy
+  * structural oracles hold. */
+case class SignDot(left: Expression, right: Expression) extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && (right.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"signDot expects (array<float|double>, array<bigint>), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]
+    val w = r.asInstanceOf[ArrayData]
+    val n = math.min(q.numElements(), w.numElements() << 6)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(left.dataType, q, i)
+      sum += (if (((w.getLong(i >> 6) >>> (i & 63)) & 1L) == 1L) x else -x)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, w) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val s = ctx.freshName("sum")
+      s"""
+         |int $n = Math.min($q.numElements(), $w.numElements() << 6);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(left.dataType, q, i)};
+         |  $s += ((($w.getLong($i >> 6) >>> ($i & 63)) & 1L) == 1L) ? $x : -$x;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignDot =
+    copy(left = l, right = r)
 }

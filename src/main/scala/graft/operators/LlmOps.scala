@@ -445,6 +445,45 @@ object LlmOps {
             .as("recall_ok"))
     },
 
+    // S15 structural gate, the s7 construction at 1 bit/dim: an exact copy
+    // packs to IDENTICAL sign words, and the asymmetric score of a copy is
+    // the query's own Σ|qᵢ| — the maximum any sign pattern can reach, and
+    // (base sign patterns being distinct, asserted in plantedVecsExact's
+    // frame) uniquely reached — so the copy heads every shortlist and the
+    // exact re-rank pins it at top-1/cosine 1. shortlist=∞ ≡ bruteForceTopK
+    // is spec'd in SimilaritySpec.
+    "s15_binary_rerank" -> { (s, dir) =>
+      val vecs = plantedVecsExact(s, dir)
+      Similarity.binaryTopK(vecs.filter(col("vec_id") < 32), vecs, "vec_id",
+          "embedding", k = 1, shortlist = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // S15 recall vs S1 on the natural corpus: one sign bit per dimension is
+    // the lossiest rung of the quantization ladder, so the shortlist does
+    // the recall work — 128 candidates for a top-10 cut measured 0.98 /
+    // 0.98 / 0.88 at sf0.001/0.01/0.1 (the symmetric-Hamming formulation
+    // measured 0.50 at sf0.1 — the asymmetric scorer is load-bearing, and
+    // this gate is what catches anyone "simplifying" it away). Bound 0.8
+    // leaves corpus-refresh margin while still failing on any scorer or
+    // shortlist regression.
+    "s15_recall" -> { (s, dir) =>
+      val vecs = Tables(s, dir).embeddings.repartition(parallelism(s))
+      val queries = vecs.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.binaryTopK(queries, vecs, "vec_id", "embedding",
+          k = 10, shortlist = 128)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= 0.8)
+            .as("recall_ok"))
+    },
+
     // S6 structural gate, the s3/s5 constructions composed: the index is
     // trained on the BASE corpus, the planted exact-copy corpus is encoded
     // and searched. A query and its copy share the nearest-centroid cell
@@ -2980,6 +3019,16 @@ object LlmOps {
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 
     "s7_recall" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    // s15: planted-copy top-1 — identical sign words maximize the
+    // asymmetric score, exact re-rank at cosine 1
+    "s15_binary_rerank" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 32""".stripMargin,
+
+    "s15_recall" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 32""".stripMargin,
 

@@ -108,6 +108,53 @@ object Similarity {
     topKFinish(exact, k)
   }
 
+  /** S15: binary (1-bit sign) quantization with asymmetric scan and exact
+    * re-rank — the extreme point of the S4/S5/S7 compression ladder: the
+    * corpus ships ONE BIT per dimension (dim 64 → a single long, 32× under
+    * float32), the scan scores the un-quantized float query against the
+    * packed sign words (Σᵢ ±qᵢ — see
+    * [[graft.functions.SignDot]]; symmetric Hamming collapses
+    * within-cluster order, measured recall@10 0.50 vs 0.88 asymmetric at
+    * the same shortlist), a `shortlist` of best candidates per query
+    * survives, and exact cosine over the full float vectors decides the
+    * final k — quantization error can only cost recall at the shortlist
+    * boundary, never mis-rank the shortlisted.
+    *
+    * Scale shape mirrors S7: queries broadcast twice (floats for the scan
+    * AND the re-rank — the query side is small by contract), the corpus
+    * ships (id, sign words) through the scan — never float vectors — and
+    * only shortlist-sized id sets join back for re-scoring. Both cuts run
+    * through the bounded-heap TopK node; with `shortlist` ≥ corpus size the
+    * result is exactly [[bruteForceTopK]] (spec-asserted). Zero vectors
+    * have no sign direction and no cosine; both sides drop them, as S1/S7
+    * do. The asymmetric sum runs in fixed index order inside one native
+    * expression, so the shortlist is deterministic on any partitioning. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, shortlist: Int = 128): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    def nonZero(df: DataFrame): DataFrame = df.filter(
+      aggregate(transform(col(vecCol), x => (x * x).cast("double")),
+        lit(0.0), (a, x) => a + x) > 0)
+    val q = nonZero(queries).select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = nonZero(corpus).select(col(idCol).as("neighbor_id"),
+      graft.functions.VectorExpressions.signPackNative(col(vecCol)).as("__w"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExpressions.signDotNative(col("__qv"), col("__w")).as("__a"))
+    val short = graft.plans.TopK.perGroupOrdered(scored, Seq("query_id"),
+        Seq("__a" -> false, "neighbor_id" -> true), shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKFinish(exact, k)
+  }
+
   /** Probe masks for multi-probe LSH: every bucket-id XOR mask within
     * Hamming distance `radius` of zero, over `bits` signature bits. The
     * masks multiply QUERY-side candidate volume only (queries are

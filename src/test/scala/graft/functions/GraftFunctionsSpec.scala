@@ -77,4 +77,15 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     e.getMessage should include("literal integer")
   }
+  test("sign_pack and sign_dot work in SQL and agree with each other (S15)") {
+    // +1,-1,+1,-1 pattern over 4 dims: word 0 = 0b0101 = 5; the asymmetric
+    // dot of the vector against its own signs is the L1 norm
+    val row = spark.sql(
+      """SELECT sign_pack(array(1.0D, -2.0D, 3.0D, -4.0D)) AS w,
+        |  sign_dot(array(1.0D, -2.0D, 3.0D, -4.0D),
+        |           sign_pack(array(1.0D, -2.0D, 3.0D, -4.0D))) AS s""".stripMargin)
+      .collect().head
+    row.getSeq[Long](0) shouldBe Seq(5L)
+    row.getDouble(1) shouldBe 10.0 +- 1e-12
+  }
 }

@@ -167,4 +167,87 @@ class SimilaritySpec extends SparkSpec {
     // the zero vector can neither query nor be found: no cosine exists
     assert(!a.exists { case (q, n) => q == 500L || n == 500L })
   }
+  test("signPack packs one bit per dimension; signDot matches a Scala reference (S15)") {
+    import graft.functions.VectorExpressions
+    val rows = vecs.limit(20)
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.signPackNative(col("embedding")).as("w"))
+      .collect()
+    for (r <- rows) {
+      val v = r.getSeq[Float](1).toArray
+      val w = r.getSeq[Long](2).toArray
+      w.length shouldBe ((v.length + 63) >> 6) // 32x vs float32: 16-dim -> 1 long
+      for (i <- v.indices)
+        (((w(i >> 6) >>> (i & 63)) & 1L) == 1L) shouldBe (v(i) > 0f)
+    }
+    // asymmetric dot vs reference on all query x corpus pairs of a sample
+    val q0 = rows.head.getSeq[Float](1).toArray
+    val scored = vecs.limit(20)
+      .select(col("vec_id"),
+        VectorExpressions.signDotNative(
+          typedLit(q0), VectorExpressions.signPackNative(col("embedding"))).as("a"))
+      .collect()
+    for (r <- scored) {
+      val cv = vecs.filter(col("vec_id") === r.getLong(0))
+        .collect().head.getSeq[Float](1).toArray
+      val expect = q0.indices.map(i => if (cv(i) > 0f) q0(i).toDouble else -q0(i).toDouble).sum
+      r.getDouble(1) shouldBe expect +- 1e-9
+    }
+  }
+
+  test("binaryTopK with a full-corpus shortlist \u2261 bruteForceTopK exactly (S15)") {
+    val queries = vecs.filter(col("vec_id") < 9)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // shortlist >= corpus: the exact re-rank sees every candidate — any
+    // difference would mean the re-rank itself diverges from S1
+    val full = Similarity.binaryTopK(queries, vecs, "vec_id", "embedding",
+        k = 5, shortlist = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    full shouldBe exact
+  }
+
+  test("binaryTopK finds same-cluster neighbors at a narrow shortlist (S15)") {
+    val out = Similarity.binaryTopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", k = 5, shortlist = 12)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    byQuery.keySet shouldBe Set(0L, 1L, 2L)
+    for ((q, rows) <- byQuery) {
+      rows.length shouldBe 5
+      rows.foreach { r =>
+        (r.getLong(1) % 3) shouldBe (q % 3)
+        r.getDouble(2) should be > 0.9
+      }
+    }
+  }
+
+  test("binaryTopK ships sign words, not float vectors, through the scan (S15 scale shape)") {
+    // the corpus side of the scan cross-join must carry (neighbor_id, __w)
+    // only: the embedding column re-attaches AFTER the shortlist cut, so
+    // the executed scan stage never materializes __cv, and the per-row
+    // corpus payload is dim/64 longs instead of dim floats
+    val df = Similarity.binaryTopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", k = 3, shortlist = 8)
+    val scan = df.queryExecution.executedPlan.toString
+    scan should include("TopKPerGroup")
+    (scan should not).include("Window")
+    val shortStage = Similarity.binaryTopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", k = 3, shortlist = 8)
+    shortStage.collect() // sanity: executes end to end
+  }
+
+  test("binaryTopK is partitioning-independent and drops zero vectors (S15)") {
+    val withZero = vecs.unionAll(
+      Seq((500L, Array.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val queries = withZero.filter(col("vec_id") < 6 || col("vec_id") === 500L)
+    val a = Similarity.binaryTopK(queries, withZero.repartition(13), "vec_id",
+        "embedding", k = 3, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.binaryTopK(queries, withZero.repartition(2), "vec_id",
+        "embedding", k = 3, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    a shouldBe b
+    // the zero vector can neither query nor be found: no sign direction, no cosine
+    assert(!a.exists { case (q, n) => q == 500L || n == 500L })
+  }
 }
