@@ -384,6 +384,32 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r57_dsv2_read" -> { (s, dir) =>
+      // R57: the DataSourceV2 connector end to end — an r55-style
+      // lifecycle (overwrite, overwrite, append) read back through
+      // `spark.read.format("graft")`: versionAsOf and timestampAsOf must
+      // pin exactly the manifests the API reads pin (in-gate require,
+      // row-exact via exceptAll both ways), and the emitted frame rides a
+      // residual filter over the connector's parquet scan — pushdown /
+      // pruning / read-only / isolation plan shapes are GraftSourceSpec's.
+      val t = graft.Scratch.fresh("r57_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      Thread.sleep(5)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(5)
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 2),
+        mode = SnapshotTable.Append)
+      val v1 = s.read.format("graft").option("versionAsOf", 1).load(t)
+      val asof = s.read.format("graft").option("timestampAsOf", t1.toString).load(t)
+      require(v1.exceptAll(asof).isEmpty && asof.exceptAll(v1).isEmpty,
+        "timestampAsOf at the v1 boundary must read exactly version 1")
+      s.read.format("graft").load(t)
+        .filter(col("o_custkey") % 5 === 0)
+        .orderBy("o_orderkey")
+    },
+
     "r56_history" -> { (s, dir) =>
       // R56: DESCRIBE HISTORY — a fixed lifecycle (overwrite, append,
       // restore-to-v1, tagged append) read back as the audit trail, with
@@ -1551,6 +1577,13 @@ object Relational {
     "r55_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // R57: latest = the %3=1 overwrite plus the %3=2 append, through the
+    // DSv2 connector with a residual filter
+    "r57_dsv2_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 0 AND o_custkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // R54: partition + stats pruning must be invisible — the pruned read
     // equals the plain filter (most frequent user × first 7 days)
