@@ -384,6 +384,35 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r58_sql_time_travel" -> { (s, dir) =>
+      // R58: the TableCatalog — an r57-style lifecycle reached from PURE
+      // SQL: VERSION AS OF must pin the same manifests the API pins
+      // (in-gate require, row-exact both ways), the R44 commit tag
+      // resolves through the same clause, and the emitted frame is the
+      // SQL latest read with a residual filter. Parser → catalog → pinned
+      // parquet scan, no graft classes on the query side; TIMESTAMP AS
+      // OF, SHOW TABLES, read-only rejection and plan shapes are
+      // GraftCatalogSpec's.
+      val t = graft.Scratch.fresh("r58_table")
+      val name = new java.io.File(t).getName
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", new java.io.File(t).getParent)
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 2),
+        mode = SnapshotTable.Append, tag = Some("cut-7"))
+      val v1 = s.sql(s"SELECT * FROM graft_cat.`$name` VERSION AS OF 1")
+      val api1 = SnapshotTable.read(s, t, 1L)
+      require(v1.exceptAll(api1).isEmpty && api1.exceptAll(v1).isEmpty,
+        "SQL VERSION AS OF 1 must read exactly what the API reads")
+      val tagged = s.sql(s"SELECT * FROM graft_cat.`$name` VERSION AS OF 'cut-7'")
+      val latest = s.sql(s"SELECT * FROM graft_cat.`$name`")
+      require(tagged.exceptAll(latest).isEmpty && latest.exceptAll(tagged).isEmpty,
+        "the tag rides the latest commit: tag read must equal latest read")
+      latest.filter(col("o_custkey") % 7 === 0).orderBy("o_orderkey")
+    },
+
     "r57_dsv2_read" -> { (s, dir) =>
       // R57: the DataSourceV2 connector end to end — an r55-style
       // lifecycle (overwrite, overwrite, append) read back through
@@ -1577,6 +1606,13 @@ object Relational {
     "r55_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // R58: latest = the %3=1 overwrite plus the %3=2 append, reached
+    // through pure-SQL catalog reads
+    "r58_sql_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 0 AND o_custkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // R57: latest = the %3=1 overwrite plus the %3=2 append, through the
     // DSv2 connector with a residual filter

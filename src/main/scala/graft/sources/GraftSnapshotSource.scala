@@ -70,7 +70,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
     }
 
   /** Manifest resolution — the one graft-specific step of the read. */
-  private def pinnedFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def underlying(options: CaseInsensitiveStringMap): ParquetTable = {
     val table = tablePath(options)
     require(!(options.containsKey("versionAsOf") && options.containsKey("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
@@ -79,15 +79,8 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
       else if (options.containsKey("timestampAsOf"))
         SnapshotTable.versionAsOf(table, parseTs(options.get("timestampAsOf")))
       else -1L
-    SnapshotTable.filesOf(table, version)
-  }
-
-  private def underlying(options: CaseInsensitiveStringMap): ParquetTable = {
-    val files = pinnedFiles(options)
     val passThrough = options.asScala.toMap.filterNot { case (k, _) => reserved(k.toLowerCase) }
-    ParquetTable(s"graft:${tablePath(options)}", SparkSession.active,
-      new CaseInsensitiveStringMap(passThrough.asJava), files,
-      userSpecifiedSchema = None, classOf[ParquetFileFormat])
+    GraftRead.pinned(table, version, passThrough)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -96,4 +89,18 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     underlying(new CaseInsensitiveStringMap(properties))
+}
+
+/** Shared pinned-scan constructor for the R57 path source and the R58
+  * catalog: one place owns the "resolve manifest → delegate to the parquet
+  * DSv2" contract, so both access paths produce byte-identical plans. */
+private[sources] object GraftRead {
+  import scala.jdk.CollectionConverters._
+
+  def pinned(table: String, version: Long,
+      passThrough: Map[String, String] = Map.empty): ParquetTable =
+    ParquetTable(s"graft:$table", SparkSession.active,
+      new CaseInsensitiveStringMap(passThrough.asJava),
+      SnapshotTable.filesOf(table, version),
+      userSpecifiedSchema = None, classOf[ParquetFileFormat])
 }
