@@ -986,6 +986,18 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "t25_importance_weights" -> { (s, dir) =>
+      // T25: DSIR-shaped importance weighting, target = English documents.
+      // The estimator is integer end to end (t4 polyhash buckets, t20
+      // fixed-point log2 millibits, add-one smoothing), so DuckDB replays
+      // the fit AND the per-doc scores digit-for-digit; `selected` is the
+      // rank-free score_u > 0 rule (more target-like than raw-like), total
+      // over documents including zero-token ones.
+      Sampling.importanceWeights(Tables(s, dir).documents, "doc_id", "text",
+          col("lang") === "en", buckets = 512)
+        .orderBy("doc_id")
+    },
+
     "t24_token_drift" -> { (s, dir) =>
       // T24: corpus-refresh drift monitor. v2 is a planted refresh of the
       // corpus: mod-5 docs dropped (their tokens' counts fall), mod-7
@@ -1769,6 +1781,42 @@ object LlmOps {
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(regexp_extract_all($e, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  /** T25 oracle: the DSIR fit and scores, digit-for-digit — t4 polyhash
+    * buckets (t21's bucketing), add-one-smoothed bucket multinomials for
+    * target (lang='en') vs raw, the t20 fixed-point log2 millibit kernel
+    * on the Q10 ratio, per-token-occurrence sum, total over docs. */
+  private def t25OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang = 'en' AS tgt,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), bk AS (
+       |  SELECT doc_id, tgt, ${polyHashSql("tok")} % 512 AS b FROM tk
+       |), st AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS rb,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tb
+       |  FROM bk GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(sum(rb) AS BIGINT) AS rtot, CAST(sum(tb) AS BIGINT) AS ttot
+       |  FROM st
+       |), lr AS (
+       |  SELECT b,
+       |    (CAST(length(bin(q)) AS BIGINT) - 11) * 1000
+       |      + ((q - (CAST(1 AS BIGINT) << (length(bin(q)) - 1))) * 1000)
+       |        // (CAST(1 AS BIGINT) << (length(bin(q)) - 1)) AS lr_mb
+       |  FROM (SELECT b,
+       |          GREATEST(((tb + 1) * (rtot + 512) * 1024)
+       |                     // ((rb + 1) * (ttot + 512)), 1) AS q
+       |        FROM st, tot)
+       |), pd AS (
+       |  SELECT bk.doc_id, CAST(sum(lr.lr_mb) AS BIGINT) AS score_u
+       |  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(pd.score_u, 0) AS BIGINT) AS score_u,
+       |  coalesce(pd.score_u, 0) > 0 AS selected
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB fragment: the T21 classifier scoring CTE chain over a
     * (doc_id, text) relation `rel` — tokens, polyhash buckets, the frozen
@@ -3054,6 +3102,10 @@ object LlmOps {
     "t2_quality" -> t2OracleSql,
 
     "t22_gopher_rules" -> t22OracleSql,
+
+    // T25: the DSIR fit replayed — polyhash buckets, add-one-smoothed
+    // bucket multinomials, fixed-point log2 millibit ratios, per-token sum
+    "t25_importance_weights" -> t25OracleSql,
 
     // T24: the same planted refresh, counts full-outer joined, exact
     // integer deltas under the same strict (delta desc, token) order

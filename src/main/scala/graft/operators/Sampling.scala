@@ -287,4 +287,64 @@ object Sampling {
       name -> math.round(acc * 4294967296.0)
     }
   }
+  /** T25: DSIR-shaped importance weighting — "which raw documents look
+    * like the target distribution?", the data-selection signal behind
+    * importance-resampled pretraining mixes (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"). Two
+    * bag-of-hashed-unigrams multinomials are fitted in ONE corpus pass —
+    * the target model over documents matching `isTarget`, the raw model
+    * over all of `docs` — and every document scores its token stream's
+    * log-likelihood ratio under them:
+    *
+    *   score_u(d) = Σ_tokens lr_mb(bucket(tok)),
+    *   lr_mb(b)   = log2-millibits of (tb_b+1)(Rtot+B) / ((rb_b+1)(Ttot+B))
+    *
+    * with bucket(tok) = the t4 polynomial hash mod `buckets` (the T21
+    * bucketing) and the log2 the T20 fixed-point millibit kernel — so the
+    * whole estimator is INTEGER arithmetic end to end: deterministic on
+    * any engine or partitioning, replayed digit-for-digit by the DuckDB
+    * oracle, no float log whose last ulp could flip a selection. score_u >
+    * 0 means "more target-like than raw-like" (the add-one-smoothed models
+    * make that calibration exact), which gives a rank-free distributed
+    * selection rule: no global sort, no window funnel — each partition
+    * filters locally.
+    *
+    * Scale shape: one tokenize pass; bucket stats aggregate map-side to ≤
+    * `buckets` rows which broadcast back; the per-doc score is a map-side
+    * groupBy on (id, bucket) then a broadcast join — nothing shuffles the
+    * corpus except the (id, bucket, count) triples whose cardinality is
+    * ≤ tokens. Totals are two driver longs. At cluster scale mind the
+    * (tb+1)·(Rtot+B) product against 2^63: shed a common factor from both
+    * totals first (the ratio is what matters) — with 2^40-token corpora,
+    * idiv both totals by 2^20 before calling.
+    *
+    * Returns (idCol, score_u, selected) — TOTAL over docs: zero-token
+    * documents score 0 and are not selected. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bk = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(Search.toks(col(textCol))).as("__tok"))
+      .select(col(idCol), col("__tgt"),
+        (TextAnalysis.fingerprint(col("__tok")) % buckets).as("__b"))
+    val stats = bk.groupBy("__b").agg(
+      count(lit(1)).as("__rb"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tb"))
+    // two driver-side longs — the only action the fit needs
+    val tot = stats.agg(
+      coalesce(sum("__rb"), lit(0L)), coalesce(sum("__tb"), lit(0L))).head()
+    val (rtot, ttot) = (tot.getLong(0), tot.getLong(1))
+    require(ttot > 0, "importanceWeights: the target selector matches no tokens")
+    val ratioQ10 = greatest(Search.idiv(
+      (col("__tb") + 1L) * lit(rtot + buckets) * 1024L,
+      (col("__rb") + 1L) * lit(ttot + buckets)), lit(1L))
+    val lr = stats.select(col("__b"), Search.log2MillibitsQ10(ratioQ10).as("__lr_mb"))
+    val perDoc = bk.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(lr), "__b")
+      .groupBy(idCol).agg(sum(col("__c") * col("__lr_mb")).as("score_u"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("score_u"), lit(0L)).as("score_u"))
+      .withColumn("selected", col("score_u") > 0L)
+  }
 }

@@ -56,7 +56,7 @@ object Search {
 
   /** True integer floor division on longs (Column `/` widens to double,
     * which past 2^53 silently loses exactness — the whole point here). */
-  private def idiv(a: Column, b: Column): Column =
+  private[operators] def idiv(a: Column, b: Column): Column =
     ColumnBridge.column(IntegralDivide(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

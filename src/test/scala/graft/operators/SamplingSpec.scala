@@ -270,4 +270,43 @@ class SamplingSpec extends SparkSpec {
     other.size shouldBe 150
     other should not equal got
   }
+  test("importanceWeights separates target-like from raw-like docs (T25)") {
+    // two disjoint vocabularies: target docs speak "alpha…", raw-only docs
+    // speak "zulu…"; mixed docs carry both. The LLR must rank pure-target
+    // lookalikes positive, pure-raw negative, and stay total over docs.
+    val docs = ((0L until 20L).map(i => (i, "alpha beta gamma delta", true)) ++
+      (20L until 80L).map(i => (i, "zulu yankee xray whiskey", false)) ++
+      Seq((80L, "alpha beta zulu yankee", false),
+        (81L, null.asInstanceOf[String], false)))
+      .toDF("doc_id", "text", "is_en")
+    val out = Sampling.importanceWeights(docs, "doc_id", "text",
+      col("is_en"), buckets = 512).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    out.size shouldBe 82 // total, including the token-less null-text doc
+    for (i <- 0L until 20L) { out(i)._1 should be > 0L; out(i)._2 shouldBe true }
+    for (i <- 20L until 80L) { out(i)._1 should be < 0L; out(i)._2 shouldBe false }
+    out(81L) shouldBe ((0L, false)) // zero tokens -> score 0, not selected
+    // the mixed doc sits strictly between the pure classes
+    out(80L)._1 should be < out(0L)._1
+    out(80L)._1 should be > out(20L)._1
+  }
+
+  test("importanceWeights is partitioning-independent — integer arithmetic (T25)") {
+    val docs = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "red green blue" else "cyan magenta yellow black",
+        i % 3 == 0)).toDF("doc_id", "text", "tgt")
+    val a = Sampling.importanceWeights(docs.repartition(17), "doc_id", "text",
+      col("tgt"), buckets = 64).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.importanceWeights(docs.repartition(2), "doc_id", "text",
+      col("tgt"), buckets = 64).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    a shouldBe b
+  }
+
+  test("importanceWeights rejects an empty target (T25)") {
+    val docs = Seq((1L, "a b c", false)).toDF("doc_id", "text", "tgt")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.importanceWeights(docs, "doc_id", "text", col("tgt"))
+    }
+    e.getMessage should include("target selector matches no tokens")
+  }
 }
