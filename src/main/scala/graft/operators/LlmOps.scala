@@ -986,6 +986,33 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "p15_dsir_corpus" -> { (s, dir) =>
+      // P15: T25 × T6 — the DSIR-curated corpus cut a mix designer ships:
+      // fit the importance model against the English target, keep the
+      // target-like docs (the calibrated score_u > 0 rule), split the
+      // survivors deterministically, and emit the per-split audit (doc
+      // count + total importance mass). Every stage bites on the hash:
+      // the fit decides membership, the selection thresholds it, the
+      // split partitions it — one lazy plan, re-derived end to end by the
+      // chained t25+t6 oracle fragments. The corpus is marker-planted
+      // (the t24 idiom) because the natural text is not language-
+      // differentiated: without a genuinely distinct target distribution
+      // the calibrated cut correctly selects ~nothing (0 rows at
+      // sf0.001), which certifies little — with it, every SF selects a
+      // real English-like cut and all three split rows carry mass.
+      val planted = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        concat(col("text"), when(col("lang") === "en",
+          lit(" targetmarker targetmarker targetmarker")).otherwise(lit("")))
+          .as("text"))
+      val w = Sampling.importanceWeights(planted, "doc_id",
+        "text", col("lang") === "en", buckets = 512)
+      Sampling.assignSplits(w.filter(col("selected")), "doc_id", SplitSpec)
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          sum("score_u").as("sum_score_u"))
+        .orderBy("split")
+    },
+
     "t25_importance_weights" -> { (s, dir) =>
       // T25: DSIR-shaped importance weighting, target = English documents.
       // The estimator is integer end to end (t4 polyhash buckets, t20
@@ -1782,25 +1809,26 @@ object LlmOps {
       s"list_transform(regexp_extract_all($e, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007)"
 
-  /** T25 oracle: the DSIR fit and scores, digit-for-digit — t4 polyhash
-    * buckets (t21's bucketing), add-one-smoothed bucket multinomials for
-    * target (lang='en') vs raw, the t20 fixed-point log2 millibit kernel
-    * on the Q10 ratio, per-token-occurrence sum, total over docs. */
-  private def t25OracleSql: String =
-    s"""WITH tk AS (
+  /** T25 oracle fragment: the DSIR fit and per-doc scores as a CTE chain
+    * (through `ds_pd`), composable so P15's corpus-cut oracle can keep
+    * deriving — t4 polyhash buckets (t21's bucketing), add-one-smoothed
+    * bucket multinomials for target (lang='en') vs raw, the t20
+    * fixed-point log2 millibit kernel on the Q10 ratio, per-token sum. */
+  private def t25CtesSql(rel: String = "documents"): String =
+    s"""ds_tk AS (
        |  SELECT doc_id, lang = 'en' AS tgt,
        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-       |  FROM documents
-       |), bk AS (
-       |  SELECT doc_id, tgt, ${polyHashSql("tok")} % 512 AS b FROM tk
-       |), st AS (
+       |  FROM $rel
+       |), ds_bk AS (
+       |  SELECT doc_id, tgt, ${polyHashSql("tok")} % 512 AS b FROM ds_tk
+       |), ds_st AS (
        |  SELECT b, CAST(count(*) AS BIGINT) AS rb,
        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tb
-       |  FROM bk GROUP BY b
-       |), tot AS (
+       |  FROM ds_bk GROUP BY b
+       |), ds_tot AS (
        |  SELECT CAST(sum(rb) AS BIGINT) AS rtot, CAST(sum(tb) AS BIGINT) AS ttot
-       |  FROM st
-       |), lr AS (
+       |  FROM ds_st
+       |), ds_lr AS (
        |  SELECT b,
        |    (CAST(length(bin(q)) AS BIGINT) - 11) * 1000
        |      + ((q - (CAST(1 AS BIGINT) << (length(bin(q)) - 1))) * 1000)
@@ -1808,15 +1836,44 @@ object LlmOps {
        |  FROM (SELECT b,
        |          GREATEST(((tb + 1) * (rtot + 512) * 1024)
        |                     // ((rb + 1) * (ttot + 512)), 1) AS q
-       |        FROM st, tot)
-       |), pd AS (
-       |  SELECT bk.doc_id, CAST(sum(lr.lr_mb) AS BIGINT) AS score_u
-       |  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id
-       |)
+       |        FROM ds_st, ds_tot)
+       |), ds_pd AS (
+       |  SELECT ds_bk.doc_id, CAST(sum(ds_lr.lr_mb) AS BIGINT) AS score_u
+       |  FROM ds_bk JOIN ds_lr USING (b) GROUP BY ds_bk.doc_id
+       |)""".stripMargin
+
+  /** T25 oracle: the fit replayed digit-for-digit, total over docs. */
+  private def t25OracleSql: String =
+    s"""WITH ${t25CtesSql()}
        |SELECT d.doc_id, CAST(coalesce(pd.score_u, 0) AS BIGINT) AS score_u,
        |  coalesce(pd.score_u, 0) > 0 AS selected
-       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |FROM documents d LEFT JOIN ds_pd pd USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** P15 oracle: the T25 fit over the marker-planted corpus, chained into
+    * the T6 split — the per-split audit (doc count, importance mass) over
+    * the selected cut. The marker makes the target distribution genuinely
+    * distinct at every SF, so the selection is non-trivial (the natural
+    * corpus text is not language-differentiated and would select ~nothing). */
+  private def p15OracleSql: String =
+    s"""WITH ds_src AS (
+       |  SELECT doc_id, lang,
+       |    text || CASE WHEN lang = 'en'
+       |                 THEN ' targetmarker targetmarker targetmarker'
+       |                 ELSE '' END AS text
+       |  FROM documents
+       |), ${t25CtesSql("ds_src")},
+       |ds_sel AS (
+       |  SELECT d.doc_id, CAST(coalesce(pd.score_u, 0) AS BIGINT) AS score_u
+       |  FROM documents d LEFT JOIN ds_pd pd USING (doc_id)
+       |  WHERE coalesce(pd.score_u, 0) > 0
+       |)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(score_u) AS BIGINT) AS sum_score_u
+       |FROM (
+       |  SELECT doc_id, score_u, $splitCaseSql AS split FROM (
+       |    SELECT doc_id, score_u, ${md5UnitSql("doc_id")} AS u FROM ds_sel))
+       |GROUP BY split ORDER BY split""".stripMargin
 
   /** DuckDB fragment: the T21 classifier scoring CTE chain over a
     * (doc_id, text) relation `rel` — tokens, polyhash buckets, the frozen
@@ -3106,6 +3163,9 @@ object LlmOps {
     // T25: the DSIR fit replayed — polyhash buckets, add-one-smoothed
     // bucket multinomials, fixed-point log2 millibit ratios, per-token sum
     "t25_importance_weights" -> t25OracleSql,
+
+    // P15: the same fit chained into selection + split, per-split audit
+    "p15_dsir_corpus" -> p15OracleSql,
 
     // T24: the same planted refresh, counts full-outer joined, exact
     // integer deltas under the same strict (delta desc, token) order
