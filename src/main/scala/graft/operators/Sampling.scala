@@ -309,11 +309,14 @@ object Sampling {
     * selection rule: no global sort, no window funnel — each partition
     * filters locally.
     *
-    * Scale shape: one tokenize pass; bucket stats aggregate map-side to ≤
-    * `buckets` rows which broadcast back; the per-doc score is a map-side
-    * groupBy on (id, bucket) then a broadcast join — nothing shuffles the
-    * corpus except the (id, bucket, count) triples whose cardinality is
-    * ≤ tokens. Totals are two driver longs. At cluster scale mind the
+    * Scale shape: the canonical two-pass DSIR — pass 1 tokenizes and
+    * aggregates bucket stats map-side to ≤ `buckets` rows (pinned via
+    * [[Caches]], so the totals action, the ratio frame and the broadcast
+    * all reuse ONE materialization instead of re-tokenizing the corpus);
+    * pass 2 re-tokenizes for the per-doc scores, a map-side groupBy on
+    * (id, bucket) then a broadcast join — nothing shuffles the corpus
+    * except the (id, bucket, count) triples whose cardinality is ≤
+    * tokens. Totals are two driver longs. At cluster scale mind the
     * (tb+1)·(Rtot+B) product against 2^63: shed a common factor from both
     * totals first (the ratio is what matters) — with 2^40-token corpora,
     * idiv both totals by 2^20 before calling.
@@ -328,9 +331,9 @@ object Sampling {
         explode(Search.toks(col(textCol))).as("__tok"))
       .select(col(idCol), col("__tgt"),
         (TextAnalysis.fingerprint(col("__tok")) % buckets).as("__b"))
-    val stats = bk.groupBy("__b").agg(
+    val stats = Caches.owned(bk.groupBy("__b").agg(
       count(lit(1)).as("__rb"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tb"))
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tb")))
     // two driver-side longs — the only action the fit needs
     val tot = stats.agg(
       coalesce(sum("__rb"), lit(0L)), coalesce(sum("__tb"), lit(0L))).head()
