@@ -384,6 +384,35 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r59_merge_evolve" -> { (s, dir) =>
+      // R59: schema-evolving MERGE (Delta autoMerge) — the changeset
+      // carries a column the table lacks (o_note): updates overwrite
+      // custkey and attach a note, inserts arrive with one, deletes drop
+      // rows, and every surviving pre-merge row reads the new column as
+      // NULL through the R52 mergeSchema read (untouched files keep their
+      // old physical schema — no rewrite amplification from widening).
+      // Strict-mode rejection of the same changeset is SnapshotMergeSpec's.
+      val t = graft.Scratch.fresh("r59_table")
+      val o = Tables(s, dir).orders
+      SnapshotTable.commit(s, t,
+        o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_custkey"))
+      val upd = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"),
+          lit("upd").as("o_note"), lit("U").as("op"))
+      val del = o.filter(col("o_orderkey") % 14 === 0 && col("o_orderkey") % 10 =!= 0
+          && col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_note"), lit("D").as("op"))
+      val ins = o.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("new").as("o_note"), lit("I").as("op"))
+      SnapshotTable.merge(s, t, upd.unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), evolveSchema = true)
+      SnapshotTable.read(s, t, mergeSchema = true)
+        .select("o_orderkey", "o_custkey", "o_note")
+        .orderBy("o_orderkey")
+    },
+
     "r58_sql_time_travel" -> { (s, dir) =>
       // R58: the TableCatalog — an r57-style lifecycle reached from PURE
       // SQL: VERSION AS OF must pin the same manifests the API pins
@@ -1606,6 +1635,28 @@ object Relational {
     "r55_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // R59: the evolving merge re-derived — survivors with a NULL note,
+    // updates overwritten with one, deletes gone, inserts present
+    "r59_merge_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, 'upd' AS o_note
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |), del AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 14 = 0 AND o_orderkey % 10 <> 0 AND o_orderkey % 2 = 0
+        |), ins AS (
+        |  SELECT o_orderkey, o_custkey, 'new' AS o_note
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
+        |)
+        |SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_note FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY o_orderkey""".stripMargin,
 
     // R58: latest = the %3=1 overwrite plus the %3=2 append, reached
     // through pure-SQL catalog reads

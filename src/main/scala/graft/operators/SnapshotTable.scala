@@ -483,7 +483,8 @@ object SnapshotTable {
     * Hudi MERGE INTO shape the plain-directory R25 cannot offer. */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "op",
-      beforePublish: () => Unit = () => (), tag: Option[String] = None): Long = {
+      beforePublish: () => Unit = () => (), tag: Option[String] = None,
+      evolveSchema: Boolean = false): Long = {
     val v = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val files = manifestFiles(table, v)
@@ -494,13 +495,15 @@ object SnapshotTable {
     // untouched under one key set and insert images under another,
     // leaving duplicate rows
     val pinned = changes.cache()
-    try merge0(spark, table, pinned, keyCols, opCol, beforePublish, v, files, k0, tag)
+    try merge0(spark, table, pinned, keyCols, opCol, beforePublish, v, files, k0, tag,
+      evolveSchema)
     finally { pinned.unpersist(): Unit }
   }
 
   private def merge0(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, beforePublish: () => Unit,
-      v: Long, files: Seq[String], k0: String, tag: Option[String]): Long = {
+      v: Long, files: Seq[String], k0: String, tag: Option[String],
+      evolveSchema: Boolean): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val keyVals = changes.select(col(k0)).distinct().collect().map(_.get(0)).toSeq
     val statsByDir = files.map(f => f.take(f.lastIndexOf('/'))).distinct
@@ -516,9 +519,18 @@ object SnapshotTable {
     val touchedDf =
       if (touched.isEmpty) read(spark, table, v).limit(0)
       else spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+    // R59: evolveSchema is Delta-style autoMerge — a changeset carrying
+    // columns the table lacks ADDS them (survivor and untouched rows read
+    // null through an R52 mergeSchema read), and table columns a changeset
+    // omits null-fill on the inserted images. Strict mode (the default)
+    // keeps schema drift a loud error: evolution must be an explicit
+    // decision, not a typo'd column name silently forking the schema.
+    // Untouched files keep their old physical schema — that is exactly the
+    // R52 contract, so no rewrite amplification from a widening merge.
     val rewritten = touchedDf
       .join(broadcast(changes.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
-      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol),
+        allowMissingColumns = evolveSchema)
     commit(spark, table, rewritten, mode = Replace(untouched),
       expectedVersion = v, beforePublish = beforePublish, tag = tag)
   }

@@ -95,4 +95,37 @@ class SnapshotMergeSpec extends SparkSpec {
       java.nio.file.Paths.get(t, "_log").resolve(f"v$v%016d.json")), "UTF-8")
     "\"([^\"]*\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
   }
+  test("strict merge rejects a schema-widening changeset loudly (R59 guard)") {
+    val t = table("m_evolve_strict", clustered = true)
+    val widened = Seq((1000L, 0L, "UPD", "extra", "U"))
+      .toDF("k", "g", "s", "note", "op")
+    intercept[Exception] {
+      SnapshotTable.merge(spark, t, widened, Seq("k"))
+    }
+  }
+
+  test("evolveSchema merge adds the new column; untouched files keep their physical schema (R59)") {
+    val t = table("m_evolve", clustered = true)
+    val widened = spark.range(1000L, 1010L).select(col("id").as("k"),
+        (col("id") % 13).as("g"), lit("UPD").as("s"), lit("tagged").as("note"),
+        lit("U").as("op"))
+      .unionByName(Seq((200000L, 0L, "NEW", "fresh", "I"))
+        .toDF("k", "g", "s", "note", "op"))
+    SnapshotTable.merge(spark, t, widened, Seq("k"), evolveSchema = true)
+    val out = SnapshotTable.read(spark, t, mergeSchema = true)
+    out.columns.toSet shouldBe Set("k", "g", "s", "note")
+    val byK = out.filter(col("k").isin(999L, 1000L, 200000L))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), Option(r.getString(3)))).toMap
+    byK(1000L) shouldBe (("UPD", Some("tagged")))
+    byK(200000L) shouldBe (("NEW", Some("fresh")))
+    byK(999L) shouldBe (("v000999", None)) // survivor reads NULL through mergeSchema
+    out.count() shouldBe 8001L
+    // widening rewrote only the touched files: at least one survivor file
+    // still carries the narrow 3-column physical schema
+    val narrow = SnapshotTable.filesOf(t).exists { f =>
+      spark.read.parquet(f).columns.toSet == Set("k", "g", "s")
+    }
+    narrow shouldBe true
+    graft.operators.Caches.releaseAll()
+  }
 }
