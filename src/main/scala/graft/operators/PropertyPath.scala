@@ -217,4 +217,28 @@ object PropertyPath {
       meets.filter(col("dist") === best)
     }
   }
+  /** W31: ontology cycle audit — the data-quality query behind Wikidata's
+    * recurring "P279 loop" bug class (a subclass chain that reaches
+    * itself): `on_cycle` marks every class that reaches ITSELF through the
+    * closure (it sits on a directed cycle), and the report lists every
+    * class whose ancestor chain passes through such a node — the classes
+    * whose "all superclasses" answers are silently unreliable until the
+    * loop is fixed. Pure composition over [[closure]]: cycle members are
+    * exactly the (x, x) self-pairs of the reachability set (path doubling
+    * converges on cyclic graphs — the pair set is finite and UNION-deduped
+    * per round), and the taint is one semi-join against them. Cyclic nodes
+    * are data BUGS and therefore rare, so they broadcast; the closure
+    * itself is the usual O(log diameter) distributed computation. Returns
+    * (id, on_cycle) for every affected class, cycle members flagged. */
+  def cycleAudit(edges: DataFrame, maxRounds: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    val cl = closure(edges, maxRounds, reliable)
+    val cyc = cl.filter(col("src") === col("dst"))
+      .select(col("src").as("__cyc")).distinct()
+    cl.join(broadcast(cyc), cl("dst") === col("__cyc"), "left_semi")
+      .select(col("src").as("id")).distinct()
+      .join(broadcast(cyc.select(col("__cyc").as("id"),
+        lit(true).as("__on"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__on"), lit(false)).as("on_cycle"))
+  }
 }

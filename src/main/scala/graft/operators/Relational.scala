@@ -1262,6 +1262,21 @@ object Relational {
         .orderBy("src", "dst")
     },
 
+    "w31_ontology_cycles" -> { (s, dir) =>
+      // W31: the P279-loop audit over a deterministic 2046-node class tree
+      // with three planted back-edges (parent → child), each closing a
+      // 2-cycle. cycleAudit must flag exactly the six loop members and
+      // list every class whose ancestor chain passes through one — the
+      // whole report re-derived by the recursive-CTE oracle. Closure
+      // convergence ON the cyclic graph is part of what's certified: path
+      // doubling must terminate at the finite pair set, not diverge.
+      import s.implicits._
+      val tree = s.range(2, 2048).select(col("id").as("src"), expr("id div 2").as("dst"))
+      val backEdges = Seq((4L, 8L), (32L, 64L), (256L, 512L)).toDF("src", "dst")
+      graft.operators.PropertyPath.cycleAudit(tree.unionByName(backEdges))
+        .orderBy("id")
+    },
+
     "w21_path_compose" -> { (s, dir) =>
       // composed property path `(P31|P101)/P279*` — "instance (or field-of-
       // work) of any subclass of", the reference README's own SPARQL
@@ -2032,6 +2047,25 @@ object Relational {
         |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
         |)
         |SELECT src, dst FROM cl""".stripMargin,
+
+    // W31: closure over the planted-cycle tree, self-pairs = loop members,
+    // taint = everything whose ancestor chain reaches one
+    "w31_ontology_cycles" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id AS src, id // 2 AS dst FROM range(2, 2048) t(id)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (4, 8), (32, 64), (256, 512)) v(src, dst)
+        |), cl AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
+        |), cyc AS (
+        |  SELECT DISTINCT src AS cid FROM cl WHERE src = dst
+        |)
+        |SELECT DISTINCT cl.src AS id,
+        |  cl.src IN (SELECT cid FROM cyc) AS on_cycle
+        |FROM cl WHERE cl.dst IN (SELECT cid FROM cyc)
+        |ORDER BY id""".stripMargin,
 
     // W21: (P31|P101)/P279* — seed with the alternation's 1-step pairs
     // (zero P279 hops), then extend through the class tree; UNION dedups,

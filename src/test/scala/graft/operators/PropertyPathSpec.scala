@@ -158,4 +158,22 @@ class PropertyPathSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       PropertyPath.shortestMeet(chain.toDF("src", "dst"), 1L, 60L, maxRounds = 20)
   }
+  test("cycleAudit flags exactly the loop members; acyclic graphs report nothing (W31)") {
+    // 14-node tree with one planted back-edge 3 -> 6: loop {3, 6}
+    val tree = spark.range(2, 16).select(col("id").as("src"), expr("id div 2").as("dst"))
+    val out = PropertyPath.cycleAudit(
+        tree.unionByName(Seq((3L, 6L)).toDF("src", "dst")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.filter(_._2).keySet shouldBe Set(3L, 6L)
+    // tainted = the loop members plus every descendant of node 3 (6, 7,
+    // 12..15 — their ancestor chains pass through the loop)
+    out.keySet shouldBe Set(3L, 6L, 7L, 12L, 13L, 14L, 15L)
+    // a pure k-cycle converges and everything is on it
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val ringOut = PropertyPath.cycleAudit(ring).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    ringOut shouldBe Map(1L -> true, 2L -> true, 3L -> true, 4L -> true)
+    // acyclic: empty report
+    PropertyPath.cycleAudit(tree).count() shouldBe 0L
+  }
 }
