@@ -97,6 +97,11 @@ object GraftFunctions {
         "sign_dot(query_vec, sign_words) - asymmetric binary dot: sum of +-query[i] by sign bit"),
       (args: Seq[Expression]) => SignDot(args(0), args(1))),
 
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC canonical composition (DuckDB-parity name)"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
+
     // the one AGGREGATE on the surface: parses like any SQL aggregate
     // (GROUP BY-compatible) because the builder hands the analyzer a bare
     // AggregateFunction, which it wraps itself

@@ -56,6 +56,10 @@ object NativeExpressions {
   /** Column API: LSH band hashes (length `bands`) over a minhash signature. */
   def bandHashes(sig: Column, bands: Int): Column =
     ColumnBridge.column(BandHashes(ColumnBridge.expression(sig), bands))
+
+  /** Column API: Unicode NFC canonical composition of a string. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }
 
 /** array<long> minhash signature → array<long> of `bands` band hashes: the
@@ -504,5 +508,58 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** string → Unicode NFC normalization (canonical composition): `é` typed as
+  * `e` + U+0301 becomes the single precomposed U+00E9, so hashing, dedup and
+  * tokenization see one byte sequence per canonically-equal text. Spark ships
+  * no normalizer (collations compare, they don't rewrite), so this wraps the
+  * JDK's `java.text.Normalizer` — the same Unicode 15 tables DuckDB's
+  * `nfc_normalize` (utf8proc) implements, which is what makes the T26 gate
+  * oracle-exact. The hot path never allocates for ASCII: a byte==codepoint
+  * count check proves the input 7-bit and returns it untouched, so the
+  * normalizer's String round-trip is paid only by rows that can actually
+  * change. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    if (u.numBytes == u.numChars) u // pure ASCII: NFC is the identity
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      s"""
+         |if ($c.numBytes() == $c.numChars()) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  String $s = $c.toString();
+         |  ${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
+         |    ? $c
+         |    : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |        java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }

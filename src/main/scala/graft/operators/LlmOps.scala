@@ -246,6 +246,28 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "d15_url_dedup" -> { (s, dir) =>
+      // URL-level dedup over planted URLs: docs 4k..4k+3 spell the SAME
+      // page four ways — host case + www. (evens), explicit :443 (mod 3),
+      // trailing slash (mod 4), shuffled params + a utm_ tracker (evens),
+      // a fragment (mod 5) — so each group of four collapses to doc 4k.
+      // The oracle replants the identical strings and replays the
+      // documented canonicalization contract with its own string/list
+      // kernels — generic derivation, no planted ids.
+      val docs = Tables(s, dir).documents
+      val planted = docs.select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Example.COM"))
+          .otherwise(lit("https://example.com")),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), expr("doc_id div 4").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit(""))
+      ).as("url"))
+      Urls.dedupByUrl(planted, "doc_id", "url").orderBy("doc_id")
+    },
+
     "d14_soft_dedup" -> { (s, dir) =>
       // D14 over a planted-copy corpus: mod-3 docs gain one exact copy
       // (id+1e6), mod-9 docs a second (id+2e6) — so weights land at
@@ -878,6 +900,35 @@ object LlmOps {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     },
 
+    "t26_normalize" -> { (s, dir) =>
+      // The synthetic corpus is clean ASCII, so plant the mess T26 exists
+      // for, keyed on doc_id so every SF exercises every case: leading
+      // whitespace junk on all docs; an NFD suffix (e + combining acute,
+      // composes to U+00E9) on evens; ZWSP+BOM invisibles on mod-3; a
+      // 4-blank-line run on mod-4; BEL and vertical-tab control chars on
+      // mod-5; the Angstrom SIGN U+212B (NFC maps it to Å U+00C5 — real
+      // composition, not just combining marks) on mod-7. The oracle
+      // replants the identical string with chr() and replays the
+      // documented normalization contract step for step — generic
+      // derivation, nothing planted in the expected output.
+      val docs = Tables(s, dir).documents
+      val dirty = docs.select(col("doc_id"), concat(
+        lit("  \t"),
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit("\r\nCafe\u0301 au lait"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("\u200Bpromo\uFEFF"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\n\n\n\nend")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("bel\u0007l \u000Bvt"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" unit \u212B")).otherwise(lit(""))
+      ).as("text"))
+      dirty.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .orderBy("doc_id")
+    },
+
     "t6_hash_split" -> { (s, dir) =>
       Sampling.assignSplits(Tables(s, dir).documents, "doc_id", SplitSpec)
         .select("doc_id", "split")
@@ -1463,6 +1514,22 @@ object LlmOps {
       // spec-gated where radius search is meaningful.
       val media = Multimodal.asMediaCorpus(Tables(s, dir).documents, "doc_id", "text")
       Multimodal.perceptualDedup(s, media).orderBy("media_id")
+    },
+
+    "m5_interleaved_pack" -> { (s, dir) =>
+      // interleaved multimodal packing: the media corpus's image rows
+      // (mod-3 docs under asMediaCorpus's deterministic modality) fold
+      // into the packed stream ahead of their doc's text, costed at
+      // ceil(w/14)·ceil(h/14) ViT patch tokens from metadata the oracle
+      // re-derives as the same pure function of doc_id. Everything else
+      // is t12's md5-order + prefix-sum + integer-div machinery at item
+      // granularity — DuckDB replays (shard, seq_id, seq_off) row-for-row.
+      val docs = Tables(s, dir).documents
+      val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
+        .filter(col("meta.modality") === "image")
+      Multimodal.interleavePack(docs, media, "doc_id", "text",
+          seqLen = 512, shards = 8)
+        .orderBy("doc_id", "item_idx")
     },
 
     "p4_multimodal_ann" -> { (s, dir) =>
@@ -2484,6 +2551,35 @@ object LlmOps {
         |)
         |SELECT doc_id, shard, off // 256 AS seq_id, off % 256 AS seq_off FROM o""".stripMargin,
 
+    // M5: t12's replay at item granularity — image items only for mod-3
+    // docs (asMediaCorpus's modality rule), patch-token cost re-derived
+    // from the same width/height pure functions of doc_id, one added
+    // item_idx ordering key keeping a doc's image ahead of its text.
+    "m5_interleaved_pack" ->
+      s"""WITH items AS (
+         |  SELECT doc_id AS id, 0 AS item_idx, 'image' AS kind,
+         |    CAST((((doc_id % 64) * 16 + 16 + 13) // 14)
+         |       * (((doc_id % 48) * 16 + 16 + 13) // 14) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 1, 'text',
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |  FROM documents
+         |), t AS (
+         |  SELECT *, md5(CAST(id AS VARCHAR)) AS u,
+         |    ${md5UnitSql("id")} % 8 AS shard
+         |  FROM items
+         |), o AS (
+         |  SELECT id, item_idx, kind, n_tokens, shard,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY u, id, item_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t
+         |)
+         |SELECT id AS doc_id, item_idx, kind, n_tokens, shard,
+         |  off // 512 AS seq_id, off % 512 AS seq_off
+         |FROM o ORDER BY doc_id, item_idx""".stripMargin,
+
     // P12: t12's packing fragment over the T2-quality-filtered corpus,
     // joined to the per-shard manifest stats — the whole export replayed
     "p12_shard_export" ->
@@ -2817,6 +2913,50 @@ object LlmOps {
         |SELECT c.id, coalesce(p.component, c.id) AS component,
         |       coalesce(p.component, c.id) = c.id AS is_canonical
         |FROM corpus c LEFT JOIN comp p ON c.id = p.id""".stripMargin),
+
+    // D15: replant the identical URL spellings, then replay the documented
+    // canonicalization contract with DuckDB's own string/list kernels
+    // (lowercase scheme+host, default port, www., fragment, tracking
+    // params, bytewise param sort, trailing slash) and keep min(doc_id)
+    // per canonical string — generic derivation, no planted ids.
+    "d15_url_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.COM'
+        |          ELSE 'https://example.com' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id // 4 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+        |          ELSE '?a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |                         '^([^/?#]*)', 1)) AS hostport,
+        |    regexp_replace(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |                                  '^[^/?#]*(.*)$', 1), '#.*$', '') AS nofrag
+        |  FROM planted),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END, '^www\.', '') ||
+        |    (CASE WHEN regexp_extract(nofrag, '^([^?]*)', 1) = '' THEN '/'
+        |          ELSE regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '(.)/$', '\1') END) ||
+        |    (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&') ELSE '' END) AS canon_url
+        |  FROM (SELECT doc_id, scheme, hostport, nofrag,
+        |          list_sort(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+        |            q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|gclid|fbclid|ref)=')
+        |          )) AS p
+        |        FROM parts))
+        |SELECT doc_id, canon_url FROM (
+        |  SELECT min(doc_id) AS doc_id, canon_url FROM canon GROUP BY canon_url)
+        |ORDER BY doc_id""".stripMargin,
 
     // D14: group sizes over the planted-copy corpus, weights in exact
     // per-mille floor division — grouping on text ≡ grouping on md5(text)
@@ -3270,6 +3410,39 @@ object LlmOps {
         |      list_transform(regexp_extract_all(text, '[\s\S]'), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // T26: replant the identical dirty string with chr() codepoints, then
+    // replay the documented normalization contract: utf8proc NFC (DuckDB
+    // nfc_normalize ≡ the JDK normalizer — both implement the Unicode
+    // canonical-composition tables), then the same RE2∩Java regex chain the
+    // Spark side runs, step for step.
+    "t26_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '  ' || chr(9) || text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN chr(13)||chr(10)||'Cafe'||chr(769)||' au lait' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(8203)||'promo'||chr(65279) ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10)||chr(10)||chr(10)||chr(10)||'end' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN 'bel'||chr(7)||'l '||chr(11)||'vt' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' unit '||chr(8491) ELSE '' END
+        |      AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |       regexp_replace(regexp_replace(
+        |    nfc_normalize(text),
+        |    '\r\n|\r', chr(10), 'g'),
+        |    '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n{3,}', chr(10)||chr(10), 'g')) AS norm_text
+        |FROM dirty
+        |ORDER BY doc_id""".stripMargin,
 
     // P2: fingerprint re-derived as in t4; shingle count re-derived over
     // STRING shingles (d4's construction) — distinct-hash count equals

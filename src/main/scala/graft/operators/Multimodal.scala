@@ -96,6 +96,56 @@ object Multimodal {
     })
   }
 
+  /** M5: interleaved multimodal sequence packing — the MMC4/OBELICS prep
+    * step: fold image placeholders INTO the packed token stream so
+    * vision-language pretraining sees `[image tokens][caption/body text]`
+    * inside fixed-length sequences, instead of text-only packing (T12)
+    * that loses the images.
+    *
+    * Each doc contributes an item stream: item 0 = its attached image (if
+    * `media` carries a row with `media_id == doc id`; `meta.width/height`
+    * required), item 1 = its text. An image costs what a ViT actually
+    * spends on it — `ceil(w/patch) · ceil(h/patch)` patch tokens (integer
+    * `div` arithmetic, engine-exact) — text costs its T3 whitespace
+    * tokens. Packing is T12's machinery at ITEM granularity with one added
+    * ordering key: (md5(id), id, item_idx), so a doc's image and text stay
+    * adjacent and in order while docs land in deterministic md5 order.
+    * Output per item: (idCol, item_idx, kind, n_tokens, shard, seq_id,
+    * seq_off).
+    *
+    * Scale shape: the union is two projections; the only shuffle is the
+    * per-shard cumulative-sum window, whose partition size is bounded by
+    * `shards` exactly as T12 argues — no global sort, no funnel. Payload
+    * bytes are never touched: the image's token cost reads metadata only,
+    * so column pruning drops the binary column at the scan. */
+  def interleavePack(docs: DataFrame, media: DataFrame, idCol: String,
+      textCol: String, seqLen: Int, shards: Int = 1024,
+      patch: Int = 14): DataFrame = {
+    require(seqLen > 0 && shards > 0 && patch > 0,
+      s"need seqLen/shards/patch > 0, got $seqLen/$shards/$patch")
+    val p1 = patch - 1
+    val imgItems = media.select(
+      col("media_id").cast("long").as("__id"),
+      lit(0).as("item_idx"), lit("image").as("kind"),
+      (expr(s"(meta.width + $p1) div $patch") *
+        expr(s"(meta.height + $p1) div $patch")).cast("long").as("n_tokens"))
+    val textItems = docs.select(
+      col(idCol).cast("long").as("__id"),
+      lit(1).as("item_idx"), lit("text").as("kind"),
+      TextAnalysis.wsTokens(col(textCol)).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__u"), col("__id"), col("item_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    imgItems.unionByName(textItems)
+      .withColumn("shard", pmod(Sampling.hashUnit(col("__id")), lit(shards.toLong)))
+      .withColumn("__u", md5(col("__id").cast("string")))
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__off div $seqLen"))
+      .withColumn("seq_off", col("__off") - col("seq_id") * seqLen)
+      .select(col("__id").as(idCol), col("item_idx"), col("kind"),
+        col("n_tokens"), col("shard"), col("seq_id"), col("seq_off"))
+  }
+
   /** M4: 16-bit perceptual hash over the codec's byte histogram — bit i
     * set iff bucket i holds at least its even share (hist[i]·16 ≥ n) —
     * the aHash shape on the stand-in feature (a real pHash — DCT over

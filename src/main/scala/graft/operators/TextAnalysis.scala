@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** T26: canonical text normalization — the cleanup pass every corpus gets
+    * BEFORE hashing, dedup or tokenization, because all three key on exact
+    * byte sequences: `é` typed as `e`+U+0301 vs precomposed U+00E9, a CRLF vs
+    * LF newline, or an invisible zero-width space otherwise make canonically
+    * identical documents hash apart (silent dedup misses) and split tokens.
+    * The pipeline, in order — each step a documented contract, replayed
+    * verbatim by the DuckDB oracle:
+    *
+    *   1. Unicode NFC (native [[graft.functions.NfcNormalize]] — codegen'd,
+    *      ASCII fast path, Spark has no built-in);
+    *   2. newlines to `\n` (CRLF and lone CR);
+    *   3. strip invisibles: ZWSP/ZWNJ/ZWJ U+200B-U+200D, BOM U+FEFF, soft
+    *      hyphen U+00AD;
+    *   4. strip control chars except tab/newline;
+    *   5. collapse space/tab runs to one space;
+    *   6. trim spaces around newlines;
+    *   7. collapse 3+ blank-line runs to one blank line; trim the ends.
+    *
+    * Everything after step 1 is built-in `regexp_replace` (codegen'd; the
+    * patterns stay inside the RE2∩Java subset, the T8 discipline, so the
+    * oracle runs the identical regexes). One projection pass, no shuffle,
+    * no UDF — at 100 TB this is a map-only scan that fuses into whatever
+    * consumes it. */
+  def normalizeText(text: Column): Column = {
+    val nfc      = graft.functions.NativeExpressions.nfcNormalize(text)
+    val unixNl   = regexp_replace(nfc, "\\r\\n|\\r", "\n")
+    val noZw     = regexp_replace(unixNl, "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", "")
+    val noCtl    = regexp_replace(noZw,
+      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val lineTrim = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    trim(regexp_replace(lineTrim, "\\n{3,}", "\n\n"))
+  }
+
   /** Whitespace token count. */
   def wsTokens(text: Column): Column = size(split(trim(text), "\\s+"))
 

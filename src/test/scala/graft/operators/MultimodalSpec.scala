@@ -67,4 +67,54 @@ class MultimodalSpec extends SparkSpec {
     // payload must not appear in the final projected plan output
     Multimodal.filterByMeta(media, "image", 0).columns shouldBe Array("media_id", "width", "height")
   }
+
+  test("interleaved packing: image rides directly ahead of its doc's text (M5)") {
+    val many = spark.range(0, 40).selectExpr("id AS doc_id",
+      "concat('word ', repeat('tok ', CAST(id % 7 AS INT))) AS text")
+    val media = Multimodal.asMediaCorpus(many, "doc_id", "text")
+      .filter(col("meta.modality") === "image")
+    val packed = Multimodal.interleavePack(many, media, "doc_id", "text",
+      seqLen = 16, shards = 2)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // every mod-3 doc has exactly one image item, every doc one text item
+    rows.count(_._3 == "image") shouldBe 14
+    rows.count(_._3 == "text") shouldBe 40
+    // adjacency: within a doc, text starts exactly where the image ended
+    val byDoc = rows.groupBy(_._1)
+    for ((id, items) <- byDoc if items.length == 2) {
+      val img = items.find(_._3 == "image").get
+      val txt = items.find(_._3 == "text").get
+      img._5 shouldBe txt._5 // same shard
+      val imgGlobal = img._6 * 16 + img._7
+      val txtGlobal = txt._6 * 16 + txt._7
+      txtGlobal shouldBe (imgGlobal + img._4)
+      // patch-token cost matches ceil(w/14)*ceil(h/14) of the meta
+      val w = (id % 64) * 16 + 16; val h = (id % 48) * 16 + 16
+      img._4 shouldBe ((w + 13) / 14) * ((h + 13) / 14)
+    }
+    // determinism under different partitioning
+    val again = Multimodal.interleavePack(many.repartition(7), media.repartition(3),
+      "doc_id", "text", seqLen = 16, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    again.sortBy(t => (t._1, t._2)).toSeq shouldBe rows.sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("interleavePack with no media degenerates to t12 text packing (M5)") {
+    val many = spark.range(0, 30).selectExpr("id AS doc_id",
+      "concat('a b c ', repeat('d ', CAST(id % 5 AS INT))) AS text")
+    val none = Multimodal.asMediaCorpus(many, "doc_id", "text")
+      .filter(col("media_id") < 0)
+    val viaM5 = Multimodal.interleavePack(many, none, "doc_id", "text",
+        seqLen = 32, shards = 4)
+      .select("doc_id", "shard", "seq_id", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val viaT12 = TextAnalysis.packSequences(
+        many.select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks")),
+        "doc_id", "toks", seqLen = 32, shards = 4)
+      .select("doc_id", "shard", "seq_id", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    viaM5.sortBy(_._1).toSeq shouldBe viaT12.sortBy(_._1).toSeq
+  }
 }

@@ -266,4 +266,45 @@ class TextAnalysisSpec extends SparkSpec {
     empty.getAs[Long]("n_words") shouldBe 0L
     empty.getAs[Boolean]("keep") shouldBe false
   }
+
+  test("normalizeText composes NFC and strips invisibles (T26)") {
+    // NFD e+U+0301 -> U+00E9; U+212B (Angstrom sign) -> U+00C5; BEL/ZWSP
+    // stripped; CRLF -> LF; space runs collapse; 5 blank lines -> one.
+    val dirty = "  \tCafe\u0301 au lait\r\nbel\u0007l\u200B and \u212B  unit" +
+      "\n\n\n\n\nend  "
+    val r = Seq(dirty).toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().head.getString(0)
+    r shouldBe "Caf\u00E9 au lait\nbell and \u00C5 unit\n\nend"
+  }
+
+  test("normalizeText is idempotent and null-safe (T26)") {
+    val samples = Seq(
+      "plain ascii text",
+      "  a\u00ADb\uFEFFc   d\te  \r\n\r\n\r\nf ",
+      "o\u0308 + \u212B = A\u030A?",
+      "\u200Cx\u200D yz")
+    val once = samples.toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    val twice = once.toSeq.toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    twice.toSeq shouldBe once.toSeq
+    once(0) shouldBe "plain ascii text"
+    once(1) shouldBe "abc d e\n\nf"
+    once(2) shouldBe "\u00F6 + \u00C5 = \u00C5?"
+    once(3) shouldBe "x yz"
+    val nul = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().head
+    nul.isNullAt(0) shouldBe true
+  }
+
+  test("nfc_normalize on the SQL surface (T26/P2)") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT nfc_normalize('Cafe\u0301 A\u030A') AS n")
+      .collect().head.getString(0)
+    r shouldBe "Caf\u00E9 \u00C5"
+  }
 }
