@@ -1355,6 +1355,55 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "p16_web_intake" -> { (s, dir) =>
+      // P16: the RefinedWeb/CCNet-style web-corpus INTAKE chain — the
+      // seventh-wave operators composed in production order as one lazy
+      // plan: URL-level dedup (D15) before any content work, canonical
+      // text normalization (T26), Gopher rule filter (T22) on the
+      // NORMALIZED text, exact dedup (D1) last so byte-identical docs
+      // the normalizer just unified collapse. Every stage bites: url
+      // pairs (div 2) differ by host case + utm tracker — evens win;
+      // surviving docs 4k and 4k+2 carry the SAME base text under
+      // DIFFERENT mess (ZWSP + CRLF + NFD combining acute vs LF +
+      // precomposed é) so ONLY normalization makes them byte-equal and
+      // D1 keeps 4k; multiples of 20 carry '####' spam that fails the
+      // symbol-ratio rule BEFORE dedup, so their 4k+2 twin — no longer
+      // shadowed — survives. Stage order is observable in the output,
+      // and the oracle chains the d15/t26/t22/d1 fragments end to end.
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val base = docs.select(col("doc_id"),
+          when(col("doc_id") % 4 === 2, col("doc_id") - 2)
+            .otherwise(col("doc_id")).as("__src"))
+        .join(docs.select(col("doc_id").as("__src"), col("text").as("__base")),
+          Seq("__src"))
+      val planted = base.select(col("doc_id"),
+        concat(
+          lit("the cat is on the mat and it is here\n"),
+          col("__base"),
+          when(col("doc_id") % 4 === 0, lit("​\r\nCafé au lait"))
+            .when(col("doc_id") % 4 === 2, lit("\nCaf\u00E9 au lait"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 20 === 0, lit(" #### #### #### #### #### ####"))
+            .otherwise(lit(""))).as("text"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https://EXAMPLE.com/p/"))
+            .otherwise(lit("https://example.com/p/")),
+          expr("doc_id div 2").cast("string"),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=x")).otherwise(lit(""))
+        ).as("url"))
+      val urlKept = Urls.dedupByUrl(planted, "doc_id", "url").select("doc_id")
+      val norm = planted.join(urlKept, Seq("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("text"))
+      val qualityKept = TextAnalysis.gopherRules(norm, "doc_id", "text",
+          minWords = 15)
+        .filter(col("keep")).select("doc_id")
+      val clean = norm.join(qualityKept, Seq("doc_id"))
+      Dedup.exactDedup(clean, "text", "doc_id")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "p11_curation_v3" -> { (s, dir) =>
       // P11: curation pipeline v3 — the third-wave operators composed in
       // production order as ONE lazy plan: learned quality gate (T21, spam
@@ -1656,6 +1705,115 @@ object LlmOps {
     * rule derivation — word/line splits, list filters, double divisions —
     * over it. The stopword literal list is generated from the SAME
     * `TextAnalysis.Stopwords` the operator reads, so the two can't drift. */
+  /** P16 oracle: the d15 → t26 → t22 → d1 fragments chained end to end
+    * over the identically replanted corpus (see the gate comment) —
+    * URL canonicalization + min-winner, the NFC/regex normalization
+    * chain, the Gopher rule conjunction (minWords 15) on the normalized
+    * text, then md5-grouped keep-first exact dedup. */
+  private def p16OracleSql: String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |base AS (
+       |  SELECT a.doc_id, b.text AS base_text
+       |  FROM d a JOIN d b
+       |    ON b.doc_id = CASE WHEN a.doc_id % 4 = 2 THEN a.doc_id - 2
+       |                       ELSE a.doc_id END),
+       |planted AS (
+       |  SELECT doc_id,
+       |    'the cat is on the mat and it is here' || chr(10) || base_text
+       |    || CASE WHEN doc_id % 4 = 0
+       |            THEN chr(8203)||chr(13)||chr(10)||'Cafe'||chr(769)||' au lait'
+       |            WHEN doc_id % 4 = 2 THEN chr(10)||'Caf'||chr(233)||' au lait'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 20 = 0 THEN ' #### #### #### #### #### ####'
+       |            ELSE '' END AS text,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://EXAMPLE.com/p/'
+       |          ELSE 'https://example.com/p/' END)
+       |    || CAST(doc_id // 2 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END) AS url
+       |  FROM base),
+       |parts AS (
+       |  SELECT doc_id, text,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |                         '^([^/?#]*)', 1)) AS hostport,
+       |    regexp_replace(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |                                  '^[^/?#]*(.*)$$', 1), '#.*$$', '') AS nofrag
+       |  FROM planted),
+       |canon AS (
+       |  SELECT doc_id, text,
+       |    scheme || '://' ||
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$$', '')
+       |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |           ELSE hostport END, '^www\\.', '') ||
+       |    (CASE WHEN regexp_extract(nofrag, '^([^?]*)', 1) = '' THEN '/'
+       |          ELSE regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '(.)/$$', '\\1') END) ||
+       |    (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&') ELSE '' END) AS canon_url
+       |  FROM (SELECT doc_id, text, scheme, hostport, nofrag,
+       |          list_sort(list_filter(string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+       |            q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|gclid|fbclid|ref)=')
+       |          )) AS p
+       |        FROM parts)),
+       |url_kept AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url),
+       |norm AS (
+       |  SELECT c.doc_id,
+       |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |         regexp_replace(regexp_replace(
+       |      nfc_normalize(c.text),
+       |      '\\r\\n|\\r', chr(10), 'g'),
+       |      '[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'),
+       |      '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]', '', 'g'),
+       |      '[ \\t]+', ' ', 'g'),
+       |      ' ?\\n ?', chr(10), 'g'),
+       |      '\\n{3,}', chr(10)||chr(10), 'g')) AS text
+       |  FROM canon c JOIN url_kept u ON c.doc_id = u.doc_id),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    length(trim(text)) = 0 AS empty,
+       |    regexp_split_to_array(trim(text), '\\s+') AS words,
+       |    string_split(text, chr(10)) AS lines,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                l -> length(l) > 0) AS nb,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM norm),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN empty THEN 0 ELSE len(words) END AS n_words,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |              / len(words) END AS mean_word_len,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(length(text) - length(replace(text, '#', ''))
+       |                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |              / len(words) END AS symbol_word_ratio,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+       |                                             OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+       |              / len(lines) END AS bullet_line_frac,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+       |              / len(lines) END AS ellipsis_line_frac,
+       |    CASE WHEN len(nb) = 0 THEN 0.0
+       |         ELSE 1.0 - CAST(len(list_distinct(nb)) AS DOUBLE) / len(nb) END AS dup_line_frac,
+       |    len(list_filter([$stops], s -> list_contains(toks, s))) AS n_stop_hits
+       |  FROM m),
+       |quality AS (
+       |  SELECT doc_id, text FROM f
+       |  WHERE n_words BETWEEN 15 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_word_ratio <= 0.1
+       |    AND bullet_line_frac <= 0.9
+       |    AND ellipsis_line_frac <= 0.3
+       |    AND dup_line_frac <= 0.3
+       |    AND n_stop_hits >= 2),
+       |winners AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text))
+       |SELECT q.doc_id, CAST(length(q.text) AS BIGINT) AS n_chars
+       |FROM quality q JOIN winners w ON q.doc_id = w.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   private def t22OracleSql: String = {
     val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
     val bullets = (1 to 30).map(i => s"- item $i").mkString("\n").replace("\n", "' || chr(10) || '")
@@ -2468,6 +2626,7 @@ object LlmOps {
     "p10_budget_mixture" -> p10OracleSql,
     "t21_learned_quality" -> t21OracleSql,
     "p11_curation_v3" -> p11OracleSql,
+    "p16_web_intake" -> p16OracleSql,
     "p13_corpus_build" -> p13OracleSql,
 
     // P14: first-arrival-wins over the identical planted union — batch 1
