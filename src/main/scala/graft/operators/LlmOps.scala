@@ -1355,6 +1355,52 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "p17_web_intake_incr" -> { (s, dir) =>
+      // P17: the intake chain against a LIVE corpus. Batch 1 = docs with
+      // doc_id % 3 != 2 under unique already-canonical URLs. Batch 2 =
+      // the % 3 == 2 docs in four planted roles by doc_id % 5: 0 =
+      // refetch (the canonical URL of doc-2 spelled with host case + a
+      // utm tracker - dies on the corpus url_hash BEFORE content work),
+      // 1 = recrawl (text of doc-1 plus a trailing ZWSP - only T26
+      // normalization makes the hashes equal, dies on content_hash),
+      // 2 = spam (#### suffix - dies at the quality stage), else novel
+      // (lands). The require proves the landing was INCREMENTAL - one
+      // tagged Append, not a rebuild; replay no-ops and the streaming
+      // form are WebIntakeSpec's.
+      val t = graft.Scratch.fresh("p17_corpus")
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val pre = docs.select(col("doc_id"),
+        concat(lit("the cat is on the mat and it is here\n"), col("text"))
+          .as("text"))
+      val b1 = pre.filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"),
+          concat(lit("https://example.com/d/"), col("doc_id").cast("string"))
+            .as("url"),
+          col("text"))
+      val prev = pre.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("__prev"))
+      val b2 = pre.filter(col("doc_id") % 3 === 2)
+        .join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("https://EXAMPLE.com/d/"),
+                (col("doc_id") - 2).cast("string"), lit("?utm_source=r")))
+            .otherwise(concat(lit("https://example.com/d/"),
+              col("doc_id").cast("string"))).as("url"),
+          when(col("doc_id") % 5 === 1, concat(col("__prev"), lit("\u200B")))
+            .when(col("doc_id") % 5 === 2,
+              concat(col("text"), lit(" #### #### #### #### #### ####")))
+            .otherwise(col("text")).as("text"))
+      WebIntake.bootstrap(s, t, b1, "url", "text", "doc_id")
+      WebIntake.intake(s, t, b2, "url", "text", "doc_id",
+        tag = Some("crawl-2"))
+      require(SnapshotTable.versions(t) == Seq(1L, 2L),
+        "intake must land as one incremental Append")
+      SnapshotTable.read(s, t)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "p16_web_intake" -> { (s, dir) =>
       // P16: the RefinedWeb/CCNet-style web-corpus INTAKE chain — the
       // seventh-wave operators composed in production order as one lazy
@@ -1705,13 +1751,156 @@ object LlmOps {
     * rule derivation — word/line splits, list filters, double divisions —
     * over it. The stopword literal list is generated from the SAME
     * `TextAnalysis.Stopwords` the operator reads, so the two can't drift. */
-  /** P16 oracle: the d15 → t26 → t22 → d1 fragments chained end to end
+  // ---- shared intake-chain oracle fragments (P16 / P17) ----------------
+
+  /** CTEs `<p>parts` and `<p>canon` deriving `canon_url` from `url` in
+    * `src` via the documented D15 contract; `carry` columns ride through. */
+  private def canonCtes(p: String, src: String, carry: String): String =
+    s"""${p}parts AS (
+       |  SELECT $carry,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |                         '^([^/?#]*)', 1)) AS hostport,
+       |    regexp_replace(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |                                  '^[^/?#]*(.*)$$', 1), '#.*$$', '') AS nofrag
+       |  FROM $src),
+       |${p}canon AS (
+       |  SELECT $carry,
+       |    scheme || '://' ||
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$$', '')
+       |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |           ELSE hostport END, '^www\\.', '') ||
+       |    (CASE WHEN regexp_extract(nofrag, '^([^?]*)', 1) = '' THEN '/'
+       |          ELSE regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '(.)/$$', '\\1') END) ||
+       |    (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&') ELSE '' END) AS canon_url
+       |  FROM (SELECT $carry, scheme, hostport, nofrag,
+       |          list_sort(list_filter(string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+       |            q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|gclid|fbclid|ref)=')
+       |          )) AS p
+       |        FROM ${p}parts))""".stripMargin
+
+  /** The T26 normalization chain as one nested SQL expression over `c`. */
+  private def normSqlExpr(c: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |         regexp_replace(regexp_replace(
+       |      nfc_normalize($c),
+       |      '\\r\\n|\\r', chr(10), 'g'),
+       |      '[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'),
+       |      '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]', '', 'g'),
+       |      '[ \\t]+', ' ', 'g'),
+       |      ' ?\\n ?', chr(10), 'g'),
+       |      '\\n{3,}', chr(10)||chr(10), 'g'))""".stripMargin
+
+  /** CTEs `<p>m`, `<p>f`, `<p>quality` — the T22 rule conjunction over
+    * (doc_id, text) rows of `src`; `<p>quality` keeps passing docs. */
+  private def gopherKeepCtes(p: String, src: String, minWords: Int): String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""${p}m AS (
+       |  SELECT doc_id, text,
+       |    length(trim(text)) = 0 AS empty,
+       |    regexp_split_to_array(trim(text), '\\s+') AS words,
+       |    string_split(text, chr(10)) AS lines,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                l -> length(l) > 0) AS nb,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM $src),
+       |${p}f AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN empty THEN 0 ELSE len(words) END AS n_words,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |              / len(words) END AS mean_word_len,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(length(text) - length(replace(text, '#', ''))
+       |                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |              / len(words) END AS symbol_word_ratio,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+       |                                             OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+       |              / len(lines) END AS bullet_line_frac,
+       |    CASE WHEN empty THEN 0.0
+       |         ELSE CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+       |              / len(lines) END AS ellipsis_line_frac,
+       |    CASE WHEN len(nb) = 0 THEN 0.0
+       |         ELSE 1.0 - CAST(len(list_distinct(nb)) AS DOUBLE) / len(nb) END AS dup_line_frac,
+       |    len(list_filter([$stops], s -> list_contains(toks, s))) AS n_stop_hits
+       |  FROM ${p}m),
+       |${p}quality AS (
+       |  SELECT doc_id, text FROM ${p}f
+       |  WHERE n_words BETWEEN $minWords AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_word_ratio <= 0.1
+       |    AND bullet_line_frac <= 0.9
+       |    AND ellipsis_line_frac <= 0.3
+       |    AND dup_line_frac <= 0.3
+       |    AND n_stop_hits >= 2)""".stripMargin
+  }
+
+  /** P17 oracle: the shared intake fragments applied TWICE - bootstrap
+    * chain over batch 1, then the batch-2 chain with the url_hash scrub
+    * (canonical-URL NOT IN corpus) before content work and the
+    * content_hash scrub (md5 of normalized text NOT IN corpus) after -
+    * first-arrival-wins end to end. */
+  private def p17OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |pre AS (
+       |  SELECT doc_id,
+       |    'the cat is on the mat and it is here' || chr(10) || text AS text
+       |  FROM d),
+       |b1 AS (
+       |  SELECT doc_id,
+       |    'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS url, text
+       |  FROM pre WHERE doc_id % 3 <> 2),
+       |b2 AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN p.doc_id % 5 = 0
+       |         THEN 'https://EXAMPLE.com/d/' || CAST(p.doc_id - 2 AS VARCHAR)
+       |              || '?utm_source=r'
+       |         ELSE 'https://example.com/d/' || CAST(p.doc_id AS VARCHAR) END AS url,
+       |    CASE WHEN p.doc_id % 5 = 1 THEN v.text || chr(8203)
+       |         WHEN p.doc_id % 5 = 2
+       |           THEN p.text || ' #### #### #### #### #### ####'
+       |         ELSE p.text END AS text
+       |  FROM pre p LEFT JOIN pre v ON v.doc_id = p.doc_id - 1
+       |  WHERE p.doc_id % 3 = 2),
+       |${canonCtes("c1", "b1", "doc_id, text")},
+       |c1url AS (SELECT min(doc_id) AS doc_id FROM c1canon GROUP BY canon_url),
+       |c1norm AS (
+       |  SELECT c.doc_id, c.canon_url, ${normSqlExpr("c.text")} AS text
+       |  FROM c1canon c JOIN c1url u ON c.doc_id = u.doc_id),
+       |${gopherKeepCtes("c1", "c1norm", 15)},
+       |c1win AS (SELECT min(doc_id) AS doc_id FROM c1quality GROUP BY md5(text)),
+       |corpus1 AS (
+       |  SELECT q.doc_id, q.text, n.canon_url
+       |  FROM c1quality q JOIN c1win w ON q.doc_id = w.doc_id
+       |  JOIN c1norm n ON n.doc_id = q.doc_id),
+       |${canonCtes("c2", "b2", "doc_id, text")},
+       |c2url AS (SELECT min(doc_id) AS doc_id FROM c2canon GROUP BY canon_url),
+       |c2unovel AS (
+       |  SELECT c.doc_id, c.text, c.canon_url
+       |  FROM c2canon c JOIN c2url u ON c.doc_id = u.doc_id
+       |  WHERE c.canon_url NOT IN (SELECT canon_url FROM corpus1)),
+       |c2norm AS (
+       |  SELECT doc_id, canon_url, ${normSqlExpr("text")} AS text FROM c2unovel),
+       |${gopherKeepCtes("c2", "c2norm", 15)},
+       |c2win AS (SELECT min(doc_id) AS doc_id FROM c2quality GROUP BY md5(text)),
+       |landed AS (
+       |  SELECT q.doc_id, q.text
+       |  FROM c2quality q JOIN c2win w ON q.doc_id = w.doc_id
+       |  WHERE md5(q.text) NOT IN (SELECT md5(text) FROM corpus1)),
+       |final AS (
+       |  SELECT doc_id, text FROM corpus1
+       |  UNION ALL SELECT doc_id, text FROM landed)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM final ORDER BY doc_id""".stripMargin
+
+  /** P16 oracle: the d15 -> t26 -> t22 -> d1 fragments chained end to end
     * over the identically replanted corpus (see the gate comment) —
     * URL canonicalization + min-winner, the NFC/regex normalization
     * chain, the Gopher rule conjunction (minWords 15) on the normalized
     * text, then md5-grouped keep-first exact dedup. */
-  private def p16OracleSql: String = {
-    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+  private def p16OracleSql: String =
     s"""WITH d AS (SELECT doc_id, text FROM documents),
        |base AS (
        |  SELECT a.doc_id, b.text AS base_text
@@ -1732,87 +1921,18 @@ object LlmOps {
        |    || CAST(doc_id // 2 AS VARCHAR)
        |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END) AS url
        |  FROM base),
-       |parts AS (
-       |  SELECT doc_id, text,
-       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-       |    lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-       |                         '^([^/?#]*)', 1)) AS hostport,
-       |    regexp_replace(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-       |                                  '^[^/?#]*(.*)$$', 1), '#.*$$', '') AS nofrag
-       |  FROM planted),
-       |canon AS (
-       |  SELECT doc_id, text,
-       |    scheme || '://' ||
-       |    regexp_replace(
-       |      CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$$', '')
-       |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-       |           ELSE hostport END, '^www\\.', '') ||
-       |    (CASE WHEN regexp_extract(nofrag, '^([^?]*)', 1) = '' THEN '/'
-       |          ELSE regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '(.)/$$', '\\1') END) ||
-       |    (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&') ELSE '' END) AS canon_url
-       |  FROM (SELECT doc_id, text, scheme, hostport, nofrag,
-       |          list_sort(list_filter(string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
-       |            q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|gclid|fbclid|ref)=')
-       |          )) AS p
-       |        FROM parts)),
+       |${canonCtes("", "planted", "doc_id, text")},
        |url_kept AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url),
        |norm AS (
        |  SELECT c.doc_id,
-       |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       |         regexp_replace(regexp_replace(
-       |      nfc_normalize(c.text),
-       |      '\\r\\n|\\r', chr(10), 'g'),
-       |      '[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'),
-       |      '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]', '', 'g'),
-       |      '[ \\t]+', ' ', 'g'),
-       |      ' ?\\n ?', chr(10), 'g'),
-       |      '\\n{3,}', chr(10)||chr(10), 'g')) AS text
+       |    ${normSqlExpr("c.text")} AS text
        |  FROM canon c JOIN url_kept u ON c.doc_id = u.doc_id),
-       |m AS (
-       |  SELECT doc_id, text,
-       |    length(trim(text)) = 0 AS empty,
-       |    regexp_split_to_array(trim(text), '\\s+') AS words,
-       |    string_split(text, chr(10)) AS lines,
-       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-       |                l -> length(l) > 0) AS nb,
-       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-       |  FROM norm),
-       |f AS (
-       |  SELECT doc_id, text,
-       |    CASE WHEN empty THEN 0 ELSE len(words) END AS n_words,
-       |    CASE WHEN empty THEN 0.0
-       |         ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-       |              / len(words) END AS mean_word_len,
-       |    CASE WHEN empty THEN 0.0
-       |         ELSE CAST(length(text) - length(replace(text, '#', ''))
-       |                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
-       |              / len(words) END AS symbol_word_ratio,
-       |    CASE WHEN empty THEN 0.0
-       |         ELSE CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
-       |                                             OR starts_with(ltrim(l), '* '))) AS DOUBLE)
-       |              / len(lines) END AS bullet_line_frac,
-       |    CASE WHEN empty THEN 0.0
-       |         ELSE CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
-       |              / len(lines) END AS ellipsis_line_frac,
-       |    CASE WHEN len(nb) = 0 THEN 0.0
-       |         ELSE 1.0 - CAST(len(list_distinct(nb)) AS DOUBLE) / len(nb) END AS dup_line_frac,
-       |    len(list_filter([$stops], s -> list_contains(toks, s))) AS n_stop_hits
-       |  FROM m),
-       |quality AS (
-       |  SELECT doc_id, text FROM f
-       |  WHERE n_words BETWEEN 15 AND 100000
-       |    AND mean_word_len BETWEEN 3.0 AND 10.0
-       |    AND symbol_word_ratio <= 0.1
-       |    AND bullet_line_frac <= 0.9
-       |    AND ellipsis_line_frac <= 0.3
-       |    AND dup_line_frac <= 0.3
-       |    AND n_stop_hits >= 2),
+       |${gopherKeepCtes("", "norm", 15)},
        |winners AS (
        |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text))
        |SELECT q.doc_id, CAST(length(q.text) AS BIGINT) AS n_chars
        |FROM quality q JOIN winners w ON q.doc_id = w.doc_id
        |ORDER BY q.doc_id""".stripMargin
-  }
 
   private def t22OracleSql: String = {
     val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
@@ -2627,6 +2747,7 @@ object LlmOps {
     "t21_learned_quality" -> t21OracleSql,
     "p11_curation_v3" -> p11OracleSql,
     "p16_web_intake" -> p16OracleSql,
+    "p17_web_intake_incr" -> p17OracleSql,
     "p13_corpus_build" -> p13OracleSql,
 
     // P14: first-arrival-wins over the identical planted union — batch 1
