@@ -102,6 +102,19 @@ object GraftFunctions {
         "nfc_normalize(text) - Unicode NFC canonical composition (DuckDB-parity name)"),
       (args: Seq[Expression]) => NfcNormalize(args(0))),
 
+    // these two resolve to COMPOSITIONS of codegen'd expressions (the
+    // T26 chain / D15 string algebra) — registered by unwrapping the
+    // Column-API builders, so SQL and Column users get the identical plan
+    (FunctionIdentifier("normalize_text"),
+      info("normalize_text",
+        "normalize_text(text) - T26 canonical text normalization (NFC + invisibles/controls/whitespace)"),
+      (args: Seq[Expression]) => NativeExpressions.normalizeTextExpr(args(0))),
+
+    (FunctionIdentifier("canonicalize_url"),
+      info("canonicalize_url",
+        "canonicalize_url(url) - D15 canonical URL form (case/ports/www/fragment/tracking/param-sort/slash)"),
+      (args: Seq[Expression]) => NativeExpressions.canonicalizeUrlExpr(args(0))),
+
     // the one AGGREGATE on the surface: parses like any SQL aggregate
     // (GROUP BY-compatible) because the builder hands the analyzer a bare
     // AggregateFunction, which it wraps itself

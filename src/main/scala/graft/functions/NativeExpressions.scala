@@ -60,6 +60,65 @@ object NativeExpressions {
   /** Column API: Unicode NFC canonical composition of a string. */
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  // T26 / D15 as CONCRETE catalyst trees — one formulation serving both
+  // the Column API (wrapped by TextAnalysis.normalizeText /
+  // Urls.canonicalizeUrl) and the SQL registry (GraftFunctions), which
+  // cannot accept unresolved Column-API function nodes.
+
+  import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, ArrayJoin,
+    ArraySort, CaseWhen, Concat, EqualTo, Expression, GreaterThan, If,
+    LambdaFunction, Literal, Lower, NamedLambdaVariable, Not, RegExpExtract,
+    RegExpReplace, RLike, Size, StringSplit, StringTrim}
+  import org.apache.spark.sql.types.StringType
+
+  private def rr(e: Expression, p: String, r: String): Expression =
+    RegExpReplace(e, Literal(p), Literal(r))
+  private def rx(e: Expression, p: String, i: Int): Expression =
+    RegExpExtract(e, Literal(p), Literal(i))
+
+  /** The T26 normalization chain (see `TextAnalysis.normalizeText` for the
+    * step contract) over a string expression. */
+  def normalizeTextExpr(child: Expression): Expression =
+    StringTrim(rr(rr(rr(rr(rr(rr(NfcNormalize(child),
+      "\\r\\n|\\r", "\n"),
+      "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", ""),
+      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]", ""),
+      "[ \\t]+", " "),
+      " ?\\n ?", "\n"),
+      "\\n{3,}", "\n\n"))
+
+  /** The D15 canonical-URL algebra (see `Urls.canonicalizeUrl` for the
+    * step contract) over a string expression. */
+  def canonicalizeUrlExpr(url: Expression): Expression = {
+    val scheme   = Lower(rx(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val after    = rr(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = Lower(rx(after, "^([^/?#]*)", 1))
+    val noPort = CaseWhen(Seq(
+      (EqualTo(scheme, Literal("http")), rr(hostport, ":80$", "")),
+      (EqualTo(scheme, Literal("https")), rr(hostport, ":443$", ""))),
+      Some(hostport))
+    val host   = rr(noPort, "^www\\.", "")
+    val pathQF = rx(after, "^[^/?#]*(.*)$", 1)
+    val noFrag = rr(pathQF, "#.*$", "")
+    val path0  = rx(noFrag, "^([^?]*)", 1)
+    val path = If(EqualTo(path0, Literal("")), Literal("/"),
+      rr(path0, "(.)/$", "$1"))
+    val query = rx(noFrag, "\\?(.*)$", 1)
+    val lv = NamedLambdaVariable("p", StringType, nullable = true)
+    val keep = LambdaFunction(
+      Not(org.apache.spark.sql.catalyst.expressions.Or(
+        EqualTo(lv, Literal("")),
+        RLike(lv, Literal(s"^(${graft.operators.Urls.TrackingParams})=")))),
+      Seq(lv))
+    val params = ArraySort(ArrayFilter(
+      StringSplit(query, Literal("&"), Literal(-1)), keep),
+      ArraySort.defaultComparator)
+    val queryPart = If(GreaterThan(Size(params), Literal(0)),
+      Concat(Seq(Literal("?"), ArrayJoin(params, Literal("&"), None))),
+      Literal(""))
+    Concat(Seq(scheme, Literal("://"), host, path, queryPart))
+  }
 }
 
 /** array<long> minhash signature → array<long> of `bands` band hashes: the

@@ -34,14 +34,9 @@ object TextAnalysis {
     * no UDF — at 100 TB this is a map-only scan that fuses into whatever
     * consumes it. */
   def normalizeText(text: Column): Column = {
-    val nfc      = graft.functions.NativeExpressions.nfcNormalize(text)
-    val unixNl   = regexp_replace(nfc, "\\r\\n|\\r", "\n")
-    val noZw     = regexp_replace(unixNl, "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", "")
-    val noCtl    = regexp_replace(noZw,
-      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]", "")
-    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
-    val lineTrim = regexp_replace(oneSpace, " ?\\n ?", "\n")
-    trim(regexp_replace(lineTrim, "\\n{3,}", "\n\n"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NativeExpressions.normalizeTextExpr(
+      ColumnBridge.expression(text)))
   }
 
   /** Whitespace token count. */

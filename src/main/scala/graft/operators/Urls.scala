@@ -36,26 +36,14 @@ object Urls {
   /** Pipe-joined prefixes whose `key=` params are dropped (step 5). */
   val TrackingParams = "utm_[^=]*|gclid|fbclid|ref"
 
-  /** Canonical form of an absolute `scheme://...` URL (see class doc). */
+  /** Canonical form of an absolute `scheme://...` URL (see class doc).
+    * Delegates to the concrete catalyst tree in
+    * [[graft.functions.NativeExpressions.canonicalizeUrlExpr]] — one
+    * formulation shared with the SQL registry's `canonicalize_url`. */
   def canonicalizeUrl(url: Column): Column = {
-    val scheme   = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val after    = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = lower(regexp_extract(after, "^([^/?#]*)", 1))
-    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-      .otherwise(hostport)
-    val host   = regexp_replace(noPort, "^www\\.", "")
-    val pathQF = regexp_extract(after, "^[^/?#]*(.*)$", 1)
-    val noFrag = regexp_replace(pathQF, "#.*$", "")
-    val path0  = regexp_extract(noFrag, "^([^?]*)", 1)
-    val path = when(path0 === "", lit("/"))
-      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
-    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
-    val params = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike(s"^($TrackingParams)=")))
-    concat(scheme, lit("://"), host, path,
-      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
-        .otherwise(lit("")))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NativeExpressions.canonicalizeUrlExpr(
+      ColumnBridge.expression(url)))
   }
 
   /** URL-level dedup: one survivor per canonical URL — the row with the

@@ -88,4 +88,13 @@ class GraftFunctionsSpec extends SparkSpec {
     row.getSeq[Long](0) shouldBe Seq(5L)
     row.getDouble(1) shouldBe 10.0 +- 1e-12
   }
+
+  test("normalize_text and canonicalize_url on the SQL surface (T26/D15)") {
+    val row = spark.sql(
+      """SELECT normalize_text('  a  b' || char(13) || char(10) || 'c  ') AS n,
+        |  canonicalize_url('HTTPS://WWW.Ex.COM:443/a/?b=2&utm_source=x&a=1#f') AS u
+        |""".stripMargin).collect().head
+    row.getString(0) shouldBe "a b\nc"
+    row.getString(1) shouldBe "https://ex.com/a?a=1&b=2"
+  }
 }
