@@ -246,6 +246,24 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "d16_edit_join" -> { (s, dir) =>
+      // bounded edit-distance join over 12-char pseudo-labels (the corpus
+      // has no label column, so derive one), with planted single-char-
+      // substitution typos (+1e6 ids) on mod-10 docs. doc_id < 2000 keeps
+      // the ORACLE's brute-force cross join affordable at sf0.1 while the
+      // operator itself never cross-joins; natural prefix collisions
+      // (equal labels, dist 0) are part of the surface on both engines.
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+      val base = docs.select(col("doc_id"),
+        substring(col("text"), 1, 12).as("lbl"))
+      val typos = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("lbl"), 1, 2), lit("z"),
+            substring(col("lbl"), 4, 9)).as("lbl"))
+      EditJoin.pairsWithinEd1(base.unionByName(typos), "doc_id", "lbl")
+        .orderBy("a_id", "b_id")
+    },
+
     "d15_url_dedup" -> { (s, dir) =>
       // URL-level dedup over planted URLs: docs 4k..4k+3 spell the SAME
       // page four ways — host case + www. (evens), explicit :443 (mod 3),
@@ -3193,6 +3211,25 @@ object LlmOps {
         |SELECT c.id, coalesce(p.component, c.id) AS component,
         |       coalesce(p.component, c.id) = c.id AS is_canonical
         |FROM corpus c LEFT JOIN comp p ON c.id = p.id""".stripMargin),
+
+    // D16: identical label derivation + typo planting, then the ed<=1 pair
+    // set by BRUTE-FORCE cross join with DuckDB's own levenshtein — the
+    // strongest possible oracle for a candidate-pruned join: any pair the
+    // deletion-neighborhood index missed (or invented) breaks the hash.
+    "d16_edit_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, substr(text, 1, 12) AS lbl
+        |  FROM documents WHERE doc_id < 2000),
+        |typos AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(lbl, 1, 2) || 'z' || substr(lbl, 4, 9) AS lbl
+        |  FROM base WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.lbl, b.lbl) AS INTEGER) AS dist
+        |FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.lbl, b.lbl) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // D15: replant the identical URL spellings, then replay the documented
     // canonicalization contract with DuckDB's own string/list kernels

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EditJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("ed<=1 join is COMPLETE and exact vs brute force (D16)") {
+    // substitutions, insertions, deletions, equal pairs, near-misses (ed 2)
+    val rng = new scala.util.Random(7)
+    val alpha = "abcd" // small alphabet → dense collisions
+    val strs = Seq.fill(160)(
+      (1 to (3 + rng.nextInt(6))).map(_ => alpha(rng.nextInt(4))).mkString)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = EditJoin.pairsWithinEd1(df, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      d = lev(strs(i), strs(j)) if d <= 1
+    } yield (i.toLong, j.toLong, d)).toSet
+    got shouldBe expect
+  }
+
+  test("insert/delete across lengths and empty strings (D16)") {
+    val df = Seq((0L, "spark"), (1L, "sparks"), (2L, "spak"), (3L, "spark"),
+      (4L, ""), (5L, "a"), (6L, "zzzzz")).toDF("id", "s")
+    val got = EditJoin.pairsWithinEd1(df, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    got shouldBe Set((0L, 1L, 1), (0L, 2L, 1), (0L, 3L, 0), (1L, 3L, 1),
+      (2L, 3L, 1), (4L, 5L, 1))
+  }
+
+  test("no cross join in the plan (D16)") {
+    val df = Seq((0L, "ab"), (1L, "ac")).toDF("id", "s")
+    val plan = EditJoin.pairsWithinEd1(df, "id", "s")
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+}
