@@ -36,6 +36,36 @@ object EditJoin {
       when(i === 0, s)
         .otherwise(concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
 
+  /** Variant-hash index over a label frame: (idCol, `__h`) rows, distinct —
+    * the write-once side of [[fuzzyLookup]]. Persist it sorted/bucketed on
+    * `__h` and a fuzzy point lookup becomes |term|+1 pushed-down hash-key
+    * probes instead of any scan of the labels. */
+  def variantIndex(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol), explode(variants(col(strCol))).as("__v"))
+      .select(col(idCol), xxhash64(col("__v")).as("__h"))
+      .distinct()
+
+  /** W32: typo-tolerant point lookup — rows of `labels` whose `strCol` is
+    * within Levenshtein distance 1 of `term`. The TERM's |term|+1 deletion
+    * variants hash driver-side (the same `xxhash64` the index stores, via
+    * the catalyst expression) into an `IN` filter on the index — a
+    * candidate probe that reads hash keys, not labels — then the exact
+    * verify runs on the candidates only. Output: label row + `dist`. */
+  def fuzzyLookup(index: DataFrame, labels: DataFrame, idCol: String,
+      strCol: String, term: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val tv = (term +: (0 until term.length).map(i =>
+      term.substring(0, i) + term.substring(i + 1))).distinct
+    val th = tv.map(v =>
+      XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long])
+    index.filter(col("__h").isin(th: _*))
+      .select(idCol).distinct()
+      .join(labels, Seq(idCol))
+      .withColumn("dist", levenshtein(col(strCol), lit(term)))
+      .filter(col("dist") <= 1)
+  }
+
   /** All (a_id, b_id, dist) with `levenshtein(a, b) <= 1` and a_id < b_id.
     * Complete and exact (see class doc). */
   def pairsWithinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {

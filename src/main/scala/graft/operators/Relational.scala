@@ -1235,6 +1235,27 @@ object Relational {
         .filter(col("label").startsWith("red "))
     },
 
+    "w32_fuzzy_label" -> { (s, dir) =>
+      // W32: typo-tolerant label lookup over the same label surface as
+      // w14 — the query term is part 1's name with its 3rd char turned
+      // into 'z' (a one-substitution typo both engines derive from the
+      // table, nothing hard-coded), so the original label must come back
+      // at dist 1 (or 0 if that char already was 'z') along with any
+      // natural ed<=1 neighbors. The oracle scans with levenshtein; the
+      // operator probes D16's variant-hash index with the term's deletion
+      // variants and verifies candidates only.
+      val labels = Tables(s, dir).part
+        .select(col("p_partkey").as("id"), col("p_name").as("label"))
+      val base = labels.filter(col("id") === 1)
+        .head().getString(1)
+      val term = base.substring(0, 2) + "z" + base.substring(3)
+      EditJoin.fuzzyLookup(
+          EditJoin.variantIndex(labels, "id", "label"),
+          labels, "id", "label", term)
+        .select(col("id"), col("label"), col("dist"))
+        .orderBy("id")
+    },
+
     "w15_conjunctive_semijoin" -> { (s, dir) =>
       // "red fruits" pattern (README.md:129-131): ids satisfying claim A AND claim B
       // = chained LEFT SEMI joins; Catalyst broadcasts the small claim sets.
@@ -2028,6 +2049,18 @@ object Relational {
     "w14_label_lookup" ->
       """SELECT p_partkey AS id, p_name AS label, p_type AS description
         |FROM part WHERE label LIKE 'red %'""".stripMargin,
+
+    // W32: the same typo derivation, then a full levenshtein scan — the
+    // brute-force oracle for the variant-index probe path.
+    "w32_fuzzy_label" ->
+      """WITH term AS (
+        |  SELECT substr(p_name, 1, 2) || 'z' || substr(p_name, 4) AS t
+        |  FROM part WHERE p_partkey = 1)
+        |SELECT p_partkey AS id, p_name AS label,
+        |  CAST(levenshtein(p_name, (SELECT t FROM term)) AS INTEGER) AS dist
+        |FROM part
+        |WHERE levenshtein(p_name, (SELECT t FROM term)) <= 1
+        |ORDER BY id""".stripMargin,
 
     "w15_conjunctive_semijoin" ->
       """SELECT o_orderkey, o_totalprice FROM orders

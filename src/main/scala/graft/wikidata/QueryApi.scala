@@ -103,4 +103,18 @@ final case class QueryApi(tables: WikidataTables) {
       .unionAll(slim(tables.none, "none", lit(null)))
       .unionAll(slim(tables.unknown, "unknown", lit(null)))
   }
+  /** W32: typo-tolerant label lookup — meta rows whose English label is
+    * within Levenshtein distance 1 of `term`: the query a SQLite user
+    * approximates with LIKE and gets wrong (LIKE can't rank or bound
+    * edits). The term's |term|+1 deletion variants probe D16's variant
+    * index as hash keys — persist the index sorted on `__h` and this is a
+    * handful of pushed-down point reads, never a label scan — then the
+    * exact codegen'd levenshtein verifies candidates only. See
+    * [[graft.operators.EditJoin]]. */
+  def byLabelFuzzy(term: String): DataFrame = {
+    val labels = tables.meta.filter(col("label").isNotNull)
+    graft.operators.EditJoin.fuzzyLookup(
+      graft.operators.EditJoin.variantIndex(labels, "id", "label"),
+      labels, "id", "label", term)
+  }
 }

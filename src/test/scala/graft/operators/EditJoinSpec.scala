@@ -48,4 +48,21 @@ class EditJoinSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("fuzzyLookup probes the variant index and matches brute force (W32)") {
+    val rng = new scala.util.Random(11)
+    val strs = Seq.tabulate(120)(i =>
+      (1 to (3 + rng.nextInt(5))).map(_ => "abcde"(rng.nextInt(5))).mkString)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "lbl")
+    val idx = EditJoin.variantIndex(df, "id", "lbl")
+    for (term <- Seq(strs(5), strs(5).drop(1), "q" + strs(9), strs(17).updated(0, 'z'), "zzzz")) {
+      val got = EditJoin.fuzzyLookup(idx, df, "id", "lbl", term)
+        .select("id", "dist").as[(Long, Int)].collect().toSet
+      val expect = strs.zipWithIndex.collect {
+        case (s, i) if lev(s, term) <= 1 => (i.toLong, lev(s, term))
+      }.toSet
+      got shouldBe expect
+    }
+  }
 }
