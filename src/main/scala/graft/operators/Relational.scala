@@ -384,6 +384,38 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r60_analyze" -> { (s, dir) =>
+      // R60: ANALYZE on a pinned snapshot version. The gate hashes the
+      // EXACT fields (rows/nulls/ndv/min/max per column — DuckDB
+      // re-derives them from the same rows) and bounds the HLL sketch
+      // in-plan: ndv_ok must be true for every column at rsd=0.02 with a
+      // 10% bound (the s2_recall pattern — quality asserted inside the
+      // hashed result, not just spec'd). The in-gate require proves the
+      // persisted sidecar read back EQUALS the computed profile — the
+      // zero-data-I/O read path is what a planner consumes.
+      val t = graft.Scratch.fresh("r60_table")
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_suppkey"),
+          // plant nulls so n_nulls bites: every 7th row loses its flag
+          when(col("l_linenumber") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("l_returnflag")).as("l_returnflag"))
+      SnapshotTable.commit(s, t, li)
+      val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag")
+      val prof = SnapshotAnalyze.profile(s, t, cols, exact = true)
+      SnapshotAnalyze.analyze(s, t, cols)
+      val persisted = SnapshotAnalyze.readProfile(s, t).get
+      require(persisted.count() == cols.size.toLong &&
+        persisted.select("column", "n_rows", "n_nulls", "min_str", "max_str")
+          .except(prof.select("column", "n_rows", "n_nulls", "min_str", "max_str"))
+          .isEmpty,
+        "persisted ANALYZE sidecar must equal the computed profile")
+      prof.select(col("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"),
+          (abs(col("ndv_est") - col("n_distinct")).cast("double") <=
+            col("n_distinct") * 0.1).as("ndv_ok"))
+        .orderBy("column")
+    },
+
     "r59_merge_evolve" -> { (s, dir) =>
       // R59: schema-evolving MERGE (Delta autoMerge) — the changeset
       // carries a column the table lacks (o_note): updates overwrite
@@ -1671,6 +1703,38 @@ object Relational {
     "r55_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // R60: exact per-column stats re-derived from the same planted rows;
+    // ndv_ok is the in-plan HLL bound (literal true on the oracle side —
+    // the s2_recall hash-gated-quality pattern)
+    "r60_analyze" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_linenumber % 7 = 0 THEN NULL
+        |         ELSE l_returnflag END AS l_returnflag
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_str, true AS ndv_ok
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR), true
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_suppkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(min(l_suppkey) AS VARCHAR),
+        |    CAST(max(l_suppkey) AS VARCHAR), true
+        |  FROM src)
+        |ORDER BY "column"""".stripMargin,
 
     // R59: the evolving merge re-derived — survivors with a NULL note,
     // updates overwritten with one, deletes gone, inserts present
