@@ -68,9 +68,25 @@ object EditJoin {
 
   /** All (a_id, b_id, dist) with `levenshtein(a, b) <= 1` and a_id < b_id.
     * Complete and exact (see class doc). */
-  def pairsWithinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def pairsWithinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    pairsWithin(df, idCol, strCol, k = 1)
+
+  /** All (a_id, b_id, dist) with `levenshtein(a, b) <= k`, a_id < b_id,
+    * for k ∈ {1, 2}. The k=2 neighborhood is one more deletion pass over
+    * the k=1 variants (D≤2 = D≤1 ∘ D≤1); the completeness argument
+    * composes — an optimal ≤2-op edit script costs at most one deletion
+    * per op on each side, so both sides reach a common ≤2-deletion
+    * variant — and sharing one bounds the distance by 2k, which the exact
+    * verify trims. Variant count grows to ~|s|²/2 per string at k=2:
+    * still label-priced, still never a cross join. */
+  def pairsWithin(df: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame = {
+    require(k == 1 || k == 2, s"pairsWithin supports k in {1, 2}, got $k")
+    val s = col("__s")
+    val vs = if (k == 1) variants(s)
+      else array_distinct(flatten(transform(variants(s), v => variants(v))))
     val v = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .select(col("__id"), explode(variants(col("__s"))).as("__v"))
+      .select(col("__id"), explode(vs).as("__v"))
       .select(col("__id"), xxhash64(col("__v")).as("__h"))
       .distinct()
     val cand = v.as("a").join(v.as("b"),
@@ -81,7 +97,7 @@ object EditJoin {
     val sb = df.select(col(idCol).as("b_id"), col(strCol).as("__sb"))
     cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= k)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 }

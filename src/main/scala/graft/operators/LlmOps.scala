@@ -1629,6 +1629,28 @@ object LlmOps {
       Multimodal.perceptualDedup(s, media).orderBy("media_id")
     },
 
+    "m6_interleave_multi" -> { (s, dir) =>
+      // multi-image interleaving: mod-3 docs carry an image at position 0
+      // (the m5 dims), mod-6 docs a SECOND image at position 1 with its
+      // own dims — every quantity a pure function of doc_id, so DuckDB
+      // replays items, patch costs and the packing row-for-row. Text
+      // packs last at item_idx = 2^31-1.
+      val docs = Tables(s, dir).documents
+      val img0 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("doc_ref"), lit(0).as("pos"), struct(
+          (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"))
+          .as("meta"))
+      val img1 = docs.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id").as("doc_ref"), lit(1).as("pos"), struct(
+          (pmod(col("doc_id"), lit(32)) * 16 + 16).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(24)) * 16 + 16).cast("int").as("height"))
+          .as("meta"))
+      Multimodal.interleavePackMulti(docs, img0.unionByName(img1),
+          "doc_id", "text", "doc_ref", "pos", seqLen = 512, shards = 8)
+        .orderBy("doc_id", "item_idx")
+    },
+
     "m5_interleaved_pack" -> { (s, dir) =>
       // interleaved multimodal packing: the media corpus's image rows
       // (mod-3 docs under asMediaCorpus's deterministic modality) fold
@@ -2848,6 +2870,37 @@ object LlmOps {
         |  FROM t
         |)
         |SELECT doc_id, shard, off // 256 AS seq_id, off % 256 AS seq_off FROM o""".stripMargin,
+
+    // M6: the m5 replay with a second image stream and text at 2^31-1
+    "m6_interleave_multi" ->
+      s"""WITH items AS (
+         |  SELECT doc_id AS id, 0 AS item_idx, 'image' AS kind,
+         |    CAST((((doc_id % 64) * 16 + 16 + 13) // 14)
+         |       * (((doc_id % 48) * 16 + 16 + 13) // 14) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 1, 'image',
+         |    CAST((((doc_id % 32) * 16 + 16 + 13) // 14)
+         |       * (((doc_id % 24) * 16 + 16 + 13) // 14) AS BIGINT)
+         |  FROM documents WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 2147483647, 'text',
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |  FROM documents
+         |), t AS (
+         |  SELECT *, md5(CAST(id AS VARCHAR)) AS u,
+         |    ${md5UnitSql("id")} % 8 AS shard
+         |  FROM items
+         |), o AS (
+         |  SELECT id, item_idx, kind, n_tokens, shard,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY u, id, item_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t
+         |)
+         |SELECT id AS doc_id, item_idx, kind, n_tokens, shard,
+         |  off // 512 AS seq_id, off % 512 AS seq_off
+         |FROM o ORDER BY doc_id, item_idx""".stripMargin,
 
     // M5: t12's replay at item granularity — image items only for mod-3
     // docs (asMediaCorpus's modality rule), patch-token cost re-derived

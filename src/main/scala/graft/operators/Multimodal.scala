@@ -121,8 +121,7 @@ object Multimodal {
   def interleavePack(docs: DataFrame, media: DataFrame, idCol: String,
       textCol: String, seqLen: Int, shards: Int = 1024,
       patch: Int = 14): DataFrame = {
-    require(seqLen > 0 && shards > 0 && patch > 0,
-      s"need seqLen/shards/patch > 0, got $seqLen/$shards/$patch")
+    require(patch > 0, s"need patch > 0, got $patch")
     val p1 = patch - 1
     val imgItems = media.select(
       col("media_id").cast("long").as("__id"),
@@ -133,10 +132,46 @@ object Multimodal {
       col(idCol).cast("long").as("__id"),
       lit(1).as("item_idx"), lit("text").as("kind"),
       TextAnalysis.wsTokens(col(textCol)).cast("long").as("n_tokens"))
+    packItems(imgItems.unionByName(textItems), idCol, seqLen, shards)
+  }
+
+  /** M6: interleavePack for MULTI-image documents — MMC4's real shape,
+    * where a page carries several images at positions in the text flow.
+    * `media` rows reference their doc (`docRefCol`) and carry an explicit
+    * 0-based `posCol` (distinct per doc, < 2^30 — the caller's layout
+    * contract; no per-doc window is spent re-ranking what the extractor
+    * already knows). Images pack at their positions in order, the doc's
+    * text packs LAST (item_idx = Int.MaxValue), each image costed at its
+    * own ViT patch count from its own metadata. Same per-shard prefix-sum
+    * machinery, same output shape; a doc's whole item run stays contiguous
+    * under the (md5(id), id, item_idx) order. */
+  def interleavePackMulti(docs: DataFrame, media: DataFrame, idCol: String,
+      textCol: String, docRefCol: String, posCol: String, seqLen: Int,
+      shards: Int = 1024, patch: Int = 14): DataFrame = {
+    require(patch > 0, s"need patch > 0, got $patch")
+    val p1 = patch - 1
+    val imgItems = media.select(
+      col(docRefCol).cast("long").as("__id"),
+      col(posCol).cast("int").as("item_idx"), lit("image").as("kind"),
+      (expr(s"(meta.width + $p1) div $patch") *
+        expr(s"(meta.height + $p1) div $patch")).cast("long").as("n_tokens"))
+    val textItems = docs.select(
+      col(idCol).cast("long").as("__id"),
+      lit(Int.MaxValue).as("item_idx"), lit("text").as("kind"),
+      TextAnalysis.wsTokens(col(textCol)).cast("long").as("n_tokens"))
+    packItems(imgItems.unionByName(textItems), idCol, seqLen, shards)
+  }
+
+  /** Shared T12-at-item-granularity packing: deterministic (md5(id), id,
+    * item_idx) order, per-shard cumulative offsets, integer seq cuts. */
+  private def packItems(items: DataFrame, idCol: String, seqLen: Int,
+      shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0,
+      s"need seqLen/shards > 0, got $seqLen/$shards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__u"), col("__id"), col("item_idx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    imgItems.unionByName(textItems)
+    items
       .withColumn("shard", pmod(Sampling.hashUnit(col("__id")), lit(shards.toLong)))
       .withColumn("__u", md5(col("__id").cast("string")))
       .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))

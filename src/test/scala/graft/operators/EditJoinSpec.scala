@@ -65,4 +65,19 @@ class EditJoinSpec extends SparkSpec {
       got shouldBe expect
     }
   }
+
+  test("k=2 join is COMPLETE and exact vs brute force (D16)") {
+    val rng = new scala.util.Random(23)
+    val strs = Seq.fill(110)(
+      (1 to (4 + rng.nextInt(5))).map(_ => "abc"(rng.nextInt(3))).mkString)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = EditJoin.pairsWithin(df, "id", "s", k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      d = lev(strs(i), strs(j)) if d <= 2
+    } yield (i.toLong, j.toLong, d)).toSet
+    got shouldBe expect
+  }
 }

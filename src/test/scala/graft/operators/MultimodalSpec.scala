@@ -117,4 +117,50 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     viaM5.sortBy(_._1).toSeq shouldBe viaT12.sortBy(_._1).toSeq
   }
+
+  test("multi-image interleaving: images chain in position order, text last (M6)") {
+    val many = spark.range(0, 36).selectExpr("id AS doc_id",
+      "concat('w ', repeat('t ', CAST(id % 5 AS INT))) AS text")
+    def img(mod: Long, pos: Int, wm: Long, hm: Long) =
+      many.filter(col("doc_id") % mod === 0)
+        .select(col("doc_id").as("doc_ref"), lit(pos).as("pos"), struct(
+          (pmod(col("doc_id"), lit(wm)) * 16 + 16).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(hm)) * 16 + 16).cast("int").as("height"))
+          .as("meta"))
+    val media = img(3, 0, 64, 48).unionByName(img(6, 1, 32, 24))
+    val rows = Multimodal.interleavePackMulti(many, media, "doc_id", "text",
+        "doc_ref", "pos", seqLen = 16, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.count(_._3 == "image") shouldBe (12 + 6)
+    rows.count(_._3 == "text") shouldBe 36
+    // per doc: items contiguous in the global stream, position order kept
+    for ((_, items) <- rows.groupBy(_._1)) {
+      val sorted = items.sortBy(_._2)
+      sorted.last._3 shouldBe "text"
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          a._5 shouldBe b._5 // same shard
+          (b._6 * 16 + b._7) shouldBe (a._6 * 16 + a._7 + a._4)
+        case _ =>
+      }
+    }
+  }
+
+  test("single-image multi packing ≡ interleavePack (M6/M5)") {
+    val many = spark.range(0, 30).selectExpr("id AS doc_id",
+      "concat('a b ', repeat('c ', CAST(id % 4 AS INT))) AS text")
+    val mediaM5 = Multimodal.asMediaCorpus(many, "doc_id", "text")
+      .filter(col("meta.modality") === "image")
+    val mediaM6 = mediaM5.select(col("media_id").as("doc_ref"),
+      lit(0).as("pos"), col("meta"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "kind", "n_tokens", "shard", "seq_id", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2))
+    key(Multimodal.interleavePackMulti(many, mediaM6, "doc_id", "text",
+      "doc_ref", "pos", seqLen = 32, shards = 4)).toSeq shouldBe
+      key(Multimodal.interleavePack(many, mediaM5, "doc_id", "text",
+        seqLen = 32, shards = 4)).toSeq
+  }
 }
