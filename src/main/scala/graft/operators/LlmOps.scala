@@ -1456,9 +1456,12 @@ object LlmOps {
           when(col("doc_id") % 2 === 0, lit("?utm_source=x")).otherwise(lit(""))
         ).as("url"))
       val urlKept = Urls.dedupByUrl(planted, "doc_id", "url").select("doc_id")
-      val norm = planted.join(urlKept, Seq("doc_id"))
+      // Caches-owned: the keep-filter otherwise pushes the whole inlined
+      // NFC+regex chain into every interpreted rule reference (see
+      // WebIntake.prepareBatch) — measured ~10x on this gate
+      val norm = Caches.owned(planted.join(urlKept, Seq("doc_id"))
         .select(col("doc_id"),
-          TextAnalysis.normalizeText(col("text")).as("text"))
+          TextAnalysis.normalizeText(col("text")).as("text")))
       val qualityKept = TextAnalysis.gopherRules(norm, "doc_id", "text",
           minWords = 15)
         .filter(col("keep")).select("doc_id")

@@ -401,18 +401,23 @@ object Relational {
             .otherwise(col("l_returnflag")).as("l_returnflag"))
       SnapshotTable.commit(s, t, li)
       val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag")
-      val prof = SnapshotAnalyze.profile(s, t, cols, exact = true)
+      // one exact pass, compared driver-side (3 rows) — re-evaluating the
+      // aggregate frame for an `except` would re-scan per comparison
+      val profRows = SnapshotAnalyze.profile(s, t, cols, exact = true).collect()
       SnapshotAnalyze.analyze(s, t, cols)
-      val persisted = SnapshotAnalyze.readProfile(s, t).get
-      require(persisted.count() == cols.size.toLong &&
-        persisted.select("column", "n_rows", "n_nulls", "min_str", "max_str")
-          .except(prof.select("column", "n_rows", "n_nulls", "min_str", "max_str"))
-          .isEmpty,
+      val persisted = SnapshotAnalyze.readProfile(s, t).get.collect()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(4), r.getString(5))
+      require(persisted.length == cols.size && persisted.map(key).toSet ==
+          profRows.map(key).toSet,
         "persisted ANALYZE sidecar must equal the computed profile")
-      prof.select(col("column"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_str"), col("max_str"),
-          (abs(col("ndv_est") - col("n_distinct")).cast("double") <=
-            col("n_distinct") * 0.1).as("ndv_ok"))
+      import s.implicits._
+      profRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5),
+          math.abs(r.getLong(6) - r.getLong(3)).toDouble <= r.getLong(3) * 0.1))
+        .toSeq
+        .toDF("column", "n_rows", "n_nulls", "n_distinct", "min_str",
+          "max_str", "ndv_ok")
         .orderBy("column")
     },
 

@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * (`approx_count_distinct`, one shuffle-free partial-merge pass, error
   * ~rsd); `exact = true` adds `count(DISTINCT c)` — an EXPAND shuffle,
   * affordable at gate scale and the yardstick the r60 gate uses to bound
-  * the sketch in-plan. Everything computes in ONE aggregate over one scan
-  * of the pinned version, however many columns are profiled.
+  * the sketch in-plan. Sketch mode computes in ONE aggregate over one
+  * scan however many columns are profiled; exact mode runs the
+  * multi-distinct as a SECOND aggregate (crossJoined 1×1), because
+  * dragging the HLL imperative buffers through the distinct Expand
+  * forces the sort-based aggregate path — measured ~15× slower than the
+  * two passes combined.
   *
   * Persistence: `<table>/_analyze/v<version>.json` — written atomically
   * (tmp + move), immutable once present, outside `data/` so vacuum never
@@ -36,14 +40,21 @@ object SnapshotAnalyze {
       version: Long = -1L, exact: Boolean = false, rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val df = SnapshotTable.read(spark, table, version)
-    val aggs = cols.flatMap { c =>
+    val basicAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
         approx_count_distinct(col(c), rsd).as(s"__hll_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")) ++
-        (if (exact) Seq(countDistinct(col(c)).as(s"__ndv_$c")) else Nil)
+        max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val basic = df.agg(count(lit(1)).as("__n"), basicAggs: _*)
+    // exact NDVs run as their OWN aggregate: a multi-distinct plan is an
+    // Expand (x #distinct-groups+1), and dragging the HLL imperative
+    // buffers through that Expand forces the whole thing onto the
+    // sort-based path — measured ~15x slower than the two passes combined
+    val one = if (!exact) basic
+      else basic.crossJoin(
+        df.agg(countDistinct(col(cols.head)).as(s"__ndv_${cols.head}"),
+          cols.tail.map(c => countDistinct(col(c)).as(s"__ndv_$c")): _*))
     val perCol = cols.map { c =>
       val fields = Seq(lit(c).as("column"), col("__n").as("n_rows"),
         (col("__n") - col(s"__cnt_$c")).as("n_nulls"),

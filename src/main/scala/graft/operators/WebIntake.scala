@@ -49,8 +49,13 @@ object WebIntake {
     val urlWinners = canon.groupBy(col(urlCol))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
     val urlKept = canon.join(urlWinners, Seq(idCol), "left_semi")
-    val norm = urlKept.withColumn(textCol,
-      TextAnalysis.normalizeText(col(textCol)))
+    // Caches-owned (batch-sized by contract): the normalized text feeds the
+    // quality rules, the dedup AND the returned frame — without the barrier
+    // the keep-filter's predicate pushdown inlines the whole NFC+regex
+    // chain into every rule reference and evaluates it interpreted (the
+    // rule HOFs are CodegenFallback), a measured ~10x blow-up.
+    val norm = Caches.owned(urlKept.withColumn(textCol,
+      TextAnalysis.normalizeText(col(textCol))))
     val quality = TextAnalysis.gopherRules(norm, idCol, textCol,
         minWords = minWords)
       .filter(col("keep")).select(idCol)
@@ -86,8 +91,9 @@ object WebIntake {
     val urlNovel = canon.join(urlWinners, Seq(idCol), "left_semi")
       .withColumn(UrlHashCol, md5(col(urlCol)))
       .join(corpus.select(UrlHashCol), Seq(UrlHashCol), "left_anti")
-    val norm = urlNovel.withColumn(textCol,
-      TextAnalysis.normalizeText(col(textCol)))
+    // Caches-owned for the same reason as prepareBatch's norm
+    val norm = Caches.owned(urlNovel.withColumn(textCol,
+      TextAnalysis.normalizeText(col(textCol))))
     val quality = TextAnalysis.gopherRules(norm, idCol, textCol,
         minWords = minWords)
       .filter(col("keep")).select(idCol)
