@@ -91,19 +91,24 @@ object WebIntake {
     val urlNovel = canon.join(urlWinners, Seq(idCol), "left_semi")
       .withColumn(UrlHashCol, md5(col(urlCol)))
       .join(corpus.select(UrlHashCol), Seq(UrlHashCol), "left_anti")
-    // Caches-owned for the same reason as prepareBatch's norm
-    val norm = Caches.owned(urlNovel.withColumn(textCol,
-      TextAnalysis.normalizeText(col(textCol))))
-    val quality = TextAnalysis.gopherRules(norm, idCol, textCol,
-        minWords = minWords)
-      .filter(col("keep")).select(idCol)
-    val novel = Dedup.exactDedup(norm.join(quality, Seq(idCol), "left_semi"),
-        textCol, idCol)
-      .withColumn(HashCol, md5(col(textCol)))
-      .join(corpus.select(HashCol), Seq(HashCol), "left_anti")
-      .select(batch.columns.map(col) :+ col(UrlHashCol) :+ col(HashCol): _*)
-    if (novel.isEmpty) current
-    else SnapshotTable.commit(spark, table, novel,
-      mode = SnapshotTable.Append, tag = tag)
+    // persisted for the same reason as prepareBatch's norm, but released
+    // HERE (intake completes its own actions), so a long-running X26
+    // stream never accumulates cached batch frames across micro-batches
+    val norm = urlNovel.withColumn(textCol,
+        TextAnalysis.normalizeText(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val quality = TextAnalysis.gopherRules(norm, idCol, textCol,
+          minWords = minWords)
+        .filter(col("keep")).select(idCol)
+      val novel = Dedup.exactDedup(norm.join(quality, Seq(idCol), "left_semi"),
+          textCol, idCol)
+        .withColumn(HashCol, md5(col(textCol)))
+        .join(corpus.select(HashCol), Seq(HashCol), "left_anti")
+        .select(batch.columns.map(col) :+ col(UrlHashCol) :+ col(HashCol): _*)
+      if (novel.isEmpty) current
+      else SnapshotTable.commit(spark, table, novel,
+        mode = SnapshotTable.Append, tag = tag)
+    } finally { norm.unpersist(false): Unit }
   }
 }
