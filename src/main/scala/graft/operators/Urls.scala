@@ -48,10 +48,16 @@ object Urls {
 
   /** URL-level dedup: one survivor per canonical URL — the row with the
     * lowest `idCol` (deterministic, like D1's min-winner). Returns
-    * (idCol, canon_url) for the survivors. */
-  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+    * (idCol, canon_url) for the survivors. Rows WITHOUT a URL (null in,
+    * null canon out) are all kept: "no URL" is absence of the dedup key,
+    * not a shared key — grouping them would silently collapse every
+    * url-less doc to one survivor. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+    canon.filter(col("canon_url").isNotNull)
       .groupBy("canon_url")
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("canon_url"))
+      .unionByName(canon.filter(col("canon_url").isNull))
+  }
 }

@@ -46,9 +46,13 @@ object WebIntake {
   def prepareBatch(batch: DataFrame, urlCol: String, textCol: String,
       idCol: String, minWords: Int = 15): DataFrame = {
     val canon = batch.withColumn(urlCol, Urls.canonicalizeUrl(col(urlCol)))
-    val urlWinners = canon.groupBy(col(urlCol))
+    // url-less rows (null canon) skip URL dedup entirely — absence of the
+    // key is not a shared key (see Urls.dedupByUrl)
+    val withUrl = canon.filter(col(urlCol).isNotNull)
+    val urlWinners = withUrl.groupBy(col(urlCol))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
-    val urlKept = canon.join(urlWinners, Seq(idCol), "left_semi")
+    val urlKept = withUrl.join(urlWinners, Seq(idCol), "left_semi")
+      .unionByName(canon.filter(col(urlCol).isNull))
     // Caches-owned (batch-sized by contract): the normalized text feeds the
     // quality rules, the dedup AND the returned frame — without the barrier
     // the keep-filter's predicate pushdown inlines the whole NFC+regex
@@ -86,9 +90,14 @@ object WebIntake {
     if (tag.exists(SnapshotTable.hasTag(table, _))) return current // replay
     val corpus = SnapshotTable.read(spark, table)
     val canon = batch.withColumn(urlCol, Urls.canonicalizeUrl(col(urlCol)))
-    val urlWinners = canon.groupBy(col(urlCol))
+    // url-less rows skip both the in-batch URL dedup and the corpus
+    // url_hash scrub (their url_hash is null, and a null key never
+    // matches an anti-join anyway) — see Urls.dedupByUrl
+    val withUrl = canon.filter(col(urlCol).isNotNull)
+    val urlWinners = withUrl.groupBy(col(urlCol))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
-    val urlNovel = canon.join(urlWinners, Seq(idCol), "left_semi")
+    val urlNovel = withUrl.join(urlWinners, Seq(idCol), "left_semi")
+      .unionByName(canon.filter(col(urlCol).isNull))
       .withColumn(UrlHashCol, md5(col(urlCol)))
       .join(corpus.select(UrlHashCol), Seq(UrlHashCol), "left_anti")
     // persisted for the same reason as prepareBatch's norm, but released

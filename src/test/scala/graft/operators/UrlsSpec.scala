@@ -51,4 +51,17 @@ class UrlsSpec extends SparkSpec {
     kept shouldBe Seq(
       (3L, "https://example.com/x"), (9L, "https://example.com/y"))
   }
+
+  test("url-less rows never dedup against each other (D15)") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]),
+      (3L, "https://example.com/x"),
+      (4L, "https://EXAMPLE.com/x/")).toDF("doc_id", "url")
+    val kept = Urls.dedupByUrl(docs, "doc_id", "url")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    kept shouldBe Seq((1L, None), (2L, None),
+      (3L, Some("https://example.com/x")))
+  }
 }

@@ -74,4 +74,23 @@ class WebIntakeSpec extends SparkSpec {
         "id", graft.Scratch.fresh("x26spec_none"),
         graft.Scratch.fresh("x26spec_ckpt"))
   }
+
+  test("url-less docs skip URL dedup but face quality + content dedup (X26)") {
+    val t = graft.Scratch.fresh("x26spec_nullurl")
+    val nul = null.asInstanceOf[String]
+    WebIntake.bootstrap(spark, t, frame(Seq(
+      (0L, "https://example.com/a/0", body(0)),
+      (1L, nul, body(1)),
+      (2L, nul, body(2)),
+      (3L, nul, body(1)))), "url", "text", "id")
+    // both url-less originals survive; the url-less content-dup (3) loses
+    SnapshotTable.read(spark, t).select("id").as[Long].collect().toSet shouldBe
+      Set(0L, 1L, 2L)
+    // a later url-less batch still content-scrubs against the corpus
+    WebIntakeStream.applyBatch(spark,
+      frame(Seq((10L, nul, body(2)), (11L, nul, body(99)))), 7L, t,
+      "url", "text", "id")
+    SnapshotTable.read(spark, t).select("id").as[Long].collect().toSet shouldBe
+      Set(0L, 1L, 2L, 11L)
+  }
 }
