@@ -45,26 +45,59 @@ object EditJoin {
       .select(col(idCol), xxhash64(col("__v")).as("__h"))
       .distinct()
 
-  /** W32: typo-tolerant point lookup — rows of `labels` whose `strCol` is
-    * within Levenshtein distance 1 of `term`. The TERM's |term|+1 deletion
-    * variants hash driver-side (the same `xxhash64` the index stores, via
-    * the catalyst expression) into an `IN` filter on the index — a
-    * candidate probe that reads hash keys, not labels — then the exact
-    * verify runs on the candidates only. Output: label row + `dist`. */
-  def fuzzyLookup(index: DataFrame, labels: DataFrame, idCol: String,
-      strCol: String, term: String): DataFrame = {
+  /** The term's |term|+1 deletion-variant hashes, computed driver-side
+    * with the catalyst `XxHash64` at the same seed the index stores. */
+  def termVariantHashes(term: String): Seq[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val tv = (term +: (0 until term.length).map(i =>
+    (term +: (0 until term.length).map(i =>
       term.substring(0, i) + term.substring(i + 1))).distinct
-    val th = tv.map(v =>
-      XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
-        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long])
-    index.filter(col("__h").isin(th: _*))
-      .select(idCol).distinct()
+      .map(v =>
+        XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long])
+  }
+
+  private def lookupTail(probed: DataFrame, labels: DataFrame, idCol: String,
+      strCol: String, term: String): DataFrame =
+    probed.select(idCol).distinct()
       .join(labels, Seq(idCol))
       .withColumn("dist", levenshtein(col(strCol), lit(term)))
       .filter(col("dist") <= 1)
-  }
+
+  /** W32: typo-tolerant point lookup — rows of `labels` whose `strCol` is
+    * within Levenshtein distance 1 of `term`. The TERM's deletion-variant
+    * hashes form an `IN` filter on the index — a candidate probe that
+    * reads hash keys, not labels — then the exact verify runs on the
+    * candidates only. Output: label row + `dist`. */
+  def fuzzyLookup(index: DataFrame, labels: DataFrame, idCol: String,
+      strCol: String, term: String): DataFrame =
+    lookupTail(index.filter(col("__h").isin(termVariantHashes(term): _*)),
+      labels, idCol, strCol, term)
+
+  /** W33: persist the variant index as a RANGE-CLUSTERED snapshot table —
+    * each data file covers a narrow `__h` range, its footer (min, max)
+    * lands in the R42 stats sidecar at commit time, and a fuzzy lookup's
+    * `IN` probe plans only the files whose range contains a term-variant
+    * hash: at most |term|+1 point reads whatever the corpus size, the
+    * labels themselves never scanned. Rebuild on label churn is one
+    * commit; readers keep snapshot isolation throughout (R40). */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      labels: DataFrame, idCol: String, strCol: String,
+      files: Int = 64): Long =
+    SnapshotTable.commit(spark, table,
+      variantIndex(labels, idCol, strCol)
+        .repartitionByRange(files, col("__h"))
+        .sortWithinPartitions("__h"))
+
+  /** W33: [[fuzzyLookup]] against a [[saveIndex]] store — the probe goes
+    * through [[SnapshotTable.readPruned]], so R42 footer stats confine the
+    * scan to the files the term hashes can live in. */
+  def fuzzyLookupStored(spark: org.apache.spark.sql.SparkSession,
+      table: String, labels: DataFrame, idCol: String, strCol: String,
+      term: String): DataFrame =
+    lookupTail(
+      SnapshotTable.readPruned(spark, table,
+        col("__h").isin(termVariantHashes(term): _*)),
+      labels, idCol, strCol, term)
 
   /** All (a_id, b_id, dist) with `levenshtein(a, b) <= 1` and a_id < b_id.
     * Complete and exact (see class doc). */

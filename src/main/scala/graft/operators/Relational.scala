@@ -1272,6 +1272,28 @@ object Relational {
         .filter(col("label").startsWith("red "))
     },
 
+    "w33_fuzzy_stored" -> { (s, dir) =>
+      // W33: w32's lookup through the PERSISTED range-clustered variant
+      // index — same typo term, same answer (the oracle is the identical
+      // brute-force scan), but the probe plans only the files whose __h
+      // range holds a term-variant hash. The in-gate require proves the
+      // R42 stats actually skipped files (the store writes 32 range
+      // files; a ≤13-variant probe can touch at most 13).
+      val labels = Tables(s, dir).part
+        .select(col("p_partkey").as("id"), col("p_name").as("label"))
+      val base = labels.filter(col("id") === 1).head().getString(1)
+      val term = base.substring(0, 2) + "z" + base.substring(3)
+      val t = graft.Scratch.fresh("w33_index")
+      EditJoin.saveIndex(s, t, labels, "id", "label", files = 32)
+      val (kept, skipped) = SnapshotTable.prunedFiles(s, t,
+        col("__h").isin(EditJoin.termVariantHashes(term): _*))
+      require(skipped.nonEmpty && kept.size <= EditJoin.termVariantHashes(term).size,
+        s"stats pruning must confine the probe: kept ${kept.size}, skipped ${skipped.size}")
+      EditJoin.fuzzyLookupStored(s, t, labels, "id", "label", term)
+        .select(col("id"), col("label"), col("dist"))
+        .orderBy("id")
+    },
+
     "w32_fuzzy_label" -> { (s, dir) =>
       // W32: typo-tolerant label lookup over the same label surface as
       // w14 — the query term is part 1's name with its 3rd char turned
@@ -2118,6 +2140,18 @@ object Relational {
     "w14_label_lookup" ->
       """SELECT p_partkey AS id, p_name AS label, p_type AS description
         |FROM part WHERE label LIKE 'red %'""".stripMargin,
+
+    // W33: identical brute-force oracle as w32 — the stored index and its
+    // pruning are invisible to the answer (that is the point)
+    "w33_fuzzy_stored" ->
+      """WITH term AS (
+        |  SELECT substr(p_name, 1, 2) || 'z' || substr(p_name, 4) AS t
+        |  FROM part WHERE p_partkey = 1)
+        |SELECT p_partkey AS id, p_name AS label,
+        |  CAST(levenshtein(p_name, (SELECT t FROM term)) AS INTEGER) AS dist
+        |FROM part
+        |WHERE levenshtein(p_name, (SELECT t FROM term)) <= 1
+        |ORDER BY id""".stripMargin,
 
     // W32: the same typo derivation, then a full levenshtein scan — the
     // brute-force oracle for the variant-index probe path.

@@ -260,6 +260,14 @@ object SnapshotStats {
       case Fn("<=", Seq(l: Literal, a)) => leaf(a, l, leMax)
       case In(a, elems) if elems.forall(_.isInstanceOf[Literal]) =>
         elems.exists(e => leaf(a, e.asInstanceOf[Literal], within))
+      // the optimizer rewrites IN lists past inSetConversionThreshold
+      // (default 10) into InSet with RAW internal values — without this
+      // case a wide point-probe (W33's term variants) skips nothing
+      case s: InSet =>
+        (for {
+          name <- attrName(s.child)
+          st <- stats.get(name)
+        } yield rangeContainsAny(st, s.hset)).getOrElse(true)
       case Fn("in", a +: elems) if elems.nonEmpty && elems.forall(_.isInstanceOf[Literal]) =>
         elems.exists(e => leaf(a, e.asInstanceOf[Literal], within))
       case other =>

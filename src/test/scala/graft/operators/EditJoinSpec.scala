@@ -80,4 +80,26 @@ class EditJoinSpec extends SparkSpec {
     } yield (i.toLong, j.toLong, d)).toSet
     got shouldBe expect
   }
+
+  test("stored variant index: pruned probe ≡ in-memory lookup (W33)") {
+    val rng = new scala.util.Random(31)
+    val strs = Seq.tabulate(300)(i =>
+      (1 to (4 + rng.nextInt(6))).map(_ => "abcdef"(rng.nextInt(6))).mkString)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "lbl")
+    val t = graft.Scratch.fresh("w33spec_index")
+    EditJoin.saveIndex(spark, t, df, "id", "lbl", files = 16)
+    val idx = EditJoin.variantIndex(df, "id", "lbl")
+    for (term <- Seq(strs(3), strs(7).drop(1), "zzzzz")) {
+      val stored = EditJoin.fuzzyLookupStored(spark, t, df, "id", "lbl", term)
+        .select("id", "dist").as[(Long, Int)].collect().toSet
+      val mem = EditJoin.fuzzyLookup(idx, df, "id", "lbl", term)
+        .select("id", "dist").as[(Long, Int)].collect().toSet
+      stored shouldBe mem
+      val (kept, skipped) = SnapshotTable.prunedFiles(spark, t,
+        col("__h").isin(EditJoin.termVariantHashes(term): _*))
+      skipped should not be empty
+      kept.size should be <= EditJoin.termVariantHashes(term).size
+    }
+  }
 }

@@ -97,4 +97,16 @@ class SnapshotStatsSpec extends SparkSpec {
     readPruned(spark, t, pred).agg(sum("k")).as[Long].head() shouldBe
       (1000L until 1400L).sum
   }
+
+  test("wide IN lists (optimizer InSet form) still prune (R42/W33)") {
+    val t = clustered("stats_inset")
+    // > inSetConversionThreshold (10) elements: the optimizer rewrites the
+    // In to InSet with raw internal values — must prune like narrow IN
+    val hits = (0 until 12).map(i => (i * 3L) + 5L)
+    keptOf(t, col("k").isin(hits: _*))._1 should be <= 2
+    val misses = (0 until 12).map(i => 1000000L + i)
+    keptOf(t, col("k").isin(misses: _*))._1 shouldBe 0
+    val mixed = misses :+ 9995L
+    keptOf(t, col("k").isin(mixed: _*))._1 should be <= 1
+  }
 }
