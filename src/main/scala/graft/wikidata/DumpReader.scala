@@ -25,15 +25,32 @@ import org.apache.spark.sql.types._
   */
 object DumpReader {
 
+  /** One snak, pruned: snaktype for value routing, the polymorphic value as
+    * variant. Shape shared by mainsnaks and qualifier snaks (a qualifier IS
+    * a snak hung off a statement — its property lives on the enclosing map
+    * key, exactly like the claims map). */
+  val snakType: StructType = StructType(Seq(
+    StructField("snaktype", StringType),
+    StructField("datavalue", StructType(Seq(
+      StructField("type", StringType),
+      StructField("value", VariantType))))))
+
   /** One claim statement, pruned: rank for the deprecated-drop, snaktype for
     * value routing, and the polymorphic value as variant. */
   val statementType: StructType = StructType(Seq(
     StructField("rank", StringType),
-    StructField("mainsnak", StructType(Seq(
-      StructField("snaktype", StringType),
-      StructField("datavalue", StructType(Seq(
-        StructField("type", StringType),
-        StructField("value", VariantType)))))))))
+    StructField("mainsnak", snakType)))
+
+  /** Statement with its stable statement id and qualifier snaks retained —
+    * the W34 superset parse. The reference drops qualifiers entirely
+    * (src/value.rs keeps only the mainsnak); the qualified schema is opt-in
+    * so the 8-table fast path keeps the minimal parse, and the 9-table
+    * qualifier-aware run pays only for what it routes. */
+  val statementTypeQualified: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("rank", StringType),
+    StructField("mainsnak", snakType),
+    StructField("qualifiers", MapType(StringType, ArrayType(snakType)))))
 
   /** Pruned entity schema — the wd2sql-relevant subset of a dump entity. */
   val entitySchema: StructType = StructType(Seq(
@@ -44,13 +61,22 @@ object DumpReader {
       StructField("en", StructType(Seq(StructField("value", StringType))))))),
     StructField("claims", MapType(StringType, ArrayType(statementType)))))
 
+  /** The qualifier-aware entity schema (W34). */
+  val entitySchemaQualified: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("labels", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("descriptions", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("claims", MapType(StringType, ArrayType(statementTypeQualified)))))
+
   /** Raw dump lines → one pruned-struct column `entity`, malformed lines
     * (null id — the reference can't emit anything without one) dropped. */
-  def entities(lines: DataFrame): DataFrame = {
+  def entities(lines: DataFrame, schema: StructType = entitySchema): DataFrame = {
     val trimmed = trim(col("value"))
     lines
       .filter(trimmed =!= "" && trimmed =!= "[" && trimmed =!= "]")
-      .select(from_json(regexp_replace(trimmed, ",$", ""), entitySchema).as("entity"))
+      .select(from_json(regexp_replace(trimmed, ",$", ""), schema).as("entity"))
       .filter(col("entity").isNotNull && col("entity.id").isNotNull)
   }
 
@@ -58,9 +84,14 @@ object DumpReader {
   def read(spark: SparkSession, path: String): DataFrame =
     entities(spark.read.text(path))
 
+  /** Read with statement ids + qualifiers retained (the W34 superset). */
+  def readQualified(spark: SparkSession, path: String): DataFrame =
+    entities(spark.read.text(path), entitySchemaQualified)
+
   /** Parse an in-memory dataset of dump lines (tests, streaming sources). */
-  def fromLines(spark: SparkSession, lines: Seq[String]): DataFrame = {
+  def fromLines(spark: SparkSession, lines: Seq[String],
+                schema: StructType = entitySchema): DataFrame = {
     import spark.implicits._
-    entities(lines.toDF("value"))
+    entities(lines.toDF("value"), schema)
   }
 }

@@ -1,0 +1,59 @@
+package graft.wikidata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** W35: temporal claim validity — the query qualifiers exist for.
+  *
+  * Wikidata models "France's capital was X from 1682 to 1789" as a claim
+  * qualified with P580 (start time) / P582 (end time). The reference drops
+  * qualifiers (src/value.rs keeps the mainsnak only), so its SQLite users
+  * cannot ask "what was true at time T" at all — every temporal statement
+  * collapses to an eternal one. With the W34 qualifier table the question is
+  * one aggregation and one join, both claim-keyed.
+  *
+  * Validity law (documented, gate-pinned): a claim is valid at T iff
+  * `min(P580) <= T` (or it has no P580) AND `max(P582) > T` (or no P582).
+  * min/max because a statement may carry several start/end qualifiers
+  * (Wikidata allows it; the mini-dump plants it): the widest stated span
+  * wins, which is the reading that never hides a claim an editor asserted
+  * was in force.
+  */
+object TemporalClaims {
+
+  /** Encoded qualifier property ids: P580 = start time, P582 = end time. */
+  val StartPid: Long = IdCodec.encodeText("P580").get
+  val EndPid: Long   = IdCodec.encodeText("P582").get
+
+  /** Per-claim validity span from the qualifier table: (claim_id,
+    * valid_from, valid_until), one row per claim that carries at least one
+    * start/end time qualifier. The aggregation is claim-keyed — a shuffle of
+    * just the temporal qualifier rows (a sliver of the qualifier table,
+    * itself a sliver of claims), with the pid filter pushed to the scan. */
+  def validitySpans(qualifiers: DataFrame): DataFrame =
+    qualifiers
+      .filter(col("kind") === "time" &&
+        col("qual_property_id").isin(StartPid, EndPid))
+      .groupBy("claim_id")
+      .agg(
+        min(when(col("qual_property_id") === StartPid, col("time"))).as("valid_from"),
+        max(when(col("qual_property_id") === EndPid, col("time"))).as("valid_until"))
+
+  /** Filter `statements` (any frame with a `claim_id` column — e.g.
+    * [[WikidataEtl.entityStatements]]) to the claims valid at `at`.
+    * Unqualified claims (no span row, or a null claim_id from a dump
+    * without statement ids) are eternal — they always survive, which is
+    * exactly the reference's implicit semantics for every claim. The span
+    * frame is span-count-sized, so Catalyst broadcasts it under any
+    * realistic stats; claims flow through unshuffled. */
+  def validAt(statements: DataFrame, qualifiers: DataFrame, at: Column): DataFrame = {
+    val spans = validitySpans(qualifiers)
+      .withColumnRenamed("claim_id", "__span_claim_id")
+    statements
+      .join(spans, col("claim_id") === col("__span_claim_id"), "left_outer")
+      .filter(
+        (col("valid_from").isNull || col("valid_from") <= at) &&
+          (col("valid_until").isNull || col("valid_until") > at))
+      .drop("__span_claim_id", "valid_from", "valid_until")
+  }
+}

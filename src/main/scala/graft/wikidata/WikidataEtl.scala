@@ -105,11 +105,6 @@ object WikidataEtl {
     val staged = exploded.select(
       col("id"), col("property_id"), col("claim.mainsnak").as("snak"))
 
-    val WideValue =
-      "struct<text:string,language:string,id:string,latitude:double,longitude:double," +
-        "precision:double,globe:string,amount:string,lowerBound:string,upperBound:string," +
-        "unit:string,time:string>"
-
     staged.select(
       col("id"),
       col("property_id"),
@@ -219,6 +214,112 @@ object WikidataEtl {
 
   def unknownTable(core: DataFrame): DataFrame =
     core.filter(col("snaktype") === "somevalue").select("id", "property_id")
+
+  // ---- W34: qualifier routing (a SUPERSET of the reference, which drops
+  //      qualifiers entirely — its ClaimValueData keeps only the mainsnak).
+  //      One row per qualifier snak of a surviving (non-deprecated) claim,
+  //      with the SAME 7-way value routing the main tables apply, flattened
+  //      into one table discriminated by `kind`: qualifiers are sparse
+  //      relative to claims, so seven near-empty typed sinks would pay seven
+  //      write jobs for no pruning benefit, and the qualifier access path is
+  //      "all qualifiers of this claim", never "all time-qualifiers". ----
+
+  /** Wide variant cast shared by the claim core and the qualifier router. */
+  private val WideValue =
+    "struct<text:string,language:string,id:string,latitude:double,longitude:double," +
+      "precision:double,globe:string,amount:string,lowerBound:string,upperBound:string," +
+      "unit:string,time:string>"
+
+  /** `qualifiers`: (id, property_id, claim_id, qual_property_id, kind,
+    * typed value columns). Input must come from
+    * [[DumpReader.readQualified]]. Rank filtering matches the claim core:
+    * qualifiers of deprecated statements are dropped with their statement.
+    * Routing mirrors [[stringTable]]..[[unknownTable]] exactly, per
+    * qualifier snak — including the drop of unencodable entity refs and the
+    * none-routing of text-less monolinguals — so a user can reason about
+    * one routing law for both grains. */
+  def qualifiersTable(entities: DataFrame): DataFrame = {
+    val qsnaks = entities
+      .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
+      .select(
+        IdCodec.encodeTextCol(col("id_text")).as("id"),
+        IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
+        explode(col("claims")).as("claim"))
+      .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
+      .select(col("id"), col("property_id"), col("claim.id").as("claim_id"),
+        explode(col("claim.qualifiers")).as(Seq("qpid_text", "qsnaks")))
+      .select(col("id"), col("property_id"), col("claim_id"),
+        IdCodec.encodeTextCol(col("qpid_text")).as("qual_property_id"),
+        explode(col("qsnaks")).as("q"))
+
+    val routed = qsnaks.select(
+      col("id"), col("property_id"), col("claim_id"), col("qual_property_id"),
+      col("q.snaktype").as("snaktype"),
+      col("q.datavalue.type").as("value_type"),
+      try_variant_get(col("q.datavalue.value"), "$", "string").as("v_string"),
+      try_variant_get(col("q.datavalue.value"), "$", WideValue).as("w"))
+
+    val hasValue = col("snaktype") === "value"
+    val kind =
+      when(col("snaktype") === "novalue", "none")
+        .when(col("snaktype") === "somevalue", "unknown")
+        .when(hasValue && col("value_type") === "string", "string")
+        .when(hasValue && col("value_type") === "monolingualtext" && col("w.text").isNotNull, "string")
+        .when(hasValue && col("value_type") === "monolingualtext", "none")
+        .when(hasValue && col("value_type") === "wikibase-entityid", "entity")
+        .when(hasValue && col("value_type") === "globecoordinate", "coordinates")
+        .when(hasValue && col("value_type") === "quantity", "quantity")
+        .when(hasValue && col("value_type") === "time", "time")
+        .otherwise(lit(null).cast("string"))
+
+    def onlyFor(k: String, c: Column): Column = when(col("kind") === k, c)
+
+    routed.withColumn("kind", kind)
+      .filter(col("kind").isNotNull)
+      // unencodable entity refs: drop the row, exactly like entityTable
+      .filter(!(col("kind") === "entity" &&
+        IdCodec.encodeTextCol(col("w.id")).isNull))
+      .select(
+        col("id"), col("property_id"), col("claim_id"), col("qual_property_id"),
+        col("kind"),
+        onlyFor("string", coalesce(col("w.text"), col("v_string"))).as("string"),
+        onlyFor("entity", IdCodec.encodeTextCol(col("w.id"))).as("entity_id"),
+        onlyFor("coordinates", col("w.latitude")).as("latitude"),
+        onlyFor("coordinates", col("w.longitude")).as("longitude"),
+        onlyFor("coordinates", coalesce(col("w.precision"), lit(0.0))).as("coord_precision"),
+        onlyFor("coordinates", coalesce(uriToId(col("w.globe")), lit(0L))).as("globe_id"),
+        onlyFor("quantity", signedNum(col("w.amount"))).as("amount"),
+        onlyFor("quantity", signedNum(col("w.lowerBound"))).as("lower_bound"),
+        onlyFor("quantity", signedNum(col("w.upperBound"))).as("upper_bound"),
+        onlyFor("quantity",
+          when(col("w.unit") === "1", lit(null).cast("long"))
+            .otherwise(uriToId(col("w.unit")))).as("unit_id"),
+        onlyFor("time", wikidataTime(col("w.time"))).as("time"),
+        onlyFor("time", coalesce(col("w.precision").cast("int"), lit(0))).as("time_precision"))
+  }
+
+  /** Statement spine at claim grain for the entity-valued claims: (id,
+    * property_id, claim_id, entity_id). The claim_id joins a claim to its
+    * [[qualifiersTable]] rows — the key the reference never materializes
+    * because it throws the qualifiers away. */
+  def entityStatements(entities: DataFrame): DataFrame = {
+    val exploded = entities
+      .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
+      .select(
+        IdCodec.encodeTextCol(col("id_text")).as("id"),
+        IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
+        explode(col("claims")).as("claim"))
+      .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
+      .filter(col("claim.mainsnak.snaktype") === "value")
+    exploded
+      .select(col("id"), col("property_id"), col("claim.id").as("claim_id"),
+        col("claim.mainsnak.datavalue.type").as("value_type"),
+        try_variant_get(col("claim.mainsnak.datavalue.value"), "$", WideValue).as("w"))
+      .filter(col("value_type") === "wikibase-entityid")
+      .select(col("id"), col("property_id"), col("claim_id"),
+        IdCodec.encodeTextCol(col("w.id")).as("entity_id"))
+      .filter(col("entity_id").isNotNull)
+  }
 
   /** Full pipeline: parsed entities → all 8 tables. `cache=true` persists
     * the PARSED entity structs so all 8 sinks — meta included, which the

@@ -1,0 +1,159 @@
+package graft.wikidata
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
+
+/** W34 qualifier routing + W35 temporal validity.
+  *
+  * The reference drops qualifiers entirely (src/value.rs keeps only the
+  * mainsnak of each statement), so both operators are a strict superset of
+  * its surface; the routing law for qualifier snaks deliberately mirrors the
+  * main tables' 7-way law (value.rs:201-261) so one law covers both grains.
+  */
+class QualifierSpec extends SparkSpec {
+
+  private def st(rank: String, mainsnak: String, id: String, quals: String = ""): String = {
+    val q = if (quals.isEmpty) "" else s""","qualifiers":{$quals}"""
+    s"""{"id":"$id","mainsnak":$mainsnak,"type":"statement","rank":"$rank"$q}"""
+  }
+
+  private val entRef =
+    """{"snaktype":"value","property":"P462","datavalue":{"value":{"entity-type":"item","id":"Q3142"},"type":"wikibase-entityid"}}"""
+
+  private def timeSnak(p: String, t: String) =
+    s"""{"snaktype":"value","property":"$p","datavalue":{"value":{"time":"$t","timezone":0,"precision":11},"type":"time"}}"""
+
+  private val dumpLines: Seq[String] = Seq(
+    "[",
+    // Q1: one statement with every qualifier family the router handles
+    (s"""{"id":"Q1","type":"item","claims":{"P462":[""" +
+      st("normal", entRef, "Q1$0", Seq(
+        s""""P580":[${timeSnak("P580", "+1920-00-00T00:00:00Z")},${timeSnak("P580", "+1910-05-03T00:00:00Z")}]""",
+        s""""P582":[${timeSnak("P582", "+1960-01-02T00:00:00Z")},${timeSnak("P582", "+1980-07-00T00:00:00Z")}]""",
+        """"P1":[{"snaktype":"value","property":"P1","datavalue":{"value":"plain","type":"string"}}]""",
+        """"P2":[{"snaktype":"value","property":"P2","datavalue":{"value":{"text":"mono","language":"de"},"type":"monolingualtext"}}]""",
+        """"P3":[{"snaktype":"value","property":"P3","datavalue":{"value":{"language":"de"},"type":"monolingualtext"}}]""",
+        """"P4":[{"snaktype":"value","property":"P4","datavalue":{"value":{"entity-type":"item","id":"Q77"},"type":"wikibase-entityid"}}]""",
+        """"P5":[{"snaktype":"value","property":"P5","datavalue":{"value":{"entity-type":"item","id":"Qbroken"},"type":"wikibase-entityid"}}]""",
+        """"P6":[{"snaktype":"value","property":"P6","datavalue":{"value":{"amount":"+2.5","lowerBound":"+2","upperBound":"+3","unit":"http://www.wikidata.org/entity/Q11570"},"type":"quantity"}}]""",
+        """"P7":[{"snaktype":"value","property":"P7","datavalue":{"value":{"amount":"-4","unit":"1"},"type":"quantity"}}]""",
+        """"P8":[{"snaktype":"value","property":"P8","datavalue":{"value":{"latitude":51.5,"longitude":-0.5,"precision":0.01,"globe":"http://www.wikidata.org/entity/Q2"},"type":"globecoordinate"}}]""",
+        """"P9":[{"snaktype":"novalue","property":"P9"}]""",
+        """"P10":[{"snaktype":"somevalue","property":"P10"}]"""
+      ).mkString(",")) + "]}},"),
+    // Q2: deprecated statement — its qualifiers must vanish with it;
+    // plus an unqualified (eternal) statement
+    (s"""{"id":"Q2","type":"item","claims":{"P462":[""" +
+      st("deprecated", entRef, "Q2$0",
+        """"P1":[{"snaktype":"value","property":"P1","datavalue":{"value":"ghost","type":"string"}}]""") +
+      "," + st("normal", entRef, "Q2$1") + "]}},"),
+    // Q3: span ended before T (1950); Q4: span starting after T;
+    // Q5: span straddling T; Q6: open-ended start before T
+    (s"""{"id":"Q3","type":"item","claims":{"P462":[""" +
+      st("normal", entRef, "Q3$0",
+        s""""P580":[${timeSnak("P580", "+1900-01-01T00:00:00Z")}],"P582":[${timeSnak("P582", "+1940-01-01T00:00:00Z")}]""") + "]}},"),
+    (s"""{"id":"Q4","type":"item","claims":{"P462":[""" +
+      st("normal", entRef, "Q4$0",
+        s""""P580":[${timeSnak("P580", "+1970-01-01T00:00:00Z")}]""") + "]}},"),
+    (s"""{"id":"Q5","type":"item","claims":{"P462":[""" +
+      st("normal", entRef, "Q5$0",
+        s""""P580":[${timeSnak("P580", "+1940-01-01T00:00:00Z")}],"P582":[${timeSnak("P582", "+1955-01-01T00:00:00Z")}]""") + "]}},"),
+    (s"""{"id":"Q6","type":"item","claims":{"P462":[""" +
+      st("normal", entRef, "Q6$0",
+        s""""P582":[${timeSnak("P582", "+1950-06-01T00:00:00Z")}]""") + "]}},"),
+    "]")
+
+  private lazy val ents = DumpReader.fromLines(spark, dumpLines, DumpReader.entitySchemaQualified)
+  private lazy val quals = WikidataEtl.qualifiersTable(ents)
+  private lazy val stmts = WikidataEtl.entityStatements(ents)
+
+  private def qrow(qpid: Long): Seq[Row] =
+    quals.filter(col("qual_property_id") === qpid).collect().toSeq
+
+  test("qualifier snaks route 7-way under one kind discriminator (W34)") {
+    val byKind = quals.filter(col("id") === 1L).groupBy("kind").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byKind("time") shouldBe 4     // 2×P580 + 2×P582
+    byKind("string") shouldBe 2   // plain + monolingual-with-text
+    byKind("none") shouldBe 2     // text-less monolingual + novalue
+    byKind("unknown") shouldBe 1  // somevalue
+    byKind("entity") shouldBe 1   // Q77 kept, Qbroken dropped
+    byKind("quantity") shouldBe 2
+    byKind("coordinates") shouldBe 1
+  }
+
+  test("typed columns live only under their kind; values match the main-table law (W34)") {
+    val p1 = qrow(IdCodec.pId(1)).head
+    p1.getAs[String]("kind") shouldBe "string"
+    p1.getAs[String]("string") shouldBe "plain"
+    val p2 = qrow(IdCodec.pId(2)).head
+    p2.getAs[String]("string") shouldBe "mono" // monolingual → its text
+    val p4 = qrow(IdCodec.pId(4)).head
+    p4.getAs[Long]("entity_id") shouldBe 77L
+    qrow(IdCodec.pId(5)) shouldBe empty        // unencodable ref: row dropped
+    val p6 = qrow(IdCodec.pId(6)).head
+    p6.getAs[Double]("amount") shouldBe 2.5
+    p6.getAs[Double]("lower_bound") shouldBe 2.0
+    p6.getAs[Double]("upper_bound") shouldBe 3.0
+    p6.getAs[Long]("unit_id") shouldBe 11570L
+    val p7 = qrow(IdCodec.pId(7)).head
+    p7.getAs[Double]("amount") shouldBe -4.0
+    assert(p7.isNullAt(p7.fieldIndex("unit_id"))) // unit "1" → NULL
+    val p8 = qrow(IdCodec.pId(8)).head
+    p8.getAs[Double]("latitude") shouldBe 51.5
+    p8.getAs[Double]("longitude") shouldBe -0.5
+    p8.getAs[Long]("globe_id") shouldBe 2L
+    // none/unknown rows carry no typed payload
+    val p9 = qrow(IdCodec.pId(9)).head
+    p9.getAs[String]("kind") shouldBe "none"
+    assert(p9.isNullAt(p9.fieldIndex("string")))
+  }
+
+  test("qualifiers of deprecated statements are dropped with their statement (W34)") {
+    quals.filter(col("claim_id") === "Q2$0").count() shouldBe 0L
+    // but the surviving statement of the same entity is present in the spine
+    stmts.filter(col("claim_id") === "Q2$1").count() shouldBe 1L
+    stmts.filter(col("claim_id") === "Q2$0").count() shouldBe 0L
+  }
+
+  test("claim spine keys statements to their qualifiers (W34)") {
+    val spine = stmts.collect().map(r => r.getAs[String]("claim_id")).toSet
+    spine should contain allOf ("Q1$0", "Q3$0", "Q4$0", "Q5$0", "Q6$0")
+    // every qualifier row's claim_id resolves into the spine
+    val orphan = quals.join(stmts.select("claim_id"), Seq("claim_id"), "left_anti")
+    orphan.count() shouldBe 0L
+  }
+
+  test("validity spans take min(start)/max(end) over repeated qualifiers (W35)") {
+    val span = TemporalClaims.validitySpans(quals)
+      .filter(col("claim_id") === "Q1$0").collect().head
+    span.getAs[java.sql.Timestamp]("valid_from").toString should startWith("1910-05-03")
+    // +1980-07-00 (zero day → 01) outranks 1960 for the max end
+    span.getAs[java.sql.Timestamp]("valid_until").toString should startWith("1980-07-01")
+  }
+
+  test("validAt keeps straddling + eternal claims, drops ended/not-yet-started (W35)") {
+    val at = lit("1950-06-01 00:00:00").cast("timestamp")
+    val alive = TemporalClaims.validAt(stmts, quals, at)
+      .collect().map(_.getAs[String]("claim_id")).toSet
+    alive should contain allOf ("Q1$0", "Q2$1", "Q5$0") // in-span, eternal, straddling
+    alive should not contain "Q3$0"                     // ended 1940
+    alive should not contain "Q4$0"                     // starts 1970
+    // boundary law: valid_until > T is strict — a claim ending exactly at T is dead
+    alive should not contain "Q6$0"
+  }
+
+  test("validAt ≡ brute-force span filter on every claim (W35)") {
+    val at = lit("1950-06-01 00:00:00").cast("timestamp")
+    val fast = TemporalClaims.validAt(stmts, quals, at)
+    val spans = TemporalClaims.validitySpans(quals).collect()
+      .map(r => r.getString(0) -> ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2))))).toMap
+    val t = java.sql.Timestamp.valueOf("1950-06-01 00:00:00")
+    val expected = stmts.collect().filter { r =>
+      val (from, until) = spans.getOrElse(r.getAs[String]("claim_id"), (None, None))
+      from.forall(!_.after(t)) && until.forall(_.after(t))
+    }.toSet
+    fast.collect().toSet shouldBe expected
+  }
+}

@@ -23,6 +23,11 @@ import random
 
 OUT = "data/etl_minidump.jsonl"
 rng = random.Random(20260812)
+# Qualifier planting draws from an INDEPENDENT stream: the main rng's draw
+# sequence (and therefore every previously-planted entity/claim byte) is
+# untouched, so the w22 changeset/v2 fixtures generated against the original
+# dump stay consistent — qualifiers are a pure superset of the old file.
+qrng = random.Random(20260815)
 
 WORDS = ["alpha", "beta", "gamma", "delta", "rho", "sigma", "omega", "kappa"]
 
@@ -33,6 +38,85 @@ def word():
 
 def statement(snak, rank):
     return {"mainsnak": snak, "type": "statement", "rank": rank}
+
+
+def qword():
+    return qrng.choice(WORDS) + str(qrng.randint(0, 99))
+
+
+def qual_snak(qpid):
+    """One qualifier snak (same shape as a mainsnak, property key lives on the
+    enclosing map). Mix of every value family the 7-way router handles, plus
+    novalue/somevalue and the none-routed text-less monolingual."""
+    k = qrng.randrange(12)
+    if k <= 2:  # time — the P580/P582 temporal-validity workhorse
+        year = qrng.randint(1900, 1999)
+        month = 0 if qrng.random() < 0.3 else qrng.randint(1, 12)
+        day = 0 if month == 0 or qrng.random() < 0.3 else qrng.randint(1, 28)
+        return {"snaktype": "value", "property": f"P{qpid}",
+                "datavalue": {"value": {"time": f"+{year:04d}-{month:02d}-{day:02d}T00:00:00Z",
+                                        "timezone": 0, "precision": qrng.randint(9, 11)},
+                              "type": "time"}}
+    if k <= 4:  # plain string
+        return {"snaktype": "value", "property": f"P{qpid}",
+                "datavalue": {"value": qword(), "type": "string"}}
+    if k == 5:  # monolingual with text
+        return {"snaktype": "value", "property": f"P{qpid}",
+                "datavalue": {"value": {"text": qword(), "language": "en"},
+                              "type": "monolingualtext"}}
+    if k == 6:  # monolingual WITHOUT text -> none kind
+        return {"snaktype": "value", "property": f"P{qpid}",
+                "datavalue": {"value": {"language": "en"}, "type": "monolingualtext"}}
+    if k == 7:  # entity ref (rarely malformed -> row dropped, like the main table)
+        target = f"Q{qrng.randint(1, 99999)}" if qrng.random() < 0.9 else "Qbroken"
+        return {"snaktype": "value", "property": f"P{qpid}",
+                "datavalue": {"value": {"entity-type": "item", "id": target},
+                              "type": "wikibase-entityid"}}
+    if k == 8:  # quantity (sometimes malformed amount, sometimes bounds)
+        amt = round(qrng.uniform(-50, 500), 2)
+        value = {"amount": "+not-a-number" if qrng.random() < 0.1
+                 else (f"+{amt}" if amt >= 0 else str(amt))}
+        value["unit"] = "1" if qrng.random() < 0.5 \
+            else f"http://www.wikidata.org/entity/Q{qrng.randint(1, 999)}"
+        if qrng.random() < 0.3:
+            value["lowerBound"] = f"+{round(amt - 1, 2)}"
+            value["upperBound"] = f"+{round(amt + 1, 2)}"
+        return {"snaktype": "value", "property": f"P{qpid}",
+                "datavalue": {"value": value, "type": "quantity"}}
+    if k == 9:  # coordinates
+        value = {"latitude": round(qrng.uniform(-90, 90) * 2) / 2.0,
+                 "longitude": round(qrng.uniform(-180, 180) * 2) / 2.0,
+                 "globe": "http://www.wikidata.org/entity/Q2"}
+        if qrng.random() < 0.7:
+            value["precision"] = qrng.choice([0.1, 0.01, 1.0])
+        return {"snaktype": "value", "property": f"P{qpid}",
+                "datavalue": {"value": value, "type": "globecoordinate"}}
+    if k == 10:
+        return {"snaktype": "novalue", "property": f"P{qpid}"}
+    return {"snaktype": "somevalue", "property": f"P{qpid}"}
+
+
+def add_qualifiers(ent, id_text):
+    """Plant statement ids + qualifiers on ~40% of statements (deprecated
+    statements included — the router must drop their qualifiers too)."""
+    sidx = 0
+    for pid_text, stmts in ent["claims"].items():
+        for st in stmts:
+            st["id"] = f"{id_text}${sidx}"
+            sidx += 1
+            if qrng.random() < 0.4:
+                quals = {}
+                for _ in range(qrng.randint(1, 3)):
+                    # bias toward P580/P582 so temporal validity has real data
+                    r = qrng.random()
+                    qpid = 580 if r < 0.25 else (582 if r < 0.45 else qrng.randint(1, 9999))
+                    snak = qual_snak(qpid)
+                    if qpid in (580, 582):  # start/end time must BE times
+                        while snak.get("datavalue", {}).get("type") != "time":
+                            snak = qual_snak(qpid)
+                    quals.setdefault(f"P{qpid}", []).append(snak)
+                st["qualifiers"] = quals
+                st["qualifiers-order"] = list(quals.keys())
 
 
 def gen_entity(i):
@@ -121,7 +205,9 @@ def gen_entity(i):
 def main():
     lines = ["["]
     for i in range(300):
-        lines.append(json.dumps(gen_entity(i), separators=(",", ":")) + ",")
+        ent = gen_entity(i)
+        add_qualifiers(ent, ent["id"])
+        lines.append(json.dumps(ent, separators=(",", ":")) + ",")
         if i % 60 == 17:
             lines.append("this is not json,")  # tolerant reader must skip
         if i % 60 == 43:
