@@ -99,6 +99,37 @@ object EditJoin {
         col("__h").isin(termVariantHashes(term): _*)),
       labels, idCol, strCol, term)
 
+  /** W36: incremental maintenance of a [[saveIndex]] store under label
+    * churn — ONE Append commit of the new/updated labels' variant rows, no
+    * rebuild, no touch of the existing files.
+    *
+    * Why appends alone keep every lookup EXACT: candidate completeness
+    * needs the variants of every CURRENT label present — the delta provides
+    * exactly the new/updated ones, and unchanged labels' rows are already
+    * there. Precision needs no deletion at all, because [[fuzzyLookup]]'s
+    * tail re-verifies every candidate with exact `levenshtein` against the
+    * CURRENT labels frame: a stale variant row of a renamed id either
+    * verifies against the NEW label (fine) or fails the distance bound and
+    * drops; a deleted id vanishes at the inner join to current labels.
+    * Stale rows cost false candidates only — bounded by the churn since
+    * the last fold, never wrong answers.
+    *
+    * At 100 TB this is the only shape that works: per-changeset cost is
+    * priced by the DELTA (labels × (len+1) hash rows), while a rebuild
+    * would re-shuffle the whole corpus per crawl. Appends dilute the range
+    * clustering (each delta spans the full `__h` range), so probes touch
+    * up to |term|+1 files PER COMMIT — fold with [[saveIndex]] (one
+    * Replace-semantics Overwrite commit, snapshot-isolated from concurrent
+    * readers) when the commit count, not the corpus, says so. */
+  def appendIndexDelta(spark: org.apache.spark.sql.SparkSession, table: String,
+      changedLabels: DataFrame, idCol: String, strCol: String,
+      files: Int = 4): Long =
+    SnapshotTable.commit(spark, table,
+      variantIndex(changedLabels, idCol, strCol)
+        .repartitionByRange(files, col("__h"))
+        .sortWithinPartitions("__h"),
+      SnapshotTable.Append)
+
   /** All (a_id, b_id, dist) with `levenshtein(a, b) <= 1` and a_id < b_id.
     * Complete and exact (see class doc). */
   def pairsWithinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame =

@@ -1294,6 +1294,50 @@ object Relational {
         .orderBy("id")
     },
 
+    "w36_fuzzy_maintained" -> { (s, dir) =>
+      // W36: the W33 store under label churn — build on the v1 labels,
+      // then apply one changeset (renames: id % 7 == 3 gets its 3rd char
+      // turned to 'x'; deletes: id % 11 == 0; adds: id + 1000000 with a
+      // 'nw '-prefixed name) as ONE Append of just the delta's variant
+      // rows. The lookup runs against the CURRENT labels, so stale
+      // variants of renamed ids self-neutralize at the exact verify and
+      // deleted ids drop at the join — the oracle is a brute-force
+      // levenshtein scan of the current label set, blind to all of it.
+      val v1 = Tables(s, dir).part
+        .select(col("p_partkey").as("id"), col("p_name").as("label"))
+      val renamed = v1.filter(pmod(col("id"), lit(7)) === 3)
+        .withColumn("label", concat(col("label").substr(1, 2), lit("x"),
+          col("label").substr(lit(4), length(col("label")))))
+      val added = v1.select((col("id") + 1000000L).as("id"),
+        concat(lit("nw "), col("label")).as("label"))
+      val current = v1
+        .filter(pmod(col("id"), lit(11)) =!= 0 && pmod(col("id"), lit(7)) =!= 3)
+        .unionAll(renamed.filter(pmod(col("id"), lit(11)) =!= 0))
+        .unionAll(added)
+      val base = v1.filter(col("id") === 1).head().getString(1)
+      val term = base.substring(0, 2) + "z" + base.substring(3)
+      val t = graft.Scratch.fresh("w36_index")
+      EditJoin.saveIndex(s, t, v1, "id", "label", files = 32)
+      EditJoin.appendIndexDelta(s, t, renamed.unionAll(added), "id", "label")
+      // the maintained store must still confine the probe to footer-pruned
+      // files: ≤ |term|+1 per commit (2 commits live), never a full scan
+      val hashes = EditJoin.termVariantHashes(term)
+      val (kept, skipped) = SnapshotTable.prunedFiles(s, t,
+        col("__h").isin(hashes: _*))
+      require(skipped.nonEmpty && kept.size <= 2 * hashes.size,
+        s"maintained index must stay point-probed: kept ${kept.size}, skipped ${skipped.size}")
+      val maintained = EditJoin.fuzzyLookupStored(s, t, current, "id", "label", term)
+        .select(col("id"), col("label"), col("dist"))
+      // maintained ≡ fold-and-rebuild, row-exact — the maintenance law
+      val t2 = graft.Scratch.fresh("w36_rebuilt")
+      EditJoin.saveIndex(s, t2, current, "id", "label", files = 32)
+      val rebuilt = EditJoin.fuzzyLookupStored(s, t2, current, "id", "label", term)
+        .select(col("id"), col("label"), col("dist"))
+      require(maintained.collect().toSet == rebuilt.collect().toSet,
+        "append-maintained lookup diverged from fold-and-rebuild")
+      maintained.orderBy("id")
+    },
+
     "w32_fuzzy_label" -> { (s, dir) =>
       // W32: typo-tolerant label lookup over the same label surface as
       // w14 — the query term is part 1's name with its 3rd char turned
@@ -2151,6 +2195,27 @@ object Relational {
         |  CAST(levenshtein(p_name, (SELECT t FROM term)) AS INTEGER) AS dist
         |FROM part
         |WHERE levenshtein(p_name, (SELECT t FROM term)) <= 1
+        |ORDER BY id""".stripMargin,
+
+    // W36: the changeset arithmetic re-derived in SQL, then the identical
+    // brute-force scan over the CURRENT label set — appends, stale
+    // variants, pruning and the maintenance fold are all invisible to it.
+    "w36_fuzzy_maintained" ->
+      """WITH cur AS (
+        |  SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey % 7 = 3
+        |         THEN substr(p_name, 1, 2) || 'x' || substr(p_name, 4)
+        |         ELSE p_name END AS label
+        |  FROM part WHERE p_partkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000 AS id, 'nw ' || p_name AS label FROM part
+        |), term AS (
+        |  SELECT substr(p_name, 1, 2) || 'z' || substr(p_name, 4) AS t
+        |  FROM part WHERE p_partkey = 1)
+        |SELECT id, label,
+        |  CAST(levenshtein(label, (SELECT t FROM term)) AS INTEGER) AS dist
+        |FROM cur
+        |WHERE levenshtein(label, (SELECT t FROM term)) <= 1
         |ORDER BY id""".stripMargin,
 
     // W32: the same typo derivation, then a full levenshtein scan — the

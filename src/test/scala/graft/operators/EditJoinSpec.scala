@@ -102,4 +102,54 @@ class EditJoinSpec extends SparkSpec {
       kept.size should be <= EditJoin.termVariantHashes(term).size
     }
   }
+
+  test("append-maintained index ≡ rebuild under adds/renames/deletes (W36)") {
+    val rng = new scala.util.Random(47)
+    val strs = Seq.tabulate(200)(i =>
+      (1 to (4 + rng.nextInt(5))).map(_ => "abcde"(rng.nextInt(5))).mkString)
+    val v1 = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "lbl")
+    // churn: rename every 7th (flip first char to 'z'), delete every 11th,
+    // add 40 new ids
+    val renamed = strs.zipWithIndex.collect {
+      case (s, i) if i % 7 == 3 => (i.toLong, "z" + s.drop(1))
+    }
+    val addedRows = Seq.tabulate(40)(i => (1000L + i,
+      (1 to (4 + rng.nextInt(5))).map(_ => "abcde"(rng.nextInt(5))).mkString))
+    val currentRows = strs.zipWithIndex.collect {
+      case (s, i) if i % 11 != 0 && i % 7 != 3 => (i.toLong, s)
+    } ++ renamed.filter(_._1 % 11 != 0) ++ addedRows
+    val current = currentRows.toDF("id", "lbl")
+    val t = graft.Scratch.fresh("w36spec_index")
+    EditJoin.saveIndex(spark, t, v1, "id", "lbl", files = 16)
+    EditJoin.appendIndexDelta(spark, t, (renamed ++ addedRows).toDF("id", "lbl"), "id", "lbl")
+    val probes = Seq(
+      strs(3),                 // renamed id's OLD label: stale variants must self-neutralize
+      "z" + strs(3).drop(1),   // its NEW label: only reachable through the delta
+      addedRows.head._2,       // added label
+      strs(11),                // deleted id's label: must drop at the current-labels join
+      strs(20), "qqqqq")
+    for (term <- probes) {
+      val got = EditJoin.fuzzyLookupStored(spark, t, current, "id", "lbl", term)
+        .select("id", "dist").as[(Long, Int)].collect().toSet
+      val expect = currentRows.collect {
+        case (id, s) if lev(s, term) <= 1 => (id, lev(s, term))
+      }.toSet
+      got shouldBe expect
+    }
+    // the maintenance fold: one rebuild commit restores single-commit
+    // clustering, answers unchanged
+    EditJoin.saveIndex(spark, t, current, "id", "lbl", files = 16)
+    for (term <- probes) {
+      val got = EditJoin.fuzzyLookupStored(spark, t, current, "id", "lbl", term)
+        .select("id", "dist").as[(Long, Int)].collect().toSet
+      val expect = currentRows.collect {
+        case (id, s) if lev(s, term) <= 1 => (id, lev(s, term))
+      }.toSet
+      got shouldBe expect
+      val (kept, skipped) = SnapshotTable.prunedFiles(spark, t,
+        col("__h").isin(EditJoin.termVariantHashes(term): _*))
+      skipped should not be empty
+      kept.size should be <= EditJoin.termVariantHashes(term).size
+    }
+  }
 }
