@@ -1168,6 +1168,47 @@ object Relational {
           emit(sum(money(col("l_extendedprice")))).as("total"))
     },
 
+    "r61_stats_join" -> { (s, dir) =>
+      // R61: the CBO consumption side of R60 — join strategy picked at
+      // plan time from the two metadata surfaces the snapshot format
+      // already maintains (manifest bytes + _analyze NDV), zero data I/O.
+      // Three scenarios exercise the whole law in-gate; the hashed result
+      // is the broadcast scenario, whose answer the oracle re-derives as
+      // a plain SQL join (strategy invisible to the answer, the point).
+      val t = Tables(s, dir)
+      val cust = graft.Scratch.fresh("r61_cust")
+      val nat = graft.Scratch.fresh("r61_nat")
+      SnapshotTable.commit(s, cust, t.customer.select(col("c_custkey"),
+        col("c_nationkey").as("nationkey")))
+      SnapshotTable.commit(s, nat, t.nation.select(
+        col("n_nationkey").as("nationkey"), col("n_name")))
+      SnapshotAnalyze.analyze(s, cust, Seq("nationkey"))
+      SnapshotAnalyze.analyze(s, nat, Seq("nationkey"))
+      // (a) the small dim fits the broadcast budget → BroadcastRight, and
+      //     the EXECUTED plan must contain the broadcast join
+      val (sa, dfa) = StatsJoin.join(s, cust, nat, "nationkey")
+      require(sa == StatsJoin.BroadcastRight, s"expected BroadcastRight, got $sa")
+      dfa.count()
+      require(dfa.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "stats said broadcast; the executed plan must contain BroadcastHashJoin")
+      // (b) broadcast budget exhausted + key NDV (25) below the cluster
+      //     parallelism target → salted; answer ≡ the broadcast answer
+      val (sb, dfb) = StatsJoin.join(s, cust, nat, "nationkey",
+        broadcastBytes = 1L, parallelism = 256)
+      require(sb.isInstanceOf[StatsJoin.Salted], s"expected Salted, got $sb")
+      require(dfb.select("c_custkey", "n_name").collect().toSet ==
+        dfa.select("c_custkey", "n_name").collect().toSet,
+        "salted answer diverged from broadcast answer")
+      // (c) no broadcast budget, NDV ≥ parallelism → plain shuffle join
+      val (sc, dfc) = StatsJoin.join(s, cust, nat, "nationkey",
+        broadcastBytes = 1L, parallelism = 8)
+      require(sc == StatsJoin.Shuffle, s"expected Shuffle, got $sc")
+      dfc.count()
+      require(dfc.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "stats said shuffle; the executed plan must contain SortMergeJoin")
+      dfa.select("c_custkey", "nationkey", "n_name")
+    },
+
     "r39_aqe_skew_join" -> { (s, dir) =>
       // AQE runtime skew split, the complement of R16's static salting: a
       // deliberately skewed fact join (~3/4 of lineitem maps to key 0)
@@ -1776,6 +1817,12 @@ object Relational {
         |WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""".stripMargin,
 
     // R60: exact per-column stats re-derived from the same planted rows;
+    // R61: the plain join — broadcast/salt/shuffle strategy (and every
+    // in-gate plan assert) must be invisible to the answer.
+    "r61_stats_join" ->
+      """SELECT c_custkey, c_nationkey AS nationkey, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
     // ndv_ok is the in-plan HLL bound (literal true on the oracle side —
     // the s2_recall hash-gated-quality pattern)
     "r60_analyze" ->
