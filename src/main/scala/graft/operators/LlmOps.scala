@@ -947,6 +947,36 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    "t27_normalize_multilingual" -> { (s, dir) =>
+      // T27: the per-script profile law over planted multilingual dirt.
+      // mod-3 docs get Persian with an ORTHOGRAPHIC ZWNJ (می\u200Cروم) plus a
+      // stray ZWSP — the ZWNJ must survive, the ZWSP must not; mod-4 docs
+      // get a Devanagari conjunct ZWJ — kept; mod-5 docs get fullwidth
+      // ASCII + ideographic space + Han — folded to halfwidth and
+      // collapsed; mod-7 docs get a ZWNJ in PURE LATIN context — stripped
+      // iff the document carries no joining script, so doc ids divisible
+      // by 21 keep it (their Persian suffix flips the profile) while
+      // mod-7-only docs lose it: the presence law, hash-gated both ways.
+      // mod-2 keeps T26's NFD+CRLF dirt to pin chain composition.
+      val docs = Tables(s, dir).documents
+      val dirty = docs.select(col("doc_id"), concat(
+        lit("  \t"), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\r\nCafé au lait"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" می\u200Cروم\u200B"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" क्\u200Dष"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ＨＩ！　世界"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" zap\u200Czip")).otherwise(lit(""))
+      ).as("text"))
+      dirty.select(col("doc_id"),
+          TextAnalysis.textProfile(col("text")).as("profile"),
+          TextAnalysis.normalizeTextMultilingual(col("text")).as("norm_text"))
+        .orderBy("doc_id")
+    },
+
     "t6_hash_split" -> { (s, dir) =>
       Sampling.assignSplits(Tables(s, dir).documents, "doc_id", SplitSpec)
         .select("doc_id", "split")
@@ -3789,6 +3819,56 @@ object LlmOps {
     // nfc_normalize ≡ the JDK normalizer — both implement the Unicode
     // canonical-composition tables), then the same RE2∩Java regex chain the
     // Spark side runs, step for step.
+    // T27: the identical dirt replanted with chr() codepoints, the same
+    // presence-law flags re-derived with the IDENTICAL range regexes
+    // (explicit \x{...} ranges — RE2 and Java agree on those where they
+    // disagree on script-class spelling), then the profile-switched chain
+    // replayed step for step. The regexes and the translate mapping are
+    // substituted from the SAME Scala constants the operator compiles in,
+    // so the two sides cannot drift.
+    "t27_normalize_multilingual" -> (
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '  ' || chr(9) || text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN chr(13)||chr(10)||'Cafe'||chr(769)||' au lait' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' '||chr(1605)||chr(1740)||chr(8204)||chr(1585)||chr(1608)||chr(1605)||chr(8203) ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' '||chr(2325)||chr(2381)||chr(8205)||chr(2359) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' '||chr(65320)||chr(65321)||chr(65281)||chr(12288)||chr(19990)||chr(30028) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' zap'||chr(8204)||'zip' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, text,
+        |    regexp_matches(text, '@JOINRE@') AS j,
+        |    regexp_matches(text, '@CJKRE@') AS c
+        |  FROM dirty),
+        |s1 AS (SELECT doc_id, j, c,
+        |  regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g') AS t FROM flags),
+        |s2 AS (SELECT doc_id, j, c,
+        |  CASE WHEN j THEN regexp_replace(t, '[\x{200B}\x{FEFF}\x{00AD}]', '', 'g')
+        |       ELSE regexp_replace(t, '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g')
+        |  END AS t FROM s1),
+        |s3 AS (SELECT doc_id, j, c,
+        |  CASE WHEN c THEN translate(t, '@FWLIT@', '@HWLIT@') ELSE t END AS t FROM s2)
+        |SELECT doc_id,
+        |  CASE WHEN j AND c THEN 'joining+cjk' WHEN j THEN 'joining'
+        |       WHEN c THEN 'cjk' ELSE 'latin' END AS profile,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n{3,}', chr(10)||chr(10), 'g')) AS norm_text
+        |FROM s3
+        |ORDER BY doc_id""".stripMargin
+        .replace("@JOINRE@", graft.operators.TextAnalysis.JoiningScriptRe)
+        .replace("@CJKRE@", graft.operators.TextAnalysis.CjkRe)
+        .replace("@FWLIT@", graft.operators.TextAnalysis.FullwidthFrom.replace("'", "''"))
+        .replace("@HWLIT@", graft.operators.TextAnalysis.HalfwidthTo.replace("'", "''"))),
+
     "t26_normalize" ->
       """WITH dirty AS (
         |  SELECT doc_id,

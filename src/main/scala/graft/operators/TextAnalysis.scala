@@ -39,6 +39,77 @@ object TextAnalysis {
       ColumnBridge.expression(text)))
   }
 
+  // ---- T27: multilingual normalization profiles ----------------------
+  //
+  // T26's invisible-strip is WRONG for half the world's scripts: ZWNJ
+  // (U+200C) is orthographic in Persian/Arabic (می‌روم is one word, its
+  // ZWNJ load-bearing) and ZWJ/ZWNJ control conjunct formation in the
+  // Brahmic family (क्‍ष vs क्ष are different renderings a corpus must
+  // not silently merge) — blanket-stripping them corrupts the text the
+  // way stripping apostrophes would corrupt English. CJK adds the dual
+  // problem: fullwidth ASCII forms (Ｈ！) and the ideographic space
+  // U+3000 are byte-distinct spellings of characters Latin processing
+  // already normalizes, so CJK documents need MORE folding, not less.
+  //
+  // The profile law is PRESENCE-BASED and conservative, detected on the
+  // raw input: any joining-script character (Arabic/Indic ranges) in the
+  // document ⇒ ZWNJ/ZWJ may be orthographic ⇒ keep them everywhere in
+  // that document (strip only ZWSP/BOM/soft-hyphen, which carry meaning
+  // in no script); any CJK character ⇒ fold fullwidth ASCII to ASCII and
+  // U+3000 to space BEFORE whitespace collapsing. The two flags are
+  // independent — a mixed Persian+CJK document gets both behaviors.
+  // Presence beats dominance counting because the cost asymmetry is
+  // total: keeping a stray ZWNJ in a Latin doc is one invisible byte;
+  // stripping one from a Persian doc destroys a word boundary.
+
+  /** Joining-script detector: Arabic block + supplements, Brahmic family
+    * (Devanagari through Sinhala). Explicit codepoint ranges, not
+    * \\p{script=...} classes, so the DuckDB oracle runs the IDENTICAL
+    * pattern (RE2 and Java agree on \\x{...} ranges; they disagree on
+    * script-class spelling). */
+  val JoiningScriptRe: String =
+    "[\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}\\x{08A0}-\\x{08FF}\\x{0900}-\\x{0DFF}]"
+
+  /** CJK detector: CJK ideographs, kana, hangul, CJK punctuation +
+    * fullwidth forms. */
+  val CjkRe: String =
+    "[\\x{3000}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}\\x{FF01}-\\x{FF60}]"
+
+  /** Fullwidth ASCII forms U+FF01..U+FF5E plus the ideographic space
+    * U+3000 — and their halfwidth images, by position (translate maps
+    * char i → char i). */
+  val FullwidthFrom: String = (0xFF01 to 0xFF5E).map(_.toChar).mkString + "　"
+  val HalfwidthTo: String = (0x21 to 0x7E).map(_.toChar).mkString + " "
+
+  /** Profile name from the raw text — observability for curation audits
+    * (and the gate's hashed evidence that detection fired per document). */
+  def textProfile(text: Column): Column = {
+    val j = text.rlike(JoiningScriptRe)
+    val c = text.rlike(CjkRe)
+    when(j && c, "joining+cjk").when(j, "joining").when(c, "cjk")
+      .otherwise("latin")
+  }
+
+  /** T27: the T26 chain with the invisible-strip and width steps switched
+    * per detected profile. Same shape as T26 — one codegen'd projection
+    * pass, no UDF, no shuffle; the two rlike detections run on the raw
+    * input column so the profile is independent of the cleanup order. */
+  def normalizeTextMultilingual(text: Column): Column = {
+    val j = text.rlike(JoiningScriptRe)
+    val c = text.rlike(CjkRe)
+    val nfc = graft.functions.NativeExpressions.nfcNormalize(text)
+    val nl = regexp_replace(nfc, "\\r\\n|\\r", "\n")
+    val inv = when(j, regexp_replace(nl, "[\\x{200B}\\x{FEFF}\\x{00AD}]", ""))
+      .otherwise(regexp_replace(nl, "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", ""))
+    val wide = when(c, translate(inv, FullwidthFrom, HalfwidthTo)).otherwise(inv)
+    val ctl = regexp_replace(wide,
+      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]", "")
+    trim(regexp_replace(regexp_replace(regexp_replace(ctl,
+      "[ \\t]+", " "),
+      " ?\\n ?", "\n"),
+      "\\n{3,}", "\n\n"))
+  }
+
   /** Whitespace token count. */
   def wsTokens(text: Column): Column = size(split(trim(text), "\\s+"))
 

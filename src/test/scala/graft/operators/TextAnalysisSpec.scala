@@ -307,4 +307,72 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().head.getString(0)
     r shouldBe "Caf\u00E9 \u00C5"
   }
+
+  test("profile detection is presence-based on the raw input (T27)") {
+    val rows = Seq(
+      "plain english",
+      "t\u0645xt",                // one Arabic char is enough
+      "hello \u4E16\u754C",       // Han
+      "\u0645 and \u4E16",        // both
+      "\uFF28\uFF29").toDF("text") // fullwidth forms count as CJK
+      .select(TextAnalysis.textProfile(col("text")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    rows shouldBe Seq("latin", "joining", "cjk", "joining+cjk", "cjk")
+  }
+
+  test("ZWNJ/ZWJ survive in joining-script docs, die elsewhere (T27)") {
+    def norm(s: String): String =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.normalizeTextMultilingual(col("text")).as("n"))
+        .collect().head.getString(0)
+    // Persian \u0645\u06CC\u200C\u0631\u0648\u0645: the ZWNJ is orthographic and must survive; the
+    // stray ZWSP must not
+    norm("\u0645\u06CC\u200C\u0631\u0648\u0645\u200B") shouldBe
+      "\u0645\u06CC\u200C\u0631\u0648\u0645"
+    // Devanagari conjunct ZWJ survives
+    norm("\u0915\u094D\u200D\u0937") shouldBe "\u0915\u094D\u200D\u0937"
+    // the SAME ZWNJ in a pure-Latin doc is stripped (T26's law)
+    norm("zap\u200Czip") shouldBe "zapzip"
+    // ...but kept when ANY joining-script char appears elsewhere in the doc
+    norm("zap\u200Czip \u0645") shouldBe "zap\u200Czip \u0645"
+  }
+
+  test("CJK docs fold fullwidth forms and ideographic space (T27)") {
+    def norm(s: String): String =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.normalizeTextMultilingual(col("text")).as("n"))
+        .collect().head.getString(0)
+    // fullwidth \uFF28 \uFF29 \uFF01 \u2192 HI!; U+3000 \u2192 space, then collapsed
+    norm("\uFF28\uFF29\uFF01\u3000\u3000\u4E16\u754C") shouldBe "HI! \u4E16\u754C"
+    // fullwidth in a doc with NO CJK detector hit is impossible by
+    // construction (FF01-FF60 is inside the detector), so folding always
+    // fires with the chars that need it \u2014 pin that coupling
+    norm("\uFF41\uFF42\uFF43") shouldBe "abc"
+    // pure-Latin docs never fold (the mapping can't fire without a hit)
+    norm("abc  def") shouldBe "abc def"
+  }
+
+  test("multilingual chain matches T26 exactly on latin docs, stays idempotent (T27)") {
+    val samples = Seq(
+      "plain ascii text",
+      "  a\u00ADb\uFEFFc   d\te  \r\n\r\n\r\nf ",
+      "Cafe\u0301 \u212B unit",
+      "\u200Cx\u200D yz",
+      "\u0645\u06CC\u200C\u0631\u0648\u0645 mixed \uFF28\uFF29\u3000\u4E16")
+    val viaT26 = samples.take(4).toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val viaT27 = samples.toDF("text")
+      .select(TextAnalysis.normalizeTextMultilingual(col("text")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    viaT27.take(4) shouldBe viaT26 // latin-profile docs: the laws coincide
+    val twice = viaT27.toDF("text")
+      .select(TextAnalysis.normalizeTextMultilingual(col("text")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    twice shouldBe viaT27
+    val nul = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.normalizeTextMultilingual(col("text")).as("n"))
+      .collect().head
+    nul.isNullAt(0) shouldBe true
+  }
 }
