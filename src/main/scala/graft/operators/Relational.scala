@@ -384,6 +384,50 @@ object Relational {
       SnapshotTable.read(s, t, version = 2L)
     },
 
+    "r62_analyze_incremental" -> { (s, dir) =>
+      // R62: mergeable ANALYZE — base commit + two appends, each analyze
+      // folding ONLY the new files into the persisted sketch state
+      // (incremental=true required in-gate). The merged result must equal
+      // a from-scratch exact profile on counts/min/max and bound the
+      // union-sketch NDV at 10% — then the whole frame replays against
+      // DuckDB's re-derivation over the union (stats of the union, blind
+      // to how many folds produced them).
+      val t = graft.Scratch.fresh("r62_table")
+      val li = Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_suppkey"),
+        when(col("l_linenumber") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("l_returnflag"),
+        pmod(col("l_orderkey"), lit(3)).as("__slice"))
+      def slice(k: Int) = li.filter(col("__slice") === k).drop("__slice")
+      val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag")
+      SnapshotTable.commit(s, t, slice(0))
+      val (_, i1) = SnapshotAnalyze.analyzeMergeable(s, t, cols)
+      SnapshotTable.commit(s, t, slice(1), SnapshotTable.Append)
+      val (_, i2) = SnapshotAnalyze.analyzeMergeable(s, t, cols)
+      SnapshotTable.commit(s, t, slice(2), SnapshotTable.Append)
+      val (v3, i3) = SnapshotAnalyze.analyzeMergeable(s, t, cols)
+      require(!i1 && i2 && i3,
+        s"fold pattern must be full,append,append — got ($i1, $i2, $i3)")
+      val merged = SnapshotAnalyze.readMergeableProfile(s, t, v3).get.collect()
+      val full = SnapshotAnalyze.profile(s, t, cols, v3, exact = true).collect()
+        .map(r => r.getString(0) -> r).toMap
+      import s.implicits._
+      merged.toSeq.map { r =>
+        val f = full(r.getString(0))
+        require(r.getLong(1) == f.getLong(1) && r.getLong(2) == f.getLong(2) &&
+            r.getString(4) == f.getString(4) && r.getString(5) == f.getString(5),
+          s"merged exact fields diverged from recompute for ${r.getString(0)}")
+        // n_distinct carries the EXACT yardstick (oracle-reproducible);
+        // the union-sketch estimate is hash-gated through ndv_ok, the
+        // r60 pattern
+        (r.getString(0), r.getLong(1), r.getLong(2), f.getLong(3),
+          r.getString(4), r.getString(5),
+          math.abs(r.getLong(3) - f.getLong(3)).toDouble <= f.getLong(3) * 0.1)
+      }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_str",
+          "max_str", "ndv_ok")
+        .orderBy("column")
+    },
+
     "r60_analyze" -> { (s, dir) =>
       // R60: ANALYZE on a pinned snapshot version. The gate hashes the
       // EXACT fields (rows/nulls/ndv/min/max per column — DuckDB
@@ -1817,6 +1861,38 @@ object Relational {
         |WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""".stripMargin,
 
     // R60: exact per-column stats re-derived from the same planted rows;
+    // R62: stats of the union, blind to the fold count — the identical
+    // derivation as r60's oracle (same planted nulls, same columns), over
+    // ALL slices since base+append+append reassembles the whole table.
+    "r62_analyze_incremental" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_linenumber % 7 = 0 THEN NULL
+        |         ELSE l_returnflag END AS l_returnflag
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_str, true AS ndv_ok
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR), true
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_suppkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(min(l_suppkey) AS VARCHAR),
+        |    CAST(max(l_suppkey) AS VARCHAR), true
+        |  FROM src)
+        |ORDER BY "column"""".stripMargin,
+
     // R61: the plain join — broadcast/salt/shuffle strategy (and every
     // in-gate plan assert) must be invisible to the answer.
     "r61_stats_join" ->
