@@ -115,6 +115,16 @@ object GraftFunctions {
         "canonicalize_url(url) - D15 canonical URL form (case/ports/www/fragment/tracking/param-sort/slash)"),
       (args: Seq[Expression]) => NativeExpressions.canonicalizeUrlExpr(args(0))),
 
+    (FunctionIdentifier("text_profile"),
+      info("text_profile",
+        "text_profile(text) - T27 script profile: latin | joining | cjk | joining+cjk (presence-based)"),
+      (args: Seq[Expression]) => NativeExpressions.textProfileExpr(args(0))),
+
+    (FunctionIdentifier("normalize_text_ml"),
+      info("normalize_text_ml",
+        "normalize_text_ml(text) - T27 multilingual normalization (profile-switched invisibles + CJK width folding)"),
+      (args: Seq[Expression]) => NativeExpressions.normalizeTextMlExpr(args(0))),
+
     // the one AGGREGATE on the surface: parses like any SQL aggregate
     // (GROUP BY-compatible) because the builder hands the analyzer a bare
     // AggregateFunction, which it wraps itself

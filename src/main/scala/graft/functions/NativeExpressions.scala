@@ -88,6 +88,43 @@ object NativeExpressions {
       " ?\\n ?", "\n"),
       "\\n{3,}", "\n\n"))
 
+  /** T27 profile detection over a string expression (see
+    * `TextAnalysis.textProfile` for the presence law). */
+  def textProfileExpr(child: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    val j = RLike(child, Literal(graft.operators.TextAnalysis.JoiningScriptRe))
+    val c = RLike(child, Literal(graft.operators.TextAnalysis.CjkRe))
+    CaseWhen(Seq(
+      (And(j, c), Literal("joining+cjk")),
+      (j, Literal("joining")),
+      (c, Literal("cjk"))),
+      Some(Literal("latin")))
+  }
+
+  /** The T27 multilingual normalization chain (see
+    * `TextAnalysis.normalizeTextMultilingual` for the step contract) over
+    * a string expression — T26 with the invisible-strip and width steps
+    * switched on the presence flags. */
+  def normalizeTextMlExpr(child: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.StringTranslate
+    val j = RLike(child, Literal(graft.operators.TextAnalysis.JoiningScriptRe))
+    val c = RLike(child, Literal(graft.operators.TextAnalysis.CjkRe))
+    val nl = rr(NfcNormalize(child), "\\r\\n|\\r", "\n")
+    val inv = CaseWhen(
+      Seq((j, rr(nl, "[\\x{200B}\\x{FEFF}\\x{00AD}]", ""))),
+      Some(rr(nl, "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", "")))
+    val wide = CaseWhen(
+      Seq((c, StringTranslate(inv,
+        Literal(graft.operators.TextAnalysis.FullwidthFrom),
+        Literal(graft.operators.TextAnalysis.HalfwidthTo)))),
+      Some(inv))
+    StringTrim(rr(rr(rr(rr(wide,
+      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]", ""),
+      "[ \\t]+", " "),
+      " ?\\n ?", "\n"),
+      "\\n{3,}", "\n\n"))
+  }
+
   /** The D15 canonical-URL algebra (see `Urls.canonicalizeUrl` for the
     * step contract) over a string expression. */
   def canonicalizeUrlExpr(url: Expression): Expression = {

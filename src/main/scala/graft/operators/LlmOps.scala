@@ -129,6 +129,25 @@ object LlmOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The t27/t28 shared dirty plant over the documents table (see the
+    * t27 gate comment for what each residue class plants and why). */
+  private def t27Dirty(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+      val docs = Tables(s, dir).documents
+      val dirty = docs.select(col("doc_id"), concat(
+        lit("  \t"), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\r\nCafe\u0301 au lait"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" می\u200Cروم\u200B"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" क्\u200Dष"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ＨＩ！　世界"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" zap\u200Czip")).otherwise(lit(""))
+      ).as("text"))
+      dirty
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> { (s, dir) =>
       Dedup.dupStats(Tables(s, dir).documents, "text", "doc_id")
@@ -958,23 +977,23 @@ object LlmOps {
       // by 21 keep it (their Persian suffix flips the profile) while
       // mod-7-only docs lose it: the presence law, hash-gated both ways.
       // mod-2 keeps T26's NFD+CRLF dirt to pin chain composition.
-      val docs = Tables(s, dir).documents
-      val dirty = docs.select(col("doc_id"), concat(
-        lit("  \t"), col("text"),
-        when(col("doc_id") % 2 === 0, lit("\r\nCafé au lait"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0, lit(" می\u200Cروم\u200B"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit(" क्\u200Dष"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit(" ＨＩ！　世界"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, lit(" zap\u200Czip")).otherwise(lit(""))
-      ).as("text"))
-      dirty.select(col("doc_id"),
+      t27Dirty(s, dir).select(col("doc_id"),
           TextAnalysis.textProfile(col("text")).as("profile"),
           TextAnalysis.normalizeTextMultilingual(col("text")).as("norm_text"))
         .orderBy("doc_id")
+    },
+
+    "t28_sql_ml_surface" -> { (s, dir) =>
+      // T28: the T27 surface from PLAIN SQL — text_profile and
+      // normalize_text_ml resolve to the identical catalyst trees the
+      // Column API builds (one formulation, two entrances), so this gate
+      // shares t27's oracle verbatim. The dirty plant is the same
+      // construction registered as a temp view.
+      graft.functions.GraftFunctions.register(s)
+      t27Dirty(s, dir).createOrReplaceTempView("t28_dirty")
+      s.sql("""SELECT doc_id, text_profile(text) AS profile,
+              |       normalize_text_ml(text) AS norm_text
+              |FROM t28_dirty ORDER BY doc_id""".stripMargin)
     },
 
     "t6_hash_split" -> { (s, dir) =>
@@ -2669,6 +2688,52 @@ object LlmOps {
       |  AND a.sh IN (SELECT b.sh FROM sh b WHERE b.doc_id < 20)""".stripMargin
 
   /** DuckDB oracles for the SQL-expressible subset. */
+  /** t27/t28 shared oracle: dirt replanted with chr(), flags + chain
+    * replayed from the SAME compiled constants (see t27 gate doc). */
+  private val t27OracleSql: String = (
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '  ' || chr(9) || text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN chr(13)||chr(10)||'Cafe'||chr(769)||' au lait' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' '||chr(1605)||chr(1740)||chr(8204)||chr(1585)||chr(1608)||chr(1605)||chr(8203) ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' '||chr(2325)||chr(2381)||chr(8205)||chr(2359) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' '||chr(65320)||chr(65321)||chr(65281)||chr(12288)||chr(19990)||chr(30028) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' zap'||chr(8204)||'zip' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, text,
+        |    regexp_matches(text, '@JOINRE@') AS j,
+        |    regexp_matches(text, '@CJKRE@') AS c
+        |  FROM dirty),
+        |s1 AS (SELECT doc_id, j, c,
+        |  regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g') AS t FROM flags),
+        |s2 AS (SELECT doc_id, j, c,
+        |  CASE WHEN j THEN regexp_replace(t, '[\x{200B}\x{FEFF}\x{00AD}]', '', 'g')
+        |       ELSE regexp_replace(t, '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g')
+        |  END AS t FROM s1),
+        |s3 AS (SELECT doc_id, j, c,
+        |  CASE WHEN c THEN translate(t, '@FWLIT@', '@HWLIT@') ELSE t END AS t FROM s2)
+        |SELECT doc_id,
+        |  CASE WHEN j AND c THEN 'joining+cjk' WHEN j THEN 'joining'
+        |       WHEN c THEN 'cjk' ELSE 'latin' END AS profile,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n{3,}', chr(10)||chr(10), 'g')) AS norm_text
+        |FROM s3
+        |ORDER BY doc_id""".stripMargin
+        .replace("@JOINRE@", graft.operators.TextAnalysis.JoiningScriptRe)
+        .replace("@CJKRE@", graft.operators.TextAnalysis.CjkRe)
+        .replace("@FWLIT@", graft.operators.TextAnalysis.FullwidthFrom.replace("'", "''"))
+        .replace("@HWLIT@", graft.operators.TextAnalysis.HalfwidthTo.replace("'", "''")))
+
+
   def oracleSql: Map[String, String] = Map(
     "t1_langid" -> t1OracleSql,
     "t6_hash_split" -> t6OracleSql,
@@ -3826,48 +3891,11 @@ object LlmOps {
     // replayed step for step. The regexes and the translate mapping are
     // substituted from the SAME Scala constants the operator compiles in,
     // so the two sides cannot drift.
-    "t27_normalize_multilingual" -> (
-      """WITH dirty AS (
-        |  SELECT doc_id,
-        |    '  ' || chr(9) || text
-        |    || CASE WHEN doc_id % 2 = 0
-        |         THEN chr(13)||chr(10)||'Cafe'||chr(769)||' au lait' ELSE '' END
-        |    || CASE WHEN doc_id % 3 = 0
-        |         THEN ' '||chr(1605)||chr(1740)||chr(8204)||chr(1585)||chr(1608)||chr(1605)||chr(8203) ELSE '' END
-        |    || CASE WHEN doc_id % 4 = 0
-        |         THEN ' '||chr(2325)||chr(2381)||chr(8205)||chr(2359) ELSE '' END
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN ' '||chr(65320)||chr(65321)||chr(65281)||chr(12288)||chr(19990)||chr(30028) ELSE '' END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ' zap'||chr(8204)||'zip' ELSE '' END
-        |      AS text
-        |  FROM documents),
-        |flags AS (
-        |  SELECT doc_id, text,
-        |    regexp_matches(text, '@JOINRE@') AS j,
-        |    regexp_matches(text, '@CJKRE@') AS c
-        |  FROM dirty),
-        |s1 AS (SELECT doc_id, j, c,
-        |  regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g') AS t FROM flags),
-        |s2 AS (SELECT doc_id, j, c,
-        |  CASE WHEN j THEN regexp_replace(t, '[\x{200B}\x{FEFF}\x{00AD}]', '', 'g')
-        |       ELSE regexp_replace(t, '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g')
-        |  END AS t FROM s1),
-        |s3 AS (SELECT doc_id, j, c,
-        |  CASE WHEN c THEN translate(t, '@FWLIT@', '@HWLIT@') ELSE t END AS t FROM s2)
-        |SELECT doc_id,
-        |  CASE WHEN j AND c THEN 'joining+cjk' WHEN j THEN 'joining'
-        |       WHEN c THEN 'cjk' ELSE 'latin' END AS profile,
-        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g'),
-        |    '[ \t]+', ' ', 'g'),
-        |    ' ?\n ?', chr(10), 'g'),
-        |    '\n{3,}', chr(10)||chr(10), 'g')) AS norm_text
-        |FROM s3
-        |ORDER BY doc_id""".stripMargin
-        .replace("@JOINRE@", graft.operators.TextAnalysis.JoiningScriptRe)
-        .replace("@CJKRE@", graft.operators.TextAnalysis.CjkRe)
-        .replace("@FWLIT@", graft.operators.TextAnalysis.FullwidthFrom.replace("'", "''"))
-        .replace("@HWLIT@", graft.operators.TextAnalysis.HalfwidthTo.replace("'", "''"))),
+    "t27_normalize_multilingual" -> t27OracleSql,
+
+    // T28: same oracle verbatim — the SQL surface resolves to the
+    // identical catalyst trees, so the answers must be byte-identical
+    "t28_sql_ml_surface" -> t27OracleSql,
 
     "t26_normalize" ->
       """WITH dirty AS (

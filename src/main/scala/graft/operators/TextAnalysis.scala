@@ -82,32 +82,24 @@ object TextAnalysis {
   val HalfwidthTo: String = (0x21 to 0x7E).map(_.toChar).mkString + " "
 
   /** Profile name from the raw text — observability for curation audits
-    * (and the gate's hashed evidence that detection fired per document). */
+    * (and the gate's hashed evidence that detection fired per document).
+    * One concrete catalyst tree shared with the SQL surface
+    * (`text_profile`), the T26/D15 discipline. */
   def textProfile(text: Column): Column = {
-    val j = text.rlike(JoiningScriptRe)
-    val c = text.rlike(CjkRe)
-    when(j && c, "joining+cjk").when(j, "joining").when(c, "cjk")
-      .otherwise("latin")
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NativeExpressions.textProfileExpr(
+      ColumnBridge.expression(text)))
   }
 
   /** T27: the T26 chain with the invisible-strip and width steps switched
     * per detected profile. Same shape as T26 — one codegen'd projection
     * pass, no UDF, no shuffle; the two rlike detections run on the raw
-    * input column so the profile is independent of the cleanup order. */
+    * input column so the profile is independent of the cleanup order.
+    * Shares its catalyst tree with the SQL surface (`normalize_text_ml`). */
   def normalizeTextMultilingual(text: Column): Column = {
-    val j = text.rlike(JoiningScriptRe)
-    val c = text.rlike(CjkRe)
-    val nfc = graft.functions.NativeExpressions.nfcNormalize(text)
-    val nl = regexp_replace(nfc, "\\r\\n|\\r", "\n")
-    val inv = when(j, regexp_replace(nl, "[\\x{200B}\\x{FEFF}\\x{00AD}]", ""))
-      .otherwise(regexp_replace(nl, "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", ""))
-    val wide = when(c, translate(inv, FullwidthFrom, HalfwidthTo)).otherwise(inv)
-    val ctl = regexp_replace(wide,
-      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]", "")
-    trim(regexp_replace(regexp_replace(regexp_replace(ctl,
-      "[ \\t]+", " "),
-      " ?\\n ?", "\n"),
-      "\\n{3,}", "\n\n"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NativeExpressions.normalizeTextMlExpr(
+      ColumnBridge.expression(text)))
   }
 
   /** Whitespace token count. */
