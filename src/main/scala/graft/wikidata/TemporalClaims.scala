@@ -56,4 +56,22 @@ object TemporalClaims {
           (col("valid_until").isNull || col("valid_until") > at))
       .drop("__span_claim_id", "valid_from", "valid_until")
   }
+
+  /** W37: the question a human actually asks — "what was true at T", in
+    * words: [[validAt]]'s surviving entity-valued claims decorated with
+    * both endpoints' English labels from the meta table (left joins —
+    * unlabeled entities stay, the reference's meta NULL semantics). Two
+    * id-keyed joins against meta; at full-corpus scale both sides shuffle
+    * on id once, and the claim frame was already filtered to the claims
+    * alive at T, so the joins are priced by the ANSWER, not the corpus. */
+  def labeledAt(statements: DataFrame, qualifiers: DataFrame, meta: DataFrame,
+      at: Column): DataFrame = {
+    val subj = meta.select(col("id"), col("label").as("subject_label"))
+    val obj = meta.select(col("id").as("__oid"), col("label").as("object_label"))
+    validAt(statements, qualifiers, at)
+      .join(subj, Seq("id"), "left_outer")
+      .join(obj, col("entity_id") === col("__oid"), "left_outer")
+      .select(col("claim_id"), col("id"), col("subject_label"),
+        col("property_id"), col("entity_id"), col("object_label"))
+  }
 }

@@ -144,6 +144,26 @@ class QualifierSpec extends SparkSpec {
     alive should not contain "Q6$0"
   }
 
+  test("labeledAt decorates surviving claims; unlabeled entities stay NULL (W37)") {
+    val at = lit("1950-06-01 00:00:00").cast("timestamp")
+    // the fixture entities carry no labels at all — plant a meta frame
+    import org.apache.spark.sql.functions.typedLit
+    val sess = spark; import sess.implicits._
+    val meta = Seq((1L, "one"), (5L, "five"), (3142L, "red"))
+      .toDF("id", "label")
+    val rows = TemporalClaims.labeledAt(stmts, quals, meta, at)
+      .collect().map(r => r.getAs[String]("claim_id") ->
+        ((Option(r.getAs[String]("subject_label")),
+          r.getAs[Long]("entity_id"),
+          Option(r.getAs[String]("object_label"))))).toMap
+    rows("Q1$0") shouldBe ((Some("one"), 3142L, Some("red")))
+    rows("Q5$0") shouldBe ((Some("five"), 3142L, Some("red")))
+    rows("Q2$1")._1 shouldBe None // unlabeled subject survives with NULL
+    // label joins must not change the surviving-claim set
+    rows.keySet shouldBe TemporalClaims.validAt(stmts, quals, at)
+      .collect().map(_.getAs[String]("claim_id")).toSet
+  }
+
   test("validAt ≡ brute-force span filter on every claim (W35)") {
     val at = lit("1950-06-01 00:00:00").cast("timestamp")
     val fast = TemporalClaims.validAt(stmts, quals, at)
