@@ -123,12 +123,12 @@ object EditJoin {
     * readers) when the commit count, not the corpus, says so. */
   def appendIndexDelta(spark: org.apache.spark.sql.SparkSession, table: String,
       changedLabels: DataFrame, idCol: String, strCol: String,
-      files: Int = 4): Long =
+      files: Int = 4, tag: Option[String] = None): Long =
     SnapshotTable.commit(spark, table,
       variantIndex(changedLabels, idCol, strCol)
         .repartitionByRange(files, col("__h"))
         .sortWithinPartitions("__h"),
-      SnapshotTable.Append)
+      SnapshotTable.Append, tag = tag)
 
   /** All (a_id, b_id, dist) with `levenshtein(a, b) <= 1` and a_id < b_id.
     * Complete and exact (see class doc). */

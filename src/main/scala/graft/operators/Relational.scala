@@ -74,6 +74,27 @@ object Relational {
     * 2dp lands on .005 boundaries where engines disagree; rounding the raw
     * 2dp-generated columns is the identity.
     */
+  // w36/x27 shared churn fixture over the part labels: renames (id%7==3,
+  // 3rd char -> 'x'), deletes (id%11==0), adds (id+1e6, 'nw '-prefixed).
+  private def fuzzyLabelsV1(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part
+      .select(col("p_partkey").as("id"), col("p_name").as("label"))
+  private def fuzzyRenamed(v1: DataFrame): DataFrame =
+    v1.filter(pmod(col("id"), lit(7)) === 3)
+      .withColumn("label", concat(col("label").substr(1, 2), lit("x"),
+        col("label").substr(lit(4), length(col("label")))))
+  private def fuzzyAdded(v1: DataFrame): DataFrame =
+    v1.select((col("id") + 1000000L).as("id"),
+      concat(lit("nw "), col("label")).as("label"))
+  private def fuzzyCurrent(v1: DataFrame): DataFrame =
+    v1.filter(pmod(col("id"), lit(11)) =!= 0 && pmod(col("id"), lit(7)) =!= 3)
+      .unionAll(fuzzyRenamed(v1).filter(pmod(col("id"), lit(11)) =!= 0))
+      .unionAll(fuzzyAdded(v1))
+  private def fuzzyTerm(v1: DataFrame): String = {
+    val base = v1.filter(col("id") === 1).head().getString(1)
+    base.substring(0, 2) + "z" + base.substring(3)
+  }
+
   private def revenue(ep: Column, disc: Column): Column =
     money(ep) * (lit(1).cast(DecimalType(18, 2)) - money(disc))
 
@@ -1388,19 +1409,11 @@ object Relational {
       // variants of renamed ids self-neutralize at the exact verify and
       // deleted ids drop at the join — the oracle is a brute-force
       // levenshtein scan of the current label set, blind to all of it.
-      val v1 = Tables(s, dir).part
-        .select(col("p_partkey").as("id"), col("p_name").as("label"))
-      val renamed = v1.filter(pmod(col("id"), lit(7)) === 3)
-        .withColumn("label", concat(col("label").substr(1, 2), lit("x"),
-          col("label").substr(lit(4), length(col("label")))))
-      val added = v1.select((col("id") + 1000000L).as("id"),
-        concat(lit("nw "), col("label")).as("label"))
-      val current = v1
-        .filter(pmod(col("id"), lit(11)) =!= 0 && pmod(col("id"), lit(7)) =!= 3)
-        .unionAll(renamed.filter(pmod(col("id"), lit(11)) =!= 0))
-        .unionAll(added)
-      val base = v1.filter(col("id") === 1).head().getString(1)
-      val term = base.substring(0, 2) + "z" + base.substring(3)
+      val v1 = fuzzyLabelsV1(s, dir)
+      val renamed = fuzzyRenamed(v1)
+      val added = fuzzyAdded(v1)
+      val current = fuzzyCurrent(v1)
+      val term = fuzzyTerm(v1)
       val t = graft.Scratch.fresh("w36_index")
       EditJoin.saveIndex(s, t, v1, "id", "label", files = 32)
       EditJoin.appendIndexDelta(s, t, renamed.unionAll(added), "id", "label")
@@ -1421,6 +1434,40 @@ object Relational {
       require(maintained.collect().toSet == rebuilt.collect().toSet,
         "append-maintained lookup diverged from fold-and-rebuild")
       maintained.orderBy("id")
+    },
+
+    "x27_stream_variant_index" -> { (s, dir) =>
+      // X27: the W36 maintenance loop as a STREAM — the same churn
+      // arrives as 3 label shards in a watched directory, each
+      // micro-batch Appends only its variant delta batch-tagged; a
+      // manual redelivery of a consumed batch must commit nothing. The
+      // final lookup runs against the current labels and replays the
+      // SAME brute-force oracle as w36: shard boundaries, batch count
+      // and replays are all invisible to the answer.
+      val v1 = fuzzyLabelsV1(s, dir)
+      val delta = fuzzyRenamed(v1).unionAll(fuzzyAdded(v1))
+      val current = fuzzyCurrent(v1)
+      val term = fuzzyTerm(v1)
+      val t = graft.Scratch.fresh("x27_index")
+      EditJoin.saveIndex(s, t, v1, "id", "label", files = 32)
+      val in = graft.Scratch.fresh("x27_in")
+      val ckpt = graft.Scratch.fresh("x27_ckpt")
+      (0 until 3).foreach { k =>
+        delta.filter(pmod(col("id"), lit(3)) === k)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val q = graft.streaming.StreamingVariantIngest.start(
+        s, in, delta.schema, "id", "label", t, ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      // at-least-once redelivery: batch 0 again, by its consumed tag
+      val vBefore = SnapshotTable.latestVersion(t).get
+      graft.streaming.StreamingVariantIngest.applyBatch(
+        s, delta.filter(pmod(col("id"), lit(3)) === 0), 0L, "id", "label", t)
+      require(SnapshotTable.latestVersion(t).contains(vBefore),
+        "replayed batch must commit nothing")
+      EditJoin.fuzzyLookupStored(s, t, current, "id", "label", term)
+        .select(col("id"), col("label"), col("dist"))
+        .orderBy("id")
     },
 
     "w32_fuzzy_label" -> { (s, dir) =>
@@ -2318,6 +2365,26 @@ object Relational {
         |  CAST(levenshtein(p_name, (SELECT t FROM term)) AS INTEGER) AS dist
         |FROM part
         |WHERE levenshtein(p_name, (SELECT t FROM term)) <= 1
+        |ORDER BY id""".stripMargin,
+
+    // X27: the streamed W36 — same oracle verbatim; shard boundaries,
+    // batch tags and the replay probe are invisible to the answer.
+    "x27_stream_variant_index" ->
+      """WITH cur AS (
+        |  SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey % 7 = 3
+        |         THEN substr(p_name, 1, 2) || 'x' || substr(p_name, 4)
+        |         ELSE p_name END AS label
+        |  FROM part WHERE p_partkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000 AS id, 'nw ' || p_name AS label FROM part
+        |), term AS (
+        |  SELECT substr(p_name, 1, 2) || 'z' || substr(p_name, 4) AS t
+        |  FROM part WHERE p_partkey = 1)
+        |SELECT id, label,
+        |  CAST(levenshtein(label, (SELECT t FROM term)) AS INTEGER) AS dist
+        |FROM cur
+        |WHERE levenshtein(label, (SELECT t FROM term)) <= 1
         |ORDER BY id""".stripMargin,
 
     // W36: the changeset arithmetic re-derived in SQL, then the identical
