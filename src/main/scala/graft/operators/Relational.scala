@@ -1505,6 +1505,39 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
     },
 
+    "w39_temporal_closure" -> { (s, dir) =>
+      // W39 = W20 × W35: the ontology closure AS OF a point in time — the
+      // "subclass tree as of 1950" query neither operator answers alone
+      // (and the reference cannot ask at all: no qualifiers, no closure).
+      // The same 4094-edge binary tree, now with deterministic validity
+      // spans (every 3rd claim a start year 1900+i%50, every 4th an end
+      // year 1940+i%40) expressed as REAL W34 qualifier rows; validAt
+      // filters the edge set, path doubling closes what remains. The
+      // oracle re-derives spans, the alive filter, and the recursive
+      // closure from the identical arithmetic.
+      import graft.wikidata.{IdCodec, TemporalClaims}
+      val ids = s.range(2, 4096)
+      val cid = concat(lit("c"), col("id"))
+      val stmts = ids.select(col("id"),
+        lit(IdCodec.encodeText("P279").get).as("property_id"),
+        cid.as("claim_id"), expr("id div 2").as("entity_id"))
+      val starts = ids.filter(col("id") % 3 === 0).select(
+        cid.as("claim_id"),
+        lit(TemporalClaims.StartPid).as("qual_property_id"),
+        lit("time").as("kind"),
+        expr("make_timestamp(1900 + id % 50, 1, 1, 0, 0, 0)").as("time"))
+      val ends = ids.filter(col("id") % 4 === 0).select(
+        cid.as("claim_id"),
+        lit(TemporalClaims.EndPid).as("qual_property_id"),
+        lit("time").as("kind"),
+        expr("make_timestamp(1940 + id % 40, 1, 1, 0, 0, 0)").as("time"))
+      val alive = TemporalClaims.validAt(stmts, starts.unionAll(ends),
+        lit("1950-06-01 00:00:00").cast("timestamp"))
+      graft.operators.PropertyPath.closure(
+          alive.select(col("id").as("src"), col("entity_id").as("dst")))
+        .orderBy("src", "dst")
+    },
+
     "w20_path_closure" -> { (s, dir) =>
       // transitive property path (P279*-shaped): full reachability closure
       // of a deterministic 4094-node binary-tree hierarchy (child i →
@@ -2426,6 +2459,27 @@ object Relational {
         |                     WHERE p_brand = 'Brand#1')
         |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |                     WHERE p_brand = 'Brand#2')""".stripMargin,
+
+    // W39: spans, the alive-at-T filter and the recursive closure all
+    // re-derived from the same arithmetic — qualifier plumbing invisible.
+    "w39_temporal_closure" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id AS src, id // 2 AS dst,
+        |    CASE WHEN id % 3 = 0
+        |      THEN make_timestamp(CAST(1900 + id % 50 AS BIGINT), 1, 1, 0, 0, 0.0) END AS vfrom,
+        |    CASE WHEN id % 4 = 0
+        |      THEN make_timestamp(CAST(1940 + id % 40 AS BIGINT), 1, 1, 0, 0, 0.0) END AS vuntil
+        |  FROM range(2, 4096) t(id)
+        |), alive AS (
+        |  SELECT src, dst FROM e
+        |  WHERE (vfrom IS NULL OR vfrom <= TIMESTAMP '1950-06-01 00:00:00')
+        |    AND (vuntil IS NULL OR vuntil > TIMESTAMP '1950-06-01 00:00:00')
+        |), cl AS (
+        |  SELECT src, dst FROM alive
+        |  UNION
+        |  SELECT cl.src, a.dst FROM cl JOIN alive a ON cl.dst = a.src
+        |)
+        |SELECT src, dst FROM cl""".stripMargin,
 
     // W20: the same closure via DuckDB's recursive CTE (UNION dedups, so
     // the recursion terminates at the fixpoint like the doubling does).
