@@ -17,12 +17,18 @@ final case class WikidataTables(
     /** the shared cached parse (pruned entity structs), when
       * `run(cache = true)` built one — call `unpersist()` once the sinks
       * are done */
-    core: Option[DataFrame] = None) {
+    core: Option[DataFrame] = None,
+    /** W38: the qualifier table + statement spine, present when the ETL
+      * ran qualified ([[WikidataEtl.runQualified]]) — a strict superset of
+      * the reference's 8-table output. */
+    qualifiers: Option[DataFrame] = None,
+    statements: Option[DataFrame] = None) {
 
   def byName: Map[String, DataFrame] = Map(
     "meta" -> meta, "string" -> string, "entity" -> entity,
     "coordinates" -> coordinates, "quantity" -> quantity, "time" -> time,
-    "none" -> none, "unknown" -> unknown)
+    "none" -> none, "unknown" -> unknown) ++
+    qualifiers.map("qualifiers" -> _) ++ statements.map("statements" -> _)
 
   /** Release the cached claim core (bounded-memory long-running callers —
     * streaming micro-batches — must pair every `run` with this). */
@@ -340,6 +346,20 @@ object WikidataEtl {
       none = noneTable(core),
       unknown = unknownTable(core),
       core = if (cache) Some(src) else None)
+  }
+
+  /** W38: the qualifier-aware run — the 8 reference tables PLUS the W34
+    * qualifier table and the claim spine, all off the one cached qualified
+    * parse (input must come from [[DumpReader.readQualified]]). The extra
+    * tables ride the same concurrent sink fan-out, repartitioned on id and
+    * stat-sorted like every other table; the 8-table fast path is
+    * untouched for callers that do not pay for qualifiers. */
+  def runQualified(entities: DataFrame, cache: Boolean = true): WikidataTables = {
+    val base = run(entities, cache)
+    val src = base.core.getOrElse(entities)
+    base.copy(
+      qualifiers = Some(qualifiersTable(src)),
+      statements = Some(entityStatements(src)))
   }
 
   /** End-to-end: dump path → parquet tables at `outDir`. The cached claim
