@@ -39,6 +39,11 @@ object IncrementalEtl {
   val tableNames: Seq[String] = Seq("meta", "string", "entity", "coordinates",
     "quantity", "time", "none", "unknown")
 
+  /** W40: the 10-table surface — the qualified run's extra tables merge by
+    * the identical delete-then-append law (both are id-keyed like every
+    * claim table). */
+  val tableNamesQualified: Seq[String] = tableNames ++ Seq("qualifiers", "statements")
+
   /** Changeset entity schema: the pruned dump entity plus revision metadata.
     * A deletion marker carries only (id, lastrevid, deleted). */
   val changeSchema: StructType = StructType(
@@ -46,20 +51,30 @@ object IncrementalEtl {
       StructField("lastrevid", LongType),
       StructField("deleted", BooleanType)))
 
+  /** W40: the qualified changeset schema (statement ids + qualifier snaks
+    * retained on every revision's claims). */
+  val changeSchemaQualified: StructType = StructType(
+    DumpReader.entitySchemaQualified.fields ++ Seq(
+      StructField("lastrevid", LongType),
+      StructField("deleted", BooleanType)))
+
   /** Changeset lines → one struct column `c`, with the dump framing rules of
     * [[DumpReader.entities]] (skip brackets/blank/junk, strip trailing
     * commas, malformed → dropped). */
-  def changesFrom(lines: DataFrame): DataFrame = {
+  def changesFrom(lines: DataFrame,
+      schema: StructType = changeSchema): DataFrame = {
     val trimmed = trim(col("value"))
     lines
       .filter(trimmed =!= "" && trimmed =!= "[" && trimmed =!= "]")
-      .select(from_json(regexp_replace(trimmed, ",$", ""), changeSchema).as("c"))
+      .select(from_json(regexp_replace(trimmed, ",$", ""), schema).as("c"))
       .filter(col("c").isNotNull && col("c.id").isNotNull)
   }
 
   /** Read a changeset file (or directory of shards). */
-  def readChangeset(spark: SparkSession, path: String): DataFrame =
-    changesFrom(spark.read.text(path))
+  def readChangeset(spark: SparkSession, path: String,
+      qualified: Boolean = false): DataFrame =
+    changesFrom(spark.read.text(path),
+      if (qualified) changeSchemaQualified else changeSchema)
 
   /** LWW winners: one row per encoded entity id — the max-`lastrevid`
     * revision, deletes outranking puts on a tie. One partial-agg `max_by`
@@ -78,14 +93,16 @@ object IncrementalEtl {
     * names). Returns the next version of all 8 frames; call `unpersist()`
     * on the result once sinks are done (the delta core is cached, as in the
     * full ETL). */
-  def applyChangeset(base: Map[String, DataFrame], changes: DataFrame): WikidataTables =
-    applyWinners(base, winners(changes))
+  def applyChangeset(base: Map[String, DataFrame], changes: DataFrame,
+      qualified: Boolean = false): WikidataTables =
+    applyWinners(base, winners(changes), qualified)
 
   /** Apply an already-resolved winners frame (`id`, `c`) — one row per
     * entity — to base tables. Split out so the streaming path
     * ([[graft.streaming.IncrementalEtlStream]]) can interpose its
     * cross-batch revision guard between [[winners]] and the merge. */
-  def applyWinners(base: Map[String, DataFrame], win: DataFrame): WikidataTables = {
+  def applyWinners(base: Map[String, DataFrame], win: DataFrame,
+      qualified: Boolean = false): WikidataTables = {
     // surviving revisions, reshaped to DumpReader's pruned entity struct so
     // the delta tables come from the SAME routing code as a full rebuild —
     // incremental and full cannot drift
@@ -96,7 +113,9 @@ object IncrementalEtl {
         col("c.labels").as("labels"),
         col("c.descriptions").as("descriptions"),
         col("c.claims").as("claims")).as("entity"))
-    val delta = WikidataEtl.run(survivors, cache = true)
+    val delta =
+      if (qualified) WikidataEtl.runQualified(survivors, cache = true)
+      else WikidataEtl.run(survivors, cache = true)
     val touched = win.select("id")
     def merged(name: String): DataFrame =
       base(name)
@@ -111,14 +130,18 @@ object IncrementalEtl {
       time = merged("time"),
       none = merged("none"),
       unknown = merged("unknown"),
-      core = delta.core)
+      core = delta.core,
+      qualifiers = if (qualified) Some(merged("qualifiers")) else None,
+      statements = if (qualified) Some(merged("statements")) else None)
   }
 
   /** File-level apply: parquet tables at `baseDir` + changeset dump at
     * `changesetPath` → next-version frames. */
-  def applyFile(spark: SparkSession, baseDir: String, changesetPath: String): WikidataTables = {
-    val base = tableNames.map(n => n -> spark.read.parquet(s"$baseDir/$n")).toMap
-    applyChangeset(base, readChangeset(spark, changesetPath))
+  def applyFile(spark: SparkSession, baseDir: String, changesetPath: String,
+      qualified: Boolean = false): WikidataTables = {
+    val names = if (qualified) tableNamesQualified else tableNames
+    val base = names.map(n => n -> spark.read.parquet(s"$baseDir/$n")).toMap
+    applyChangeset(base, readChangeset(spark, changesetPath, qualified), qualified)
   }
 
   /** Atomic refresh: apply the changeset and commit each table as the next

@@ -40,6 +40,23 @@ class EtlIncrementalSpec extends SparkSpec {
     inc.unpersist()
   }
 
+  test("qualified incremental apply ≡ qualified full rebuild of v2 — all 10 tables (W40)") {
+    val base = graft.Scratch.fresh("w40spec_base")
+    val t = WikidataEtl.runQualified(DumpReader.readQualified(spark, v1Path))
+    t.writeParquet(base)
+    t.unpersist()
+    val inc = IncrementalEtl.applyFile(spark, base, csPath, qualified = true)
+    val full = WikidataEtl.runQualified(
+      DumpReader.readQualified(spark, v2Path), cache = false)
+    full.byName.keys.toSeq.sorted.size shouldBe 10
+    for (name <- full.byName.keys) {
+      withClue(s"table $name: ") {
+        multiset(inc.byName(name)) shouldBe multiset(full.byName(name))
+      }
+    }
+    inc.unpersist()
+  }
+
   test("last-writer-wins by lastrevid, not file order; revid tie → delete wins") {
     import spark.implicits._
     val baseLines = Seq("[",

@@ -34,12 +34,20 @@ V2 = "data/etl_minidump_v2.jsonl"
 
 
 def main():
-    # replay v1 exactly (same seed + call sequence as gen_minidump.main)
+    # replay v1 exactly (same seed + call sequence as gen_minidump.main),
+    # INCLUDING its qualifier stream — v2 must carry v1's untouched
+    # entities byte-for-byte, qualifiers and statement ids included (W40)
     g.rng = random.Random(20260812)
-    v1 = [g.gen_entity(i) for i in range(300)]
+    g.qrng = random.Random(20260815)
+    v1 = []
+    for i in range(300):
+        ent = g.gen_entity(i)
+        g.add_qualifiers(ent, ent["id"])
+        v1.append(ent)
 
     rng = random.Random(20260813)   # choreography: which ids, which cases
     g.rng = random.Random(77)       # fresh content stream for new revisions
+    g.qrng = random.Random(88)      # fresh qualifier stream for revisions
 
     idx = list(range(300))
     rng.shuffle(idx)
@@ -53,6 +61,7 @@ def main():
         """Fresh entity content under the v1 entity's id."""
         ent = g.gen_entity(i)
         ent["id"] = v1[i]["id"]
+        g.add_qualifiers(ent, ent["id"])
         return ent
 
     revid = 1000
@@ -100,6 +109,7 @@ def main():
     # brand-new entities (ids beyond the v1 range)
     for i in range(300, 312):
         ent = g.gen_entity(i)
+        g.add_qualifiers(ent, ent["id"])
         winners[ent["id"]] = put(ent, next_revid())
 
     rng.shuffle(lines)
