@@ -1505,6 +1505,45 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
     },
 
+    "w41_temporal_path" -> { (s, dir) =>
+      // W41 = W21 × W35: a COMPOSED path at a point in time —
+      // P31/P279* ("instances of any subclass, as the ontology stood at
+      // 1950") over a two-property temporal graph: the P279 class tree
+      // carries w39's span arithmetic; P31 instance edges die on their
+      // own spans (every 5th ended 1945, every 7th starts 1960). One
+      // validAt pass feeds every algebra leaf; the sequence/closure
+      // machinery is untouched. The oracle re-derives both alive edge
+      // sets, the recursive closure, and the exact zero-hop rewrite
+      // (a/b* = a/b+ ∪ a) from the same arithmetic.
+      import graft.wikidata.TemporalClaims
+      val classes = s.range(2, 256)
+      val c279 = concat(lit("c279_"), col("id"))
+      val st279 = classes.select(col("id"), lit(279L).as("property_id"),
+        c279.as("claim_id"), expr("id div 2").as("entity_id"))
+      val q279 = classes.filter(col("id") % 3 === 0).select(
+          c279.as("claim_id"), lit(TemporalClaims.StartPid).as("qual_property_id"),
+          lit("time").as("kind"),
+          expr("make_timestamp(1900 + id % 50, 1, 1, 0, 0, 0)").as("time"))
+        .unionAll(classes.filter(col("id") % 4 === 0).select(
+          c279.as("claim_id"), lit(TemporalClaims.EndPid).as("qual_property_id"),
+          lit("time").as("kind"),
+          expr("make_timestamp(1940 + id % 40, 1, 1, 0, 0, 0)").as("time")))
+      val c31 = concat(lit("c31_"), col("id"))
+      val st31 = classes.select((col("id") + 1000L).as("id"),
+        lit(31L).as("property_id"), c31.as("claim_id"), col("id").as("entity_id"))
+      val q31 = classes.filter(col("id") % 5 === 0).select(
+          c31.as("claim_id"), lit(TemporalClaims.EndPid).as("qual_property_id"),
+          lit("time").as("kind"),
+          expr("make_timestamp(1945, 1, 1, 0, 0, 0)").as("time"))
+        .unionAll(classes.filter(col("id") % 7 === 0).select(
+          c31.as("claim_id"), lit(TemporalClaims.StartPid).as("qual_property_id"),
+          lit("time").as("kind"),
+          expr("make_timestamp(1960, 1, 1, 0, 0, 0)").as("time")))
+      TemporalClaims.pathAt("P31/P279*", st279.unionAll(st31),
+          q279.unionAll(q31), lit("1950-06-01 00:00:00").cast("timestamp"))
+        .orderBy("src", "dst")
+    },
+
     "w39_temporal_closure" -> { (s, dir) =>
       // W39 = W20 × W35: the ontology closure AS OF a point in time — the
       // "subclass tree as of 1950" query neither operator answers alone
@@ -2459,6 +2498,34 @@ object Relational {
         |                     WHERE p_brand = 'Brand#1')
         |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |                     WHERE p_brand = 'Brand#2')""".stripMargin,
+
+    // W41: both alive edge sets, the closure and the zero-hop rewrite
+    // re-derived from the same arithmetic.
+    "w41_temporal_path" ->
+      """WITH RECURSIVE e279 AS (
+        |  SELECT id AS src, id // 2 AS dst,
+        |    CASE WHEN id % 3 = 0
+        |      THEN make_timestamp(CAST(1900 + id % 50 AS BIGINT), 1, 1, 0, 0, 0.0) END AS vfrom,
+        |    CASE WHEN id % 4 = 0
+        |      THEN make_timestamp(CAST(1940 + id % 40 AS BIGINT), 1, 1, 0, 0, 0.0) END AS vuntil
+        |  FROM range(2, 256) t(id)
+        |), a279 AS (
+        |  SELECT src, dst FROM e279
+        |  WHERE (vfrom IS NULL OR vfrom <= TIMESTAMP '1950-06-01 00:00:00')
+        |    AND (vuntil IS NULL OR vuntil > TIMESTAMP '1950-06-01 00:00:00')
+        |), a31 AS (
+        |  SELECT 1000 + id AS src, id AS dst
+        |  FROM range(2, 256) t(id)
+        |  WHERE NOT (id % 5 = 0 AND make_timestamp(1945, 1, 1, 0, 0, 0.0) <= TIMESTAMP '1950-06-01 00:00:00')
+        |    AND NOT (id % 7 = 0 AND make_timestamp(1960, 1, 1, 0, 0, 0.0) > TIMESTAMP '1950-06-01 00:00:00')
+        |), cl AS (
+        |  SELECT src, dst FROM a279
+        |  UNION
+        |  SELECT cl.src, a.dst FROM cl JOIN a279 a ON cl.dst = a.src
+        |)
+        |SELECT DISTINCT x.src, y.dst FROM a31 x JOIN cl y ON x.dst = y.src
+        |UNION
+        |SELECT src, dst FROM a31""".stripMargin,
 
     // W39: spans, the alive-at-T filter and the recursive closure all
     // re-derived from the same arithmetic — qualifier plumbing invisible.

@@ -57,6 +57,27 @@ object TemporalClaims {
       .drop("__span_claim_id", "valid_from", "valid_until")
   }
 
+  /** W41: the W21 path algebra evaluated over the graph AS OF `at` —
+    * `pathAt("P31/P279*", …, T)` answers "instances of any subclass of X,
+    * as the ontology stood at T". One validAt pass filters the statement
+    * spine; every algebra leaf then reads its property's slice of the
+    * SAME alive frame, so the temporal filter costs one span join however
+    * many properties the expression touches, and the algebra's scale
+    * shape (leaf-filtered edges, id-pair shuffles, log-round closures) is
+    * untouched. Property numbers in `expr` address `statements`'
+    * `property_id` values verbatim, as in `QueryApi.path`. */
+  def pathAt(expr: String, statements: DataFrame, qualifiers: DataFrame,
+      at: Column, reliable: Boolean = false): DataFrame = {
+    val alive = validAt(statements, qualifiers, at)
+    graft.operators.PathAlgebra.eval(
+      graft.operators.PathAlgebra.parse(expr),
+      pid => alive.filter(col("property_id") === pid)
+        .select(col("id"), col("entity_id")),
+      reliable = reliable,
+      allEdges = () => alive
+        .select(col("property_id"), col("id"), col("entity_id")))
+  }
+
   /** W37: the question a human actually asks — "what was true at T", in
     * words: [[validAt]]'s surviving entity-valued claims decorated with
     * both endpoints' English labels from the meta table (left joins —
