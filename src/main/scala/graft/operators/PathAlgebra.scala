@@ -214,6 +214,22 @@ object PathAlgebra {
       .distinct()
       .select(col("src"), col("src").as("dst"))
 
+  /** Rewrite every property number in the tree through `f` — the hook a
+    * surface with its own id space uses to map the expression's human
+    * numbers (P279 → 279) onto its stored ids (the wikidata surface
+    * encodes to 1000000279). Covers Prop AND NegatedSet, whose pid lists
+    * filter inside eval where a caller's edgesOf cannot intervene. */
+  def mapPids(e: PathExpr, f: Long => Long): PathExpr = e match {
+    case Prop(p)            => Prop(f(p))
+    case NegatedSet(fw, iv) => NegatedSet(fw.map(f), iv.map(f))
+    case Inverse(p)         => Inverse(mapPids(p, f))
+    case Sequence(a, b)     => Sequence(mapPids(a, f), mapPids(b, f))
+    case Alternative(a, b)  => Alternative(mapPids(a, f), mapPids(b, f))
+    case Plus(p)            => Plus(mapPids(p, f))
+    case Star(p)            => Star(mapPids(p, f))
+    case Optional(p)        => Optional(mapPids(p, f))
+  }
+
   /** Parse-and-evaluate convenience. */
   def eval(expr: String, edgesOf: Long => DataFrame): DataFrame =
     eval(parse(expr), edgesOf)

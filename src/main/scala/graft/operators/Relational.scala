@@ -1518,7 +1518,8 @@ object Relational {
       import graft.wikidata.TemporalClaims
       val classes = s.range(2, 256)
       val c279 = concat(lit("c279_"), col("id"))
-      val st279 = classes.select(col("id"), lit(279L).as("property_id"),
+      val st279 = classes.select(col("id"),
+        lit(graft.wikidata.IdCodec.pId(279)).as("property_id"),
         c279.as("claim_id"), expr("id div 2").as("entity_id"))
       val q279 = classes.filter(col("id") % 3 === 0).select(
           c279.as("claim_id"), lit(TemporalClaims.StartPid).as("qual_property_id"),
@@ -1530,7 +1531,8 @@ object Relational {
           expr("make_timestamp(1940 + id % 40, 1, 1, 0, 0, 0)").as("time")))
       val c31 = concat(lit("c31_"), col("id"))
       val st31 = classes.select((col("id") + 1000L).as("id"),
-        lit(31L).as("property_id"), c31.as("claim_id"), col("id").as("entity_id"))
+        lit(graft.wikidata.IdCodec.pId(31)).as("property_id"),
+        c31.as("claim_id"), col("id").as("entity_id"))
       val q31 = classes.filter(col("id") % 5 === 0).select(
           c31.as("claim_id"), lit(TemporalClaims.EndPid).as("qual_property_id"),
           lit("time").as("kind"),

@@ -70,7 +70,13 @@ final case class QueryApi(tables: WikidataTables) {
     * zero-hop semantics. [[pathClosure]] remains the single-property
     * fast path (`path("P279*")` ≡ `pathClosure(279)`). */
   def path(expr: String, reliable: Boolean = false): DataFrame =
-    graft.operators.PathAlgebra.eval(graft.operators.PathAlgebra.parse(expr),
+    graft.operators.PathAlgebra.eval(
+      // the expression's human numbers (P279) address the STORED encoded
+      // ids (1000000279) — mapPids covers Prop and NegatedSet both, where
+      // encoding only inside edgesOf would leave negated-set filters
+      // comparing raw numbers against encoded columns and match nothing
+      graft.operators.PathAlgebra.mapPids(
+        graft.operators.PathAlgebra.parse(expr), IdCodec.pId),
       pid => tables.entity.filter(col("property_id") === pid)
         .select(col("id"), col("entity_id")),
       reliable = reliable,

@@ -64,13 +64,16 @@ object TemporalClaims {
     * SAME alive frame, so the temporal filter costs one span join however
     * many properties the expression touches, and the algebra's scale
     * shape (leaf-filtered edges, id-pair shuffles, log-round closures) is
-    * untouched. Property numbers in `expr` address `statements`'
-    * `property_id` values verbatim, as in `QueryApi.path`. */
+    * untouched. Property numbers in `expr` are ENCODED onto the stored id
+    * space (P279 → 1000000279) exactly as in `QueryApi.path` — the
+    * statements frame is this package's spine, so its `property_id` is
+    * always the encoded form. */
   def pathAt(expr: String, statements: DataFrame, qualifiers: DataFrame,
       at: Column, reliable: Boolean = false): DataFrame = {
     val alive = validAt(statements, qualifiers, at)
     graft.operators.PathAlgebra.eval(
-      graft.operators.PathAlgebra.parse(expr),
+      graft.operators.PathAlgebra.mapPids(
+        graft.operators.PathAlgebra.parse(expr), IdCodec.pId),
       pid => alive.filter(col("property_id") === pid)
         .select(col("id"), col("entity_id")),
       reliable = reliable,

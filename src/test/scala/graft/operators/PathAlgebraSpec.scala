@@ -83,7 +83,9 @@ class PathAlgebraSpec extends SparkSpec {
 
   test("path('P279*') matches QueryApi.pathClosure on the wikidata surface (W21 ≡ W20)") {
     // minimal claims entity table: (id, property_id, entity_id)
-    val entity = e279.map { case (s, d) => (s, 279L, d) }
+    // the REAL surface stores ENCODED property ids — path("P279*") must
+    // reach them (the raw-pid fixture previously masked a real bug here)
+    val entity = e279.map { case (s, d) => (s, graft.wikidata.IdCodec.pId(279), d) }
       .toDF("id", "property_id", "entity_id")
     val tables = graft.wikidata.WikidataTables(
       meta = spark.emptyDataFrame, string = spark.emptyDataFrame,
@@ -92,7 +94,7 @@ class PathAlgebraSpec extends SparkSpec {
       none = spark.emptyDataFrame, unknown = spark.emptyDataFrame)
     val api = graft.wikidata.QueryApi(tables)
     val viaAlgebra = api.path("P279*").as[(Long, Long)].collect().toSet
-    val viaClosure = api.pathClosure(279L).as[(Long, Long)].collect().toSet
+    val viaClosure = api.pathClosure(graft.wikidata.IdCodec.pId(279)).as[(Long, Long)].collect().toSet
     viaAlgebra shouldBe viaClosure
   }
 
