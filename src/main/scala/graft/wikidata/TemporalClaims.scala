@@ -57,6 +57,28 @@ object TemporalClaims {
       .drop("__span_claim_id", "valid_from", "valid_until")
   }
 
+  /** W42: the temporal DIFF — claims whose in-force status FLIPPED
+    * between `t1` and `t2` ("what changed in the ontology this decade"),
+    * tagged `gained` (in force at t2 only) or `lost` (t1 only). One span
+    * aggregation and one join, claim-keyed like [[validAt]]; claims alive
+    * or dead at BOTH times never survive the filter, so the answer is
+    * churn-sized. Eternal (unqualified) claims can never appear — both
+    * flags are true. */
+  def changedBetween(statements: DataFrame, qualifiers: DataFrame,
+      t1: Column, t2: Column): DataFrame = {
+    val spans = validitySpans(qualifiers)
+      .withColumnRenamed("claim_id", "__span_claim_id")
+    def alive(at: Column) =
+      (col("valid_from").isNull || col("valid_from") <= at) &&
+        (col("valid_until").isNull || col("valid_until") > at)
+    statements
+      .join(spans, col("claim_id") === col("__span_claim_id"), "left_outer")
+      .withColumn("__a1", alive(t1)).withColumn("__a2", alive(t2))
+      .filter(col("__a1") =!= col("__a2"))
+      .withColumn("change", when(col("__a2"), "gained").otherwise("lost"))
+      .drop("__span_claim_id", "valid_from", "valid_until", "__a1", "__a2")
+  }
+
   /** W41: the W21 path algebra evaluated over the graph AS OF `at` —
     * `pathAt("P31/P279*", …, T)` answers "instances of any subclass of X,
     * as the ontology stood at T". One validAt pass filters the statement

@@ -164,6 +164,26 @@ class QualifierSpec extends SparkSpec {
       .collect().map(_.getAs[String]("claim_id")).toSet
   }
 
+  test("changedBetween reports exactly the status flips, tagged (W42)") {
+    val t1 = lit("1935-01-01 00:00:00").cast("timestamp")
+    val t2 = lit("1950-06-01 00:00:00").cast("timestamp")
+    val diff = TemporalClaims.changedBetween(stmts, quals, t1, t2)
+      .collect().map(r => r.getAs[String]("claim_id") -> r.getAs[String]("change")).toMap
+    diff("Q3$0") shouldBe "lost"   // 1900-1940: alive at 1935, dead at 1950
+    diff("Q5$0") shouldBe "gained" // 1940-1955: dead at 1935, alive at 1950
+    diff("Q6$0") shouldBe "lost"   // ends exactly at t2: strict bound kills it
+    diff should not contain key("Q1$0") // 1910-1980: alive at both
+    diff should not contain key("Q4$0") // starts 1970: dead at both
+    diff should not contain key("Q2$1") // eternal: alive at both, by law
+    // diff ≡ validAt symmetric difference, both directions
+    def aliveSet(at: org.apache.spark.sql.Column) =
+      TemporalClaims.validAt(stmts, quals, at)
+        .collect().map(_.getAs[String]("claim_id")).toSet
+    val (a1, a2) = (aliveSet(t1), aliveSet(t2))
+    diff.filter(_._2 == "gained").keySet shouldBe (a2 -- a1)
+    diff.filter(_._2 == "lost").keySet shouldBe (a1 -- a2)
+  }
+
   test("validAt ≡ brute-force span filter on every claim (W35)") {
     val at = lit("1950-06-01 00:00:00").cast("timestamp")
     val fast = TemporalClaims.validAt(stmts, quals, at)
