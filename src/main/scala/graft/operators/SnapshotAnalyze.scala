@@ -227,11 +227,13 @@ object SnapshotAnalyze {
         val pf = SnapshotTable.filesOf(table, p).toSet
         pf.subsetOf(files) && files.size > pf.size
       }
-    val (state, incremental) = parent match {
-      case Some(p) =>
-        val prior = readMergeableState(table, p).get
-        require(prior.map(_.column).toSet == cols.toSet,
-          s"column set changed since v$p; run a full analyze")
+    val (state, incremental) = parent
+      // a parent analyzed over a DIFFERENT column set cannot seed the
+      // fold — fall back to a full recompute (correct, just not priced
+      // by the delta) rather than failing the analyze
+      .map(p => (p, readMergeableState(table, p).get))
+      .filter { case (_, prior) => prior.map(_.column).toSet == cols.toSet } match {
+      case Some((p, prior)) =>
         val delta = (files -- SnapshotTable.filesOf(table, p)).toSeq.sorted
         (mergeStates(spark, prior,
           mprofile(spark.read.parquet(delta: _*), cols)), true)

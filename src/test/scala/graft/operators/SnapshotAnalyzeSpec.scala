@@ -93,6 +93,24 @@ class SnapshotAnalyzeSpec extends SparkSpec {
     SnapshotAnalyze.analyzeMergeable(spark, t, Seq("id")) shouldBe ((v2, false))
   }
 
+  test("a column-set change falls back to a full recompute, not a failure (R62)") {
+    import spark.implicits._
+    val t = graft.Scratch.fresh("r62spec_colchange")
+    SnapshotTable.commit(spark, t,
+      (0 until 100).map(i => (i.toLong, s"x$i")).toDF("id", "s"))
+    SnapshotAnalyze.analyzeMergeable(spark, t, Seq("id"))
+    SnapshotTable.commit(spark, t,
+      (100 until 150).map(i => (i.toLong, s"x$i")).toDF("id", "s"),
+      SnapshotTable.Append)
+    // append-eligible, but the fold base only knows `id` — full recompute
+    val (v2, inc) = SnapshotAnalyze.analyzeMergeable(spark, t, Seq("id", "s"))
+    inc shouldBe false
+    val m = SnapshotAnalyze.readMergeableProfile(spark, t, v2).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    m("id") shouldBe 150L
+    m("s") shouldBe 150L
+  }
+
   test("all-null columns and chained folds stay correct (R62)") {
     import spark.implicits._
     val t = graft.Scratch.fresh("r62spec_nulls")
