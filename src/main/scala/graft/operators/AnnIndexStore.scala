@@ -261,6 +261,50 @@ object AnnIndexStore {
     load(spark, root)
   }
 
+  /** S15: the [[reindexAdvisor]] verdict — every input it was computed
+    * from rides along so maintenance jobs can log WHY. */
+  final case class ReindexAdvice(rowsIndexed: Long, rowsLatest: Long,
+      tombstones: Long, growth: Double, deletedShare: Double, reindex: Boolean)
+
+  /** S15: drift-triggered reindex decision — the maintenance question
+    * every vector store schedules: has the membership outgrown the
+    * trained geometry? Reindex when the encoded store grew past
+    * `growThreshold` × the rows the pinned generation was trained over
+    * (X18 appends encode under FROZEN codebooks — cells sized for n rows
+    * degrade as n doubles), or when tombstones exceed `deleteThreshold`
+    * of the store (every probe pays to re-filter them, and the trained
+    * cells mis-shape around mass that is gone).
+    *
+    * Metadata-priced: row counts come from R62 mergeable ANALYZE sidecars
+    * (the 'after' call folds incrementally from the 'before' call's
+    * sidecar — the advisor itself never rescans the base), tombstones
+    * from one tombstone-sized count. The decision NEVER reads a vector. */
+  def reindexAdvisor(spark: SparkSession, root: String, idCol: String,
+      growThreshold: Double = 1.5,
+      deleteThreshold: Double = 0.2): ReindexAdvice = {
+    val encT = s"$root/encoded"
+    val (_, _, pinnedEnc) = pinnedVersions(root)
+    val latest = SnapshotTable.latestVersion(encT).getOrElse(pinnedEnc)
+    def rowsAt(v: Long): Long = {
+      SnapshotAnalyze.analyzeMergeable(spark, encT, Seq(idCol), v)
+      SnapshotAnalyze.readMergeableProfile(spark, encT, v).get
+        .filter(org.apache.spark.sql.functions.col("column") === idCol)
+        .collect().head.getLong(1)
+    }
+    val rowsIndexed = rowsAt(pinnedEnc)
+    val rowsLatest = if (latest == pinnedEnc) rowsIndexed else rowsAt(latest)
+    val tomb =
+      if (SnapshotTable.latestVersion(s"$root/$TombstoneTable").isEmpty) 0L
+      else tombstones(spark, root).count()
+    val growth =
+      if (rowsIndexed == 0) Double.PositiveInfinity
+      else rowsLatest.toDouble / rowsIndexed
+    val share =
+      if (rowsLatest == 0) 0.0 else tomb.toDouble / rowsLatest
+    ReindexAdvice(rowsIndexed, rowsLatest, tomb, growth, share,
+      growth >= growThreshold || share >= deleteThreshold)
+  }
+
   def compactDeletes(spark: SparkSession, root: String, idCol: String): Unit = {
     val tombT = s"$root/$TombstoneTable"
     val tombV = SnapshotTable.latestVersion(tombT).getOrElse(-1L)

@@ -682,6 +682,42 @@ object LlmOps {
     // re-encode would flip this) — and (b) the store's exact row count
     // (2n minus the deleted odd copies). Metadata carry-over, racing
     // deletes and membership equality are AnnIndexStoreSpec's.
+    "s15_reindex_advisor" -> { (s, dir) =>
+      // S15: the drift-triggered maintenance decision, metadata-priced —
+      // a fresh index advises nothing; after an X18-style frozen-codebook
+      // append DOUBLES the store (ids + 1e6) and every 7th base id is
+      // tombstoned, growth hits exactly 2.0 and the advisor flips. All
+      // evidence columns are exact-countable from the embeddings table,
+      // so DuckDB re-derives both phases as literal arithmetic; the R62
+      // fold (the 'after' call folds incrementally from the 'before'
+      // sidecar) is invisible to the numbers, which is the point.
+      val emb = Tables(s, dir).embeddings
+      val n = emb.count()
+      val root = graft.Scratch.fresh("s15_index")
+      val built = IvfPq.build(emb.repartition(parallelism(s)), "embedding",
+        cells = 8, m = 8, k = 64, knownN = n)
+      AnnIndexStore.save(s, root, built,
+        IvfPq.encode(emb, "vec_id", "embedding", built))
+      val before = AnnIndexStore.reindexAdvisor(s, root, "vec_id")
+      require(!before.reindex, s"fresh index must not advise reindex: $before")
+      graft.streaming.StreamingAnnIngest.applyBatch(s,
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        0L, "vec_id", "embedding", built, root)
+      AnnIndexStore.delete(s, root,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("id")))
+      val after = AnnIndexStore.reindexAdvisor(s, root, "vec_id")
+      require(after.reindex, s"doubled+deleted store must advise reindex: $after")
+      import s.implicits._
+      Seq(
+        ("before", before.rowsIndexed, before.rowsLatest, before.tombstones,
+          before.growth, before.deletedShare, before.reindex),
+        ("after", after.rowsIndexed, after.rowsLatest, after.tombstones,
+          after.growth, after.deletedShare, after.reindex))
+        .toDF("phase", "rows_indexed", "rows_latest", "n_tombstones",
+          "growth", "deleted_share", "should_reindex")
+        .orderBy("phase")
+    },
+
     "s13_reindex" -> { (s, dir) =>
       val n = Tables(s, dir).embeddings.count()
       val vecs = plantedVecsExact(s, dir)
@@ -3712,6 +3748,21 @@ object LlmOps {
 
     // s13: the s10 contract survives the rebuild, and the re-encoded
     // store holds exactly the live membership (2n minus odd copies)
+    // S15: both phases re-derived as pure arithmetic over the embeddings
+    // count — the sidecar fold and the decision plumbing are invisible.
+    "s15_reindex_advisor" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings WHERE vec_id % 7 = 0)
+        |SELECT * FROM (
+        |  SELECT 'before' AS phase, c AS rows_indexed, c AS rows_latest,
+        |    CAST(0 AS BIGINT) AS n_tombstones, 1.0 AS growth,
+        |    0.0 AS deleted_share, false AS should_reindex
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'after', c, 2 * c, t, 2.0,
+        |    CAST(t AS DOUBLE) / (2 * c), true
+        |  FROM n, d)
+        |ORDER BY phase""".stripMargin,
     "s13_reindex" ->
       """SELECT vec_id AS query_id, vec_id % 2 = 0 AS copy_returned,
         |       false AS deleted_returned,

@@ -191,4 +191,40 @@ class AnnIndexStoreSpec extends SparkSpec {
     // the racing delete survives
     AnnIndexStore.tombstones(spark, root).as[Long].collect().toSet shouldBe Set(1L, 2L, 7L)
   }
+
+  test("reindexAdvisor: growth and tombstone-share thresholds, metadata-priced (S15)") {
+    val vecs = corpus(7, 280)
+    val built = IvfPq.build(vecs, "embedding", cells = 4, m = 4, k = 8, knownN = 280)
+    val root = graft.Scratch.fresh("s15spec_adv")
+    AnnIndexStore.save(spark, root, built,
+      IvfPq.encode(vecs, "vec_id", "embedding", built))
+    val fresh = AnnIndexStore.reindexAdvisor(spark, root, "vec_id")
+    fresh.reindex shouldBe false
+    fresh.rowsIndexed shouldBe 280L
+    fresh.growth shouldBe 1.0
+    // sub-threshold growth: +40% stays quiet at the default 1.5
+    val extra = corpus(8, 112).select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    graft.streaming.StreamingAnnIngest.applyBatch(
+      spark, extra, 0L, "vec_id", "embedding", built, root)
+    val grown = AnnIndexStore.reindexAdvisor(spark, root, "vec_id")
+    grown.rowsLatest shouldBe 392L
+    grown.reindex shouldBe false
+    // ...but a tighter threshold flips on the same facts
+    AnnIndexStore.reindexAdvisor(spark, root, "vec_id",
+      growThreshold = 1.3).reindex shouldBe true
+    // tombstone share crosses the delete threshold independently of growth
+    AnnIndexStore.delete(spark, root,
+      vecs.filter(col("vec_id") % 3 === 0).select(col("vec_id").as("id")))
+    val deleted = AnnIndexStore.reindexAdvisor(spark, root, "vec_id")
+    deleted.tombstones shouldBe 94L // ids 0,3,...,279
+    deleted.reindex shouldBe true   // 94/392 = 0.24 >= 0.2
+    // after the actual reindex the advisor quiesces (tombstones folded,
+    // growth re-based on the new generation)
+    AnnIndexStore.reindex(spark, root, vecs.unionByName(extra),
+      "vec_id", "embedding", cells = 4, m = 4, k = 8)
+    val post = AnnIndexStore.reindexAdvisor(spark, root, "vec_id")
+    post.reindex shouldBe false
+    post.tombstones shouldBe 0L
+    post.growth shouldBe 1.0
+  }
 }
