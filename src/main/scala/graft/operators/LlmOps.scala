@@ -1037,6 +1037,41 @@ object LlmOps {
         .select("doc_id", "split")
     },
 
+    "p18_temporal_curation" -> { (s, dir) =>
+      // P18 = P6 × W35: ontology-aware curation where the safety domain
+      // is TIME-PINNED — splits computed over the ontology as it stood at
+      // the training-cut date, so a later ontology edit cannot silently
+      // re-wire which docs share a split. The w39 span arithmetic kills
+      // part of the class tree at 1950; selection, components and splits
+      // all follow the ALIVE closure, and DuckDB re-derives the entire
+      // pipeline (spans, alive cut, recursive closure, md5 splits) from
+      // the same arithmetic.
+      import graft.wikidata.TemporalClaims
+      val docs = Tables(s, dir).documents
+      val topics = docs.select(col("doc_id"),
+        (lit(2048L) + pmod(Sampling.hashUnit(col("doc_id")), lit(2048L))).as("topic"))
+      val ids = s.range(2, 4096)
+      val cid = concat(lit("c"), col("id"))
+      val stmts = ids.select(col("id"),
+        lit(graft.wikidata.IdCodec.pId(279)).as("property_id"),
+        cid.as("claim_id"), expr("id div 2").as("entity_id"))
+      val quals = ids.filter(col("id") % 3 === 0).select(
+          cid.as("claim_id"), lit(TemporalClaims.StartPid).as("qual_property_id"),
+          lit("time").as("kind"),
+          expr("make_timestamp(1900 + id % 50, 1, 1, 0, 0, 0)").as("time"))
+        .unionAll(ids.filter(col("id") % 4 === 0).select(
+          cid.as("claim_id"), lit(TemporalClaims.EndPid).as("qual_property_id"),
+          lit("time").as("kind"),
+          expr("make_timestamp(1940 + id % 40, 1, 1, 0, 0, 0)").as("time")))
+      val alive = TemporalClaims.validAt(stmts, quals,
+          lit("1950-06-01 00:00:00").cast("timestamp"))
+        .select(col("id").as("src"), col("entity_id").as("dst"))
+      val groups = s.range(8, 16).select(col("id").as("node"))
+      Sampling.ontologySafeSplits(topics, "topic", alive, root = 2L, groups, SplitSpec)
+        .select("doc_id", "topic", "component", "split")
+        .orderBy("doc_id")
+    },
+
     "p6_ontology_curation" -> { (s, dir) =>
       // ontology-aware curation: W20's closure over the deterministic
       // binary-tree ontology (child i -> parent i div 2, leaves
@@ -2779,6 +2814,40 @@ object LlmOps {
     // P6: W20's recursive-CTE closure fragment + T6's shared md5
     // fragments, chained — topic spread, root-2 selection, depth-3
     // ancestor grouping and the split case all re-derived exactly.
+    "p18_temporal_curation" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT id AS src, id // 2 AS dst,
+         |    CASE WHEN id % 3 = 0
+         |      THEN make_timestamp(CAST(1900 + id % 50 AS BIGINT), 1, 1, 0, 0, 0.0) END AS vfrom,
+         |    CASE WHEN id % 4 = 0
+         |      THEN make_timestamp(CAST(1940 + id % 40 AS BIGINT), 1, 1, 0, 0, 0.0) END AS vuntil
+         |  FROM range(2, 4096) t(id)
+         |), e AS (
+         |  SELECT src, dst FROM e0
+         |  WHERE (vfrom IS NULL OR vfrom <= TIMESTAMP '1950-06-01 00:00:00')
+         |    AND (vuntil IS NULL OR vuntil > TIMESTAMP '1950-06-01 00:00:00')
+         |), cl AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
+         |), topics AS (
+         |  SELECT doc_id, 2048 + (${md5UnitSql("doc_id")} % 2048) AS topic
+         |  FROM documents
+         |), sel AS (
+         |  SELECT doc_id, topic FROM topics
+         |  WHERE topic IN (SELECT src FROM cl WHERE dst = 2)
+         |), comp AS (
+         |  SELECT doc_id, topic,
+         |    coalesce((SELECT min(m.dst) FROM (
+         |      SELECT src, dst FROM cl WHERE dst BETWEEN 8 AND 15
+         |      UNION SELECT id AS src, id AS dst FROM range(8, 16) t(id)) m
+         |      WHERE m.src = sel.topic), topic) AS component
+         |  FROM sel
+         |)
+         |SELECT doc_id, topic, component, $splitCaseSql AS split
+         |FROM (SELECT doc_id, topic, component, ${md5UnitSql("component")} AS u
+         |      FROM comp)""".stripMargin,
+
     "p6_ontology_curation" ->
       s"""WITH RECURSIVE e AS (
          |  SELECT id AS src, id // 2 AS dst FROM range(2, 4096) t(id)
