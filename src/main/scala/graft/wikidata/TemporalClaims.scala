@@ -57,6 +57,25 @@ object TemporalClaims {
       .drop("__span_claim_id", "valid_from", "valid_until")
   }
 
+  /** W44: per-property temporal coverage — the audit a temporal-query
+    * user runs FIRST, because validAt is only as good as the qualifiers
+    * behind it: for each property of the statement spine, how many claims
+    * exist, how many carry any validity span, and the stated time range.
+    * One span join + one property-keyed aggregate with map-side partials;
+    * the answer is property-count-sized. */
+  def temporalCoverage(statements: DataFrame, qualifiers: DataFrame): DataFrame = {
+    val spans = validitySpans(qualifiers)
+      .withColumnRenamed("claim_id", "__span_claim_id")
+    statements
+      .join(spans, col("claim_id") === col("__span_claim_id"), "left_outer")
+      .groupBy("property_id")
+      .agg(
+        count(lit(1)).as("n_claims"),
+        count(col("__span_claim_id")).as("n_temporal"),
+        min(col("valid_from")).as("earliest_from"),
+        max(col("valid_until")).as("latest_until"))
+  }
+
   /** W42: the temporal DIFF — claims whose in-force status FLIPPED
     * between `t1` and `t2` ("what changed in the ontology this decade"),
     * tagged `gained` (in force at t2 only) or `lost` (t1 only). One span
