@@ -184,6 +184,16 @@ class QualifierSpec extends SparkSpec {
     diff.filter(_._2 == "lost").keySet shouldBe (a1 -- a2)
   }
 
+  test("temporalCoverage rolls up spans per property (W44)") {
+    val cov = TemporalClaims.temporalCoverage(stmts, quals)
+      .collect().map(r => r.getAs[Long]("property_id") -> r).toMap
+    val p462 = cov(IdCodec.pId(462))
+    p462.getAs[Long]("n_claims") shouldBe 6L   // Q1,Q3..Q6 + Q2's eternal (Q2$0 deprecated)
+    p462.getAs[Long]("n_temporal") shouldBe 5L // Q1,Q3,Q4,Q5,Q6 carry spans
+    p462.getAs[java.sql.Timestamp]("earliest_from").toString should startWith("1900-01-01")
+    p462.getAs[java.sql.Timestamp]("latest_until").toString should startWith("1980-07-01")
+  }
+
   test("validAt ≡ brute-force span filter on every claim (W35)") {
     val at = lit("1950-06-01 00:00:00").cast("timestamp")
     val fast = TemporalClaims.validAt(stmts, quals, at)
