@@ -1505,6 +1505,40 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
     },
 
+    "w45_conjunctive_at" -> { (s, dir) =>
+      // W45 = W15 × W35: "red fruits, as of 1950" — ids whose P31 points
+      // at 3 AND P27 at 2, both claims in force at T. Deterministic
+      // two-property claim set over ids 0..999 (P31 → id%10, P27 → id%7)
+      // with spans killing P31 claims of ids %4==0 (ended 1940) and P27
+      // claims of ids %5==0 (start 1960); the oracle re-derives the
+      // surviving conjunction as pure residue arithmetic.
+      import graft.wikidata.{IdCodec, TemporalClaims}
+      val ids = s.range(0, 1000)
+      val st31 = ids.select(col("id"),
+        lit(IdCodec.pId(31)).as("property_id"),
+        concat(lit("a"), col("id")).as("claim_id"),
+        pmod(col("id"), lit(10)).as("entity_id"))
+      val st27 = ids.select(col("id"),
+        lit(IdCodec.pId(27)).as("property_id"),
+        concat(lit("b"), col("id")).as("claim_id"),
+        pmod(col("id"), lit(7)).as("entity_id"))
+      val q31 = ids.filter(col("id") % 4 === 0).select(
+        concat(lit("a"), col("id")).as("claim_id"),
+        lit(TemporalClaims.EndPid).as("qual_property_id"),
+        lit("time").as("kind"),
+        expr("make_timestamp(1940, 1, 1, 0, 0, 0)").as("time"))
+      val q27 = ids.filter(col("id") % 5 === 0).select(
+        concat(lit("b"), col("id")).as("claim_id"),
+        lit(TemporalClaims.StartPid).as("qual_property_id"),
+        lit("time").as("kind"),
+        expr("make_timestamp(1960, 1, 1, 0, 0, 0)").as("time"))
+      TemporalClaims.conjunctiveSearchAt(
+          st31.unionAll(st27), q31.unionAll(q27),
+          Seq((IdCodec.pId(31), 3L), (IdCodec.pId(27), 2L)),
+          lit("1950-06-01 00:00:00").cast("timestamp"))
+        .orderBy("id")
+    },
+
     "w41_temporal_path" -> { (s, dir) =>
       // W41 = W21 × W35: a COMPOSED path at a point in time —
       // P31/P279* ("instances of any subclass, as the ontology stood at
@@ -2500,6 +2534,15 @@ object Relational {
         |                     WHERE p_brand = 'Brand#1')
         |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |                     WHERE p_brand = 'Brand#2')""".stripMargin,
+
+    // W45: the surviving conjunction as pure residue arithmetic — claim
+    // plumbing, spans and semi-join order all invisible.
+    "w45_conjunctive_at" ->
+      """SELECT id FROM range(0, 1000) t(id)
+        |WHERE id % 10 = 3 AND id % 7 = 2
+        |  AND NOT id % 4 = 0  -- P31 claim ended 1940: dead at 1950
+        |  AND NOT id % 5 = 0  -- P27 claim starts 1960: not yet at 1950
+        |ORDER BY id""".stripMargin,
 
     // W41: both alive edge sets, the closure and the zero-hop rewrite
     // re-derived from the same arithmetic.

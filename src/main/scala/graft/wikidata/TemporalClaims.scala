@@ -57,6 +57,22 @@ object TemporalClaims {
       .drop("__span_claim_id", "valid_from", "valid_until")
   }
 
+  /** W45: conjunctive claim search AS OF `at` — the reference README's
+    * own "red fruits" pattern (W15) with every conjunct evaluated over
+    * the claims in force at T: ids satisfying claim A AND claim B *at
+    * that time*. Same scale shape as W15 — chained LEFT SEMI joins,
+    * Catalyst broadcasts the small per-conjunct claim sets — with ONE
+    * validAt pass shared by all conjuncts. */
+  def conjunctiveSearchAt(statements: DataFrame, qualifiers: DataFrame,
+      conjuncts: Seq[(Long, Long)], at: Column): DataFrame = {
+    require(conjuncts.nonEmpty, "need at least one (property, entity) conjunct")
+    val alive = validAt(statements, qualifiers, at)
+    conjuncts.map { case (pid, target) =>
+      alive.filter(col("property_id") === pid && col("entity_id") === target)
+        .select("id")
+    }.reduce((a, b) => a.join(b, Seq("id"), "left_semi")).distinct()
+  }
+
   /** W44: per-property temporal coverage — the audit a temporal-query
     * user runs FIRST, because validAt is only as good as the qualifiers
     * behind it: for each property of the statement spine, how many claims
