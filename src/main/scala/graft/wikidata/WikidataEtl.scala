@@ -327,6 +327,42 @@ object WikidataEtl {
       .filter(col("entity_id").isNotNull)
   }
 
+  /** W46: TRUTHY entity statements — Wikidata's BestRank law, the
+    * `wdt:` vs `p:` SPARQL split the reference flattens away: when an
+    * entity carries any PREFERRED statement for a property, only the
+    * preferred ones are truthy; otherwise the normal ones are (deprecated
+    * never). The reference treats preferred ≡ normal, so a user asking
+    * "the population of X" gets every historical figure ever asserted;
+    * truthy returns what `wdt:` returns. One (id, property)-keyed partial
+    * max + a co-partitioned join back on the same key — a single shuffle
+    * of the entity-valued slice. Input must come from
+    * [[DumpReader.readQualified]] (statement ids key the spine). */
+  def truthyStatements(entities: DataFrame): DataFrame = {
+    val exploded = entities
+      .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
+      .select(
+        IdCodec.encodeTextCol(col("id_text")).as("id"),
+        IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
+        explode(col("claims")).as("claim"))
+      .withColumn("rank", coalesce(col("claim.rank"), lit("normal")))
+      .filter(col("rank") =!= "deprecated")
+      .filter(col("claim.mainsnak.snaktype") === "value")
+    val routed = exploded
+      .select(col("id"), col("property_id"), col("claim.id").as("claim_id"),
+        col("rank"),
+        col("claim.mainsnak.datavalue.type").as("value_type"),
+        try_variant_get(col("claim.mainsnak.datavalue.value"), "$", WideValue).as("w"))
+      .filter(col("value_type") === "wikibase-entityid")
+      .select(col("id"), col("property_id"), col("claim_id"), col("rank"),
+        IdCodec.encodeTextCol(col("w.id")).as("entity_id"))
+      .filter(col("entity_id").isNotNull)
+      .withColumn("__p", (col("rank") === "preferred").cast("int"))
+    val best = routed.groupBy("id", "property_id").agg(max(col("__p")).as("__hp"))
+    routed.join(best, Seq("id", "property_id"))
+      .filter(col("__p") === col("__hp"))
+      .select("id", "property_id", "claim_id", "entity_id")
+  }
+
   /** Full pipeline: parsed entities → all 8 tables. `cache=true` persists
     * the PARSED entity structs so all 8 sinks — meta included, which the
     * exploded core cannot serve (it is pre-explode, per-entity grain) —

@@ -184,6 +184,23 @@ class QualifierSpec extends SparkSpec {
     diff.filter(_._2 == "lost").keySet shouldBe (a1 -- a2)
   }
 
+  test("truthy keeps only preferred where one exists, else normals (W46)") {
+    def ref(q: String, rank: String, sid: String) =
+      s"""{"id":"$sid","mainsnak":{"snaktype":"value","property":"PX","datavalue":{"value":{"entity-type":"item","id":"$q"},"type":"wikibase-entityid"}},"type":"statement","rank":"$rank"}"""
+    val lines = Seq("[",
+      s"""{"id":"Q50","type":"item","claims":{
+         |"P70":[${ref("Q10", "preferred", "Q50$$0")},${ref("Q11", "normal", "Q50$$1")},${ref("Q12", "deprecated", "Q50$$2")}],
+         |"P71":[${ref("Q13", "normal", "Q50$$3")},${ref("Q14", "normal", "Q50$$4")}]
+         |}},""".stripMargin.replaceAll("\n", ""),
+      "]")
+    val truthy = WikidataEtl.truthyStatements(
+        DumpReader.fromLines(spark, lines, DumpReader.entitySchemaQualified))
+      .collect().map(r => (r.getAs[Long]("property_id"), r.getAs[Long]("entity_id"))).toSet
+    truthy shouldBe Set(
+      (IdCodec.pId(70), 10L),                      // preferred wins, normal suppressed
+      (IdCodec.pId(71), 13L), (IdCodec.pId(71), 14L)) // no preferred → all normals
+  }
+
   test("temporalCoverage rolls up spans per property (W44)") {
     val cov = TemporalClaims.temporalCoverage(stmts, quals)
       .collect().map(r => r.getAs[Long]("property_id") -> r).toMap

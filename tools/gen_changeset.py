@@ -39,15 +39,18 @@ def main():
     # entities byte-for-byte, qualifiers and statement ids included (W40)
     g.rng = random.Random(20260812)
     g.qrng = random.Random(20260815)
+    g.rrng = random.Random(20260816)
     v1 = []
     for i in range(300):
         ent = g.gen_entity(i)
+        g.add_rank_contests(ent)
         g.add_qualifiers(ent, ent["id"])
         v1.append(ent)
 
     rng = random.Random(20260813)   # choreography: which ids, which cases
     g.rng = random.Random(77)       # fresh content stream for new revisions
     g.qrng = random.Random(88)      # fresh qualifier stream for revisions
+    g.rrng = random.Random(89)      # fresh rank-contest stream for revisions
 
     idx = list(range(300))
     rng.shuffle(idx)
@@ -61,6 +64,7 @@ def main():
         """Fresh entity content under the v1 entity's id."""
         ent = g.gen_entity(i)
         ent["id"] = v1[i]["id"]
+        g.add_rank_contests(ent)
         g.add_qualifiers(ent, ent["id"])
         return ent
 
@@ -109,6 +113,7 @@ def main():
     # brand-new entities (ids beyond the v1 range)
     for i in range(300, 312):
         ent = g.gen_entity(i)
+        g.add_rank_contests(ent)
         g.add_qualifiers(ent, ent["id"])
         winners[ent["id"]] = put(ent, next_revid())
 

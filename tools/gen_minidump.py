@@ -28,6 +28,8 @@ rng = random.Random(20260812)
 # untouched, so the w22 changeset/v2 fixtures generated against the original
 # dump stay consistent — qualifiers are a pure superset of the old file.
 qrng = random.Random(20260815)
+# rank-contest planting (W46) — its own stream, same isolation argument
+rrng = random.Random(20260816)
 
 WORDS = ["alpha", "beta", "gamma", "delta", "rho", "sigma", "omega", "kappa"]
 
@@ -94,6 +96,26 @@ def qual_snak(qpid):
     if k == 10:
         return {"snaktype": "novalue", "property": f"P{qpid}"}
     return {"snaktype": "somevalue", "property": f"P{qpid}"}
+
+
+def add_rank_contests(ent):
+    """Plant multi-statement entity-claim GROUPS with contested ranks on
+    ~25% of entity-valued claims: a second statement under the SAME
+    property with a different target and a random rank. The W46 truthy
+    cut only bites when preferred and normal coexist in one (entity,
+    property) group — without this the law is untestable on the dump."""
+    for pid_text, stmts in list(ent["claims"].items()):
+        for st in list(stmts):
+            ms = st.get("mainsnak", {})
+            if (ms.get("snaktype") == "value"
+                    and ms.get("datavalue", {}).get("type") == "wikibase-entityid"
+                    and rrng.random() < 0.5):
+                tgt = f"Q{rrng.randint(1, 99999)}"
+                snak = {"snaktype": "value", "property": pid_text,
+                        "datavalue": {"value": {"entity-type": "item", "id": tgt},
+                                      "type": "wikibase-entityid"}}
+                stmts.append({"mainsnak": snak, "type": "statement",
+                              "rank": rrng.choice(["preferred", "preferred", "normal", "deprecated"])})
 
 
 def add_qualifiers(ent, id_text):
@@ -206,6 +228,7 @@ def main():
     lines = ["["]
     for i in range(300):
         ent = gen_entity(i)
+        add_rank_contests(ent)
         add_qualifiers(ent, ent["id"])
         lines.append(json.dumps(ent, separators=(",", ":")) + ",")
         if i % 60 == 17:
