@@ -1459,10 +1459,12 @@ object Relational {
       val q = graft.streaming.StreamingVariantIngest.start(
         s, in, delta.schema, "id", "label", t, ckpt, maxFilesPerTrigger = 1)
       q.awaitTermination()
-      // at-least-once redelivery: batch 0 again, by its consumed tag
+      // at-least-once redelivery: batch 0 again, by its consumed tag —
+      // same checkpoint-derived namespace the stream stamped
       val vBefore = SnapshotTable.latestVersion(t).get
       graft.streaming.StreamingVariantIngest.applyBatch(
-        s, delta.filter(pmod(col("id"), lit(3)) === 0), 0L, "id", "label", t)
+        s, delta.filter(pmod(col("id"), lit(3)) === 0), 0L, "id", "label", t,
+        graft.streaming.StreamingVariantIngest.namespaceFor(ckpt))
       require(SnapshotTable.latestVersion(t).contains(vBefore),
         "replayed batch must commit nothing")
       EditJoin.fuzzyLookupStored(s, t, current, "id", "label", term)
@@ -1509,9 +1511,14 @@ object Relational {
       // W45 = W15 × W35: "red fruits, as of 1950" — ids whose P31 points
       // at 3 AND P27 at 2, both claims in force at T. Deterministic
       // two-property claim set over ids 0..999 (P31 → id%10, P27 → id%7)
-      // with spans killing P31 claims of ids %4==0 (ended 1940) and P27
-      // claims of ids %5==0 (start 1960); the oracle re-derives the
-      // surviving conjunction as pure residue arithmetic.
+      // with spans killing P31 claims of ids %3==0 (ended 1940) and P27
+      // claims of ids %11==0 (start 1960); the oracle re-derives the
+      // surviving conjunction as pure residue arithmetic. Residues chosen
+      // so the temporal filter BITES the conjunction (ids ≡ 23 mod 70):
+      // %3 kills 93/303/513/723/933 and %11 kills 583, shrinking the
+      // answer from 14 ids to 8 — a broken span filter that keeps dead
+      // claims (or drops spanned live ones) cannot pass. (The earlier
+      // %4/%5 residues were vacuous on odd ids ≡ 3 mod 5.)
       import graft.wikidata.{IdCodec, TemporalClaims}
       val ids = s.range(0, 1000)
       val st31 = ids.select(col("id"),
@@ -1522,12 +1529,12 @@ object Relational {
         lit(IdCodec.pId(27)).as("property_id"),
         concat(lit("b"), col("id")).as("claim_id"),
         pmod(col("id"), lit(7)).as("entity_id"))
-      val q31 = ids.filter(col("id") % 4 === 0).select(
+      val q31 = ids.filter(col("id") % 3 === 0).select(
         concat(lit("a"), col("id")).as("claim_id"),
         lit(TemporalClaims.EndPid).as("qual_property_id"),
         lit("time").as("kind"),
         expr("make_timestamp(1940, 1, 1, 0, 0, 0)").as("time"))
-      val q27 = ids.filter(col("id") % 5 === 0).select(
+      val q27 = ids.filter(col("id") % 11 === 0).select(
         concat(lit("b"), col("id")).as("claim_id"),
         lit(TemporalClaims.StartPid).as("qual_property_id"),
         lit("time").as("kind"),
@@ -2536,12 +2543,14 @@ object Relational {
         |                     WHERE p_brand = 'Brand#2')""".stripMargin,
 
     // W45: the surviving conjunction as pure residue arithmetic — claim
-    // plumbing, spans and semi-join order all invisible.
+    // plumbing, spans and semi-join order all invisible. The span
+    // residues intersect the conjunction set (23 mod 70), so the
+    // temporal clauses remove real rows (14 → 8).
     "w45_conjunctive_at" ->
       """SELECT id FROM range(0, 1000) t(id)
         |WHERE id % 10 = 3 AND id % 7 = 2
-        |  AND NOT id % 4 = 0  -- P31 claim ended 1940: dead at 1950
-        |  AND NOT id % 5 = 0  -- P27 claim starts 1960: not yet at 1950
+        |  AND NOT id % 3 = 0   -- P31 claim ended 1940: dead at 1950
+        |  AND NOT id % 11 = 0  -- P27 claim starts 1960: not yet at 1950
         |ORDER BY id""".stripMargin,
 
     // W41: both alive edge sets, the closure and the zero-hop rewrite

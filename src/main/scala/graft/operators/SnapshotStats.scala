@@ -197,6 +197,23 @@ object SnapshotStats {
       }
     }
 
+  /** Could a file whose column spans `st` hold ANY value in `[lo, hi]`? —
+    * interval overlap, O(1) per file where [[rangeContainsAny]] is O(keys).
+    * The wide-changeset MERGE pruning shape: when the distinct change-key
+    * set is too large to collect, its extrema (one distributed agg, two
+    * values on the driver) still exclude every file whose range lies
+    * wholly outside the changeset's span. Conservative: an incomparable
+    * bound answers yes. */
+  def rangeOverlaps(st: ColStats, lo: Any, hi: Any): Boolean = {
+    val r = for {
+      l <- toComparable(lo)
+      h <- toComparable(hi)
+      a <- cmpVals(l, st.max) // changeset min <= file max
+      b <- cmpVals(h, st.min) // changeset max >= file min
+    } yield a <= 0 && b >= 0
+    r.getOrElse(true)
+  }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)

@@ -79,15 +79,78 @@ object SnapshotTable {
   /** Latest committed version, if any. */
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
+  /** Parsed, immutable view of one manifest — every metadata field a
+    * planner asks for, from ONE read. */
+  private[operators] final case class ManifestInfo(
+      files: Seq[String], parent: Option[Long], mode: Option[String],
+      tag: Option[String], ts: Option[Long])
+
+  // Published manifests are immutable, so their parses memoize soundly;
+  // entries are validated against the file's (size, mtime) so a table
+  // directory recreated at the same path never serves a stale parse.
+  // Bounded LRU. Without this, snapshot RESOLUTION is O(retained versions)
+  // JSON reads PER CALL (versionAsOf/hasTag/history scan every manifest) —
+  // at 10⁴ commits that serializes planning on driver I/O; with it, each
+  // manifest is read once per process, a stat() per subsequent hit.
+  private final case class MKey(table: String, version: Long)
+  private final case class MVal(size: Long, mtime: Long, info: ManifestInfo)
+  private val manifestCacheMax = 4096
+  private val manifestCache =
+    new java.util.LinkedHashMap[MKey, MVal](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[MKey, MVal]): Boolean = size() > manifestCacheMax
+    }
+
+  /** Manifest JSON parses actually performed (cache misses), per table —
+    * the spec hook for the bounded-manifest-reads contract (per-table so
+    * concurrently-running suites don't race the assertion). */
+  private val manifestParses =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private[operators] def manifestParsesOf(table: String): Long = {
+    val k = Paths.get(table).toAbsolutePath.normalize().toString
+    Option(manifestParses.get(k)).map(_.get()).getOrElse(0L)
+  }
+
+  /** Read-through-cache manifest parse. Throws (like a raw read) if the
+    * manifest does not exist — callers that tolerate absence check first. */
+  private[operators] def manifestInfo(table: String, v: Long): ManifestInfo = {
+    val p = manifestPath(table, v)
+    val attrs = Files.readAttributes(
+      p, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = MKey(Paths.get(table).toAbsolutePath.normalize().toString, v)
+    val (size, mtime) = (attrs.size(), attrs.lastModifiedTime().toMillis)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null && hit.size == size && hit.mtime == mtime) return hit.info
+    }
+    val json = new String(Files.readAllBytes(p), "UTF-8")
+    manifestParses.computeIfAbsent(key.table,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    def longField(name: String): Option[Long] =
+      ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+    // manifest JSON is written by this object — a flat, known shape; the
+    // files array holds relative paths that never contain quotes
+    val filesStr = "\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val info = ManifestInfo(
+      "\"([^\"]*)\"".r.findAllMatchIn(filesStr).map(_.group(1)).toSeq,
+      longField("parent"),
+      "\"mode\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1)),
+      "\"tag\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1)),
+      longField("ts"))
+    manifestCache.synchronized {
+      manifestCache.put(key, MVal(size, mtime, info)): Unit
+    }
+    info
+  }
+
   /** The idempotency tag of `version` (default: latest), if that commit
     * recorded one. */
   def tagOf(table: String, version: Long = -1L): Option[String] =
     (if (version >= 0) Some(version) else latestVersion(table)).flatMap { v =>
-      val p = manifestPath(table, v)
-      if (!Files.isRegularFile(p)) None
-      else "\"tag\"\\s*:\\s*\"([^\"]*)\"".r
-        .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
-        .map(_.group(1))
+      if (!Files.isRegularFile(manifestPath(table, v))) None
+      else manifestInfo(table, v).tag
     }
 
   /** The data-file paths (table-root-qualified) of `version` — default
@@ -102,13 +165,9 @@ object SnapshotTable {
 
   /** R55: the wall-clock commit time recorded in `version`'s manifest
     * (milliseconds; None for manifests predating the field). */
-  def commitTime(table: String, version: Long): Option[Long] = {
-    val p = manifestPath(table, version)
-    if (!Files.isRegularFile(p)) None
-    else "\"ts\"\\s*:\\s*(\\d+)".r
-      .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
-      .map(_.group(1).toLong)
-  }
+  def commitTime(table: String, version: Long): Option[Long] =
+    if (!Files.isRegularFile(manifestPath(table, version))) None
+    else manifestInfo(table, version).ts
 
   /** R55: the version current AS OF `tsMillis` — the LATEST version whose
     * recorded commit time is at or before the cutoff (versions without a
@@ -145,13 +204,8 @@ object SnapshotTable {
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     versions(table).map { v =>
-      val json = new String(Files.readAllBytes(manifestPath(table, v)), "UTF-8")
-      def longField(name: String): Option[Long] =
-        ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
-          .map(_.group(1).toLong)
-      (v, longField("parent"),
-        "\"mode\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1)),
-        tagOf(table, v), longField("ts"), manifestFiles(table, v).size.toLong)
+      val m = manifestInfo(table, v)
+      (v, m.parent, m.mode, m.tag, m.ts, m.files.size.toLong)
     }.toDF("version", "parent", "mode", "tag", "ts_millis", "n_files")
   }
 
@@ -186,14 +240,8 @@ object SnapshotTable {
   }
 
   /** The data files of one version (relative to the table root). */
-  private[operators] def manifestFiles(table: String, v: Long): Seq[String] = {
-    val json = new String(Files.readAllBytes(manifestPath(table, v)), "UTF-8")
-    // manifest JSON is written by this object — a flat, known shape; the
-    // files array holds relative paths that never contain quotes
-    val files = "\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    "\"([^\"]*)\"".r.findAllMatchIn(files).map(_.group(1)).toSeq
-  }
+  private[operators] def manifestFiles(table: String, v: Long): Seq[String] =
+    manifestInfo(table, v).files
 
   /** Commit `df` as the next version. `expectedVersion` (CAS): fail with
     * [[ConcurrentCommitException]] unless the parent is exactly that
@@ -475,10 +523,13 @@ object SnapshotTable {
     * no read, no write, no copy. On a key-clustered layout (sorted writes,
     * R41 z-order) a narrow changeset rewrites a handful of files out of
     * thousands; stats-less or unclustered files fall back to rewrite —
-    * conservative, never wrong. The changeset is changeset-bounded on the
-    * driver (its distinct first-key values are collected for pruning — the
-    * same contract Upsert documents) and broadcast into the anti-join, so
-    * the touched files stream map-only. Commit is CAS'd on the observed
+    * conservative, never wrong. Driver memory is BOUNDED whatever the
+    * changeset width: up to [[KeyPruneCapDefault]] distinct first-key
+    * values are collected (LIMIT-capped) for exact per-key pruning and a
+    * broadcast anti-join; past the cap, pruning switches to the key
+    * EXTREMA (one distributed agg) against each file's (min, max) range
+    * and the anti-join shuffles instead of broadcasting — nothing
+    * key-set-sized ever lands on the driver. Commit is CAS'd on the observed
     * version: a racing writer wins, the merge retries. This is the Delta/
     * Hudi MERGE INTO shape the plain-directory R25 cannot offer. */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
@@ -500,19 +551,46 @@ object SnapshotTable {
     finally { pinned.unpersist(): Unit }
   }
 
+  /** Above this many distinct change keys, per-key file pruning stops
+    * paying for itself: the driver collect is O(keys) memory and the
+    * pruning loop O(files × keys) CPU — a 100 TB merge with 10⁸ distinct
+    * keys would OOM the driver before touching data. Override per session
+    * with `spark.graft.merge.keyPruneCap`. */
+  private val KeyPruneCapConf = "spark.graft.merge.keyPruneCap"
+  private val KeyPruneCapDefault = 100000
+
   private def merge0(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, beforePublish: () => Unit,
       v: Long, files: Seq[String], k0: String, tag: Option[String],
       evolveSchema: Boolean): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val keyVals = changes.select(col(k0)).distinct().collect().map(_.get(0)).toSeq
+    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    // BOUNDED key collect: LIMIT cap+1 caps what the driver materializes
+    // regardless of changeset width. A narrow changeset (the common MERGE)
+    // keeps exact per-key pruning; a wide one falls back to its distinct
+    // keys' EXTREMA — one distributed agg, two values on the driver, O(1)
+    // per file — which still skips every file wholly outside the
+    // changeset's key span (clustered layouts keep most of their files
+    // there). Conservative in both modes: pruning only ever removes files
+    // PROVABLY free of change keys.
+    val cap = spark.conf.get(KeyPruneCapConf, KeyPruneCapDefault.toString).toInt
+    val keyRows = changes.select(col(k0)).distinct().limit(cap + 1).collect()
+    val wide = keyRows.length > cap
+    val prune: SnapshotStats.ColStats => Boolean =
+      if (!wide) {
+        val keyVals = keyRows.map(_.get(0)).toSeq
+        st => SnapshotStats.rangeContainsAny(st, keyVals)
+      } else {
+        val ext = changes.agg(min(col(k0)), max(col(k0))).head()
+        val (lo, hi) = (ext.get(0), ext.get(1))
+        st => SnapshotStats.rangeOverlaps(st, lo, hi)
+      }
     val statsByDir = files.map(f => f.take(f.lastIndexOf('/'))).distinct
       .map(d => d -> SnapshotStats.load(Paths.get(table, d, "stats.json"))).toMap
     val (touched, untouched) = files.partition { f =>
       val dir = f.take(f.lastIndexOf('/'))
       val name = f.split('/').last
       statsByDir(dir).get(name).flatMap(_.get(k0)) match {
-        case Some(st) => SnapshotStats.rangeContainsAny(st, keyVals)
+        case Some(st) => prune(st)
         case None => true // no stats for the key column: must rewrite
       }
     }
@@ -527,8 +605,12 @@ object SnapshotTable {
     // decision, not a typo'd column name silently forking the schema.
     // Untouched files keep their old physical schema — that is exactly the
     // R52 contract, so no rewrite amplification from a widening merge.
+    // The anti-join side is broadcast only when the changeset is narrow
+    // enough to have been collected; a wide changeset key set shuffles
+    // (sort-merge/AQE), never ships whole to every executor.
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
     val rewritten = touchedDf
-      .join(broadcast(changes.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+      .join(if (wide) changeKeys else broadcast(changeKeys), keyCols, "left_anti")
       .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol),
         allowMissingColumns = evolveSchema)
     commit(spark, table, rewritten, mode = Replace(untouched),

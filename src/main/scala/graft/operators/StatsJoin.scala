@@ -71,8 +71,18 @@ object StatsJoin {
   def choose(left: SideStats, right: SideStats,
       broadcastBytes: Long = 10L << 20, parallelism: Int = 0,
       spark: SparkSession = null): Strategy = {
-    val par = if (parallelism > 0) parallelism
-      else spark.sessionState.conf.numShufflePartitions
+    // lazy: the parallelism target only matters on the shuffle path, so a
+    // metadata-only caller whose sides fit the broadcast budget may omit
+    // both parallelism and the session; the shuffle path demands one of
+    // them with a real message instead of an NPE
+    lazy val par = if (parallelism > 0) parallelism
+      else {
+        require(spark != null,
+          "StatsJoin.choose: neither side fits the broadcast budget, so a " +
+            "shuffle-parallelism target is needed — pass parallelism > 0 " +
+            "or a SparkSession to read spark.sql.shuffle.partitions from")
+        spark.sessionState.conf.numShufflePartitions
+      }
     if (left.bytes <= broadcastBytes || right.bytes <= broadcastBytes) {
       if (left.bytes <= right.bytes) BroadcastLeft else BroadcastRight
     } else {

@@ -23,16 +23,33 @@ import org.apache.spark.sql.types.StructType
   * training role. */
 object StreamingVariantIngest {
 
+  /** Idempotency-tag namespace for one streaming query, derived from its
+    * checkpoint location. Bare batch ids collide across queries: two
+    * streams (or one restarted with a FRESH checkpoint, whose batch ids
+    * restart at 0) maintaining the same index table would alias tags and
+    * silently skip legitimate batches. The checkpoint path is exactly the
+    * identity that matches batch-id semantics — same checkpoint ⇒ ids
+    * continue (replay dedup must hold), fresh checkpoint ⇒ new id space
+    * (tags must not collide). */
+  def namespaceFor(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir)
+      .toAbsolutePath.normalize().toString
+    f"${scala.util.hashing.MurmurHash3.stringHash(p)}%08x"
+  }
+
   /** One micro-batch of (id, label) rows: Append the variant delta,
-    * tagged. hasTag, not latest-tag: a foreign commit (a fold, another
-    * writer) landing between delivery and redelivery must not hide the
-    * tag and double-append the batch (the X16/X17 discipline). */
+    * tagged `namespace#batchId`. hasTag, not latest-tag: a foreign commit
+    * (a fold, another writer) landing between delivery and redelivery
+    * must not hide the tag and double-append the batch (the X16/X17
+    * discipline). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      idCol: String, strCol: String, indexTable: String): Unit = {
-    if (SnapshotTable.hasTag(indexTable, batchId.toString) || batch.isEmpty)
+      idCol: String, strCol: String, indexTable: String,
+      namespace: String = ""): Unit = {
+    val t = s"$namespace#$batchId"
+    if (SnapshotTable.hasTag(indexTable, t) || batch.isEmpty)
       return
     EditJoin.appendIndexDelta(spark, indexTable, batch, idCol, strCol,
-      tag = Some(batchId.toString)): Unit
+      tag = Some(t)): Unit
   }
 
   /** Watch `inDir` for parquet label shards; maintain the variant store
@@ -42,6 +59,7 @@ object StreamingVariantIngest {
       idCol: String, strCol: String, indexTable: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ns = namespaceFor(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -49,7 +67,7 @@ object StreamingVariantIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(spark, batch, id, idCol, strCol, indexTable)
+        applyBatch(spark, batch, id, idCol, strCol, indexTable, ns)
       }
       .start()
   }

@@ -57,6 +57,35 @@ class SnapshotMergeSpec extends SparkSpec {
     (manifestFilesOf(t, 2L).toSet intersect before.toSet) shouldBe empty
   }
 
+  test("wide changeset past the key-prune cap: bounded driver path, extrema pruning still skips disjoint files (R43 scale)") {
+    // the 100 TB shape: more distinct change keys than the driver may
+    // collect. With the cap forced tiny, pruning must switch to the
+    // changeset's key EXTREMA — the answer stays exact AND files wholly
+    // outside [1000, 1600) still carry into the next manifest verbatim.
+    val t = table("merge_wide", clustered = true)
+    val before = manifestFilesOf(t, 1L)
+    val wide = spark.range(1000L, 1600L).select(col("id").as("k"),
+      (col("id") % 13).as("g"), lit("UPD").as("s"), lit("U").as("op"))
+    val expected = content(Upsert.applyChanges(read(spark, t, 1L), wide, Seq("k")))
+    spark.conf.set("spark.graft.merge.keyPruneCap", "8") // 600 distinct keys >> 8
+    try merge(spark, t, wide, Seq("k")) shouldBe 2L
+    finally spark.conf.unset("spark.graft.merge.keyPruneCap")
+    content(read(spark, t)) shouldBe expected
+    val carried = manifestFilesOf(t, 2L).toSet intersect before.toSet
+    // 16 range-clustered files over [0, 8000): only the ~2 spanning
+    // [1000, 1600) may be rewritten
+    assert(carried.size >= 12, s"only ${carried.size} of ${before.size} files carried")
+  }
+
+  test("wide changeset with I/U/D mixed stays exact under the extrema fallback (R43 scale)") {
+    val t = table("merge_wide_iud", clustered = true)
+    val expected = content(Upsert.applyChanges(read(spark, t, 1L), changes(), Seq("k")))
+    spark.conf.set("spark.graft.merge.keyPruneCap", "4")
+    try merge(spark, t, changes(), Seq("k"))
+    finally spark.conf.unset("spark.graft.merge.keyPruneCap")
+    content(read(spark, t)) shouldBe expected
+  }
+
   test("skipping still works on the post-merge table; old version intact (R43×R42)") {
     val t = table("merge_stats", clustered = true)
     merge(spark, t, changes(), Seq("k"))

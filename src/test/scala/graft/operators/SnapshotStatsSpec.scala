@@ -109,4 +109,26 @@ class SnapshotStatsSpec extends SparkSpec {
     val mixed = misses :+ 9995L
     keptOf(t, col("k").isin(mixed: _*))._1 should be <= 1
   }
+
+  test("rangeOverlaps: O(1) interval overlap for wide-changeset MERGE pruning, conservative on incomparables (R43)") {
+    import SnapshotStats.{ColStats, rangeOverlaps}
+    def bd(n: Int) = new java.math.BigDecimal(n)
+    val st = ColStats(bd(100), bd(200))
+    rangeOverlaps(st, 150, 160) shouldBe true // inside
+    rangeOverlaps(st, 50, 300) shouldBe true  // covering
+    rangeOverlaps(st, 50, 100) shouldBe true  // touching min
+    rangeOverlaps(st, 200, 300) shouldBe true // touching max
+    rangeOverlaps(st, 50, 99) shouldBe false  // wholly below
+    rangeOverlaps(st, 201, 300) shouldBe false // wholly above
+    rangeOverlaps(st, null, 150) shouldBe true // incomparable bound → keep
+    rangeOverlaps(st, "a", "z") shouldBe true  // type mismatch → keep
+    val ss = ColStats("bb", "dd")
+    rangeOverlaps(ss, "aa", "cc") shouldBe true
+    rangeOverlaps(ss, "ee", "ff") shouldBe false
+    rangeOverlaps(ss, "aa", "ab") shouldBe false
+    // long/double driver values render through toComparable like the
+    // merge's agg(min, max) row does
+    rangeOverlaps(st, java.lang.Long.valueOf(199L), java.lang.Long.valueOf(500L)) shouldBe true
+    rangeOverlaps(st, java.lang.Double.valueOf(0.5), java.lang.Double.valueOf(1.5)) shouldBe false
+  }
 }

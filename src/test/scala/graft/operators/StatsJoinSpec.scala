@@ -78,4 +78,16 @@ class StatsJoinSpec extends SparkSpec {
     s2 shouldBe Shuffle // NDV 3 would salt, but without the sidecar the law cannot know
     d2.count() shouldBe 3000L
   }
+
+  test("choose with defaults: broadcast verdicts need no session; the shuffle path demands a target loudly (R61)") {
+    val small = SideStats(Some(10L), 1024L, Some(10L))
+    val big = SideStats(Some(1000000L), 1L << 30, Some(3L))
+    // metadata-only broadcast verdict: no parallelism, no session — fine
+    StatsJoin.choose(small, big) shouldBe BroadcastLeft
+    StatsJoin.choose(big, small) shouldBe BroadcastRight
+    // neither side fits: the law needs a parallelism target — a clear
+    // requirement failure, not an NPE at spark.sessionState
+    val e = intercept[IllegalArgumentException] { StatsJoin.choose(big, big) }
+    e.getMessage should include("parallelism")
+  }
 }

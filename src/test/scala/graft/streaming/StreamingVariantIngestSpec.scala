@@ -65,6 +65,27 @@ class StreamingVariantIngestSpec extends SparkSpec {
     for (term <- probes) answers(t, term) shouldBe expected(term)
   }
 
+  test("a fresh query's batch 0 is not aliased by an earlier query's (X27)") {
+    // two queries (distinct checkpoints) maintain ONE table: their batch
+    // ids both start at 0, so un-namespaced tags would alias and the
+    // second query's first batch would be silently dropped
+    val t = graft.Scratch.fresh("x27spec_ns")
+    EditJoin.saveIndex(spark, t, df(base), "id", "lbl", files = 8)
+    val ns1 = StreamingVariantIngest.namespaceFor(graft.Scratch.fresh("x27spec_ck1"))
+    val ns2 = StreamingVariantIngest.namespaceFor(graft.Scratch.fresh("x27spec_ck2"))
+    ns1 should not be ns2
+    StreamingVariantIngest.applyBatch(spark, df(incoming.take(30)), 0L, "id", "lbl", t, ns1)
+    val v1 = SnapshotTable.latestVersion(t).get
+    StreamingVariantIngest.applyBatch(spark, df(incoming.drop(30)), 0L, "id", "lbl", t, ns2)
+    val v2 = SnapshotTable.latestVersion(t).get
+    v2 should be > v1 // the second query's batch COMMITTED
+    // replay within each namespace still no-ops
+    StreamingVariantIngest.applyBatch(spark, df(incoming.take(30)), 0L, "id", "lbl", t, ns1)
+    StreamingVariantIngest.applyBatch(spark, df(incoming.drop(30)), 0L, "id", "lbl", t, ns2)
+    SnapshotTable.latestVersion(t) shouldBe Some(v2)
+    for (term <- probes) answers(t, term) shouldBe expected(term)
+  }
+
   test("streamed maintenance through the file source ≡ rebuild (X27)") {
     val t = graft.Scratch.fresh("x27spec_stream")
     EditJoin.saveIndex(spark, t, df(base), "id", "lbl", files = 8)
