@@ -47,24 +47,26 @@ object EtlStream {
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val ns = BatchTags.namespace(checkpointDir)
     val entities = DumpReader.entities(reader.text(inDir))
     entities.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        commitBatch(spark, batch.toDF(), tableRoot, batchId)
+        commitBatch(spark, batch.toDF(), tableRoot, batchId, ns)
       }
       .start()
   }
 
   /** One micro-batch of [[startSnapshot]], exposed for direct replay tests. */
   def commitBatch(spark: SparkSession, parsedBatch: org.apache.spark.sql.DataFrame,
-      tableRoot: String, batchId: Long): Unit = {
+      tableRoot: String, batchId: Long, namespace: String = ""): Unit = {
     import graft.operators.SnapshotTable
+    val tag = BatchTags.tag(namespace, batchId.toString)
     // tag check FIRST (cheap manifest reads — table names are static): a
     // fully-replayed batch must not pay the batch ETL for a guaranteed no-op
     val pendingNames = graft.wikidata.IncrementalEtl.tableNames.filter { name =>
-      !SnapshotTable.tagOf(s"$tableRoot/$name").contains(batchId.toString)
+      !SnapshotTable.tagOf(s"$tableRoot/$name").contains(tag)
     }
     if (pendingNames.isEmpty) return
     val tables = WikidataEtl.run(parsedBatch)
@@ -72,7 +74,7 @@ object EtlStream {
       tables.core.foreach(_.count()) // materialize before the fan-out race
       SnapshotTable.commitAll(spark,
         pendingNames.map(name => s"$tableRoot/$name" -> tables.byName(name)),
-        mode = SnapshotTable.Append, tag = Some(batchId.toString))
+        mode = SnapshotTable.Append, tag = Some(tag))
     } finally tables.unpersist()
   }
 }

@@ -34,8 +34,9 @@ object SnapshotIvmStream {
   /** One micro-batch: tagged merge (replay-skipped), then rollup refresh. */
   def applyBatch(spark: SparkSession, changes: DataFrame, batchId: Long,
       baseTable: String, mvTable: String, rowKeys: Seq[String],
-      groupKeys: Seq[String], sumCols: Seq[String]): Unit = {
-    val tag = s"batch-$batchId"
+      groupKeys: Seq[String], sumCols: Seq[String],
+      namespace: String = ""): Unit = {
+    val tag = BatchTags.tag(namespace, s"batch-$batchId")
     // tag HISTORY, not just the head: a foreign commit (OPTIMIZE, a manual
     // merge) between the batch's commit and its replay must not hide the
     // published tag and let the merge double-apply
@@ -54,6 +55,7 @@ object SnapshotIvmStream {
       rowKeys: Seq[String], groupKeys: Seq[String], sumCols: Seq[String],
       maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -63,7 +65,7 @@ object SnapshotIvmStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           applyBatch(spark, batch.toDF(), id, baseTable, mvTable, rowKeys,
-            groupKeys, sumCols)
+            groupKeys, sumCols, ns)
       }
       .start()
   }

@@ -28,18 +28,20 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingAnnIngest {
 
-  /** One micro-batch: encode under `index`, Append-commit tagged. */
+  /** One micro-batch: encode under `index`, Append-commit tagged
+    * ([[BatchTags]]-namespaced by the owning query's checkpoint). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, index: IvfPq.Index,
-      indexRoot: String): Unit = {
+      indexRoot: String, namespace: String = ""): Unit = {
+    val tag = BatchTags.tag(namespace, batchId.toString)
     // hasTag, not tagOf-of-latest: a foreign commit (e.g. a concurrent
     // OPTIMIZE) landing after the tagged Append must not hide it from a
     // redelivery and double-append the batch (the X16/X17 discipline)
-    if (SnapshotTable.hasTag(s"$indexRoot/encoded", batchId.toString) ||
+    if (SnapshotTable.hasTag(s"$indexRoot/encoded", tag) ||
       batch.isEmpty) return
     SnapshotTable.commit(spark, s"$indexRoot/encoded",
       IvfPq.encode(batch, idCol, vecCol, index),
-      mode = SnapshotTable.Append, tag = Some(batchId.toString)): Unit
+      mode = SnapshotTable.Append, tag = Some(tag)): Unit
   }
 
   /** Watch `inDir` for parquet embedding shards; maintain the published
@@ -50,6 +52,7 @@ object StreamingAnnIngest {
       checkpointDir: String, maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val (index, _) = AnnIndexStore.load(spark, indexRoot)
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -57,7 +60,7 @@ object StreamingAnnIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(spark, batch, id, idCol, vecCol, index, indexRoot)
+        applyBatch(spark, batch, id, idCol, vecCol, index, indexRoot, ns)
       }
       .start()
   }
@@ -94,9 +97,9 @@ object StreamingAnnIngest {
     * store is actually measured on; [[AnnIndexStore.compactDeletes]]
     * folds them in physically on whatever cadence the operator runs. */
   def applyDeleteBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      idCol: String, indexRoot: String): Unit = {
+      idCol: String, indexRoot: String, namespace: String = ""): Unit = {
     val tombT = s"$indexRoot/${AnnIndexStore.TombstoneTable}"
-    val tag = s"del-$batchId"
+    val tag = BatchTags.tag(namespace, s"del-$batchId")
     if (SnapshotTable.hasTag(tombT, tag) || batch.isEmpty) return
     AnnIndexStore.delete(spark, indexRoot, batch.select(idCol),
       tag = Some(tag)): Unit
@@ -107,6 +110,7 @@ object StreamingAnnIngest {
       idCol: String, indexRoot: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -114,7 +118,7 @@ object StreamingAnnIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyDeleteBatch(spark, batch, id, idCol, indexRoot)
+        applyDeleteBatch(spark, batch, id, idCol, indexRoot, ns)
       }
       .start()
   }

@@ -30,10 +30,11 @@ object StreamingCorpusRefresh {
   /** One micro-batch: batch-tagged [[IncrementalCorpus.refresh]]. The
     * corpus table must be bootstrapped first. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      table: String, textCol: String, idCol: String): Unit = {
+      table: String, textCol: String, idCol: String,
+      namespace: String = ""): Unit = {
     if (!batch.isEmpty)
       IncrementalCorpus.refresh(spark, table, batch, textCol, idCol,
-        tag = Some(s"crawl-batch-$batchId")): Unit
+        tag = Some(BatchTags.tag(namespace, s"crawl-batch-$batchId"))): Unit
   }
 
   /** Watch `inDir` for parquet crawl shards (document schema). */
@@ -43,6 +44,7 @@ object StreamingCorpusRefresh {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(SnapshotTable.latestVersion(table).nonEmpty,
       s"bootstrap $table before tailing crawl shards into it")
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -50,7 +52,7 @@ object StreamingCorpusRefresh {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(spark, b, id, table, textCol, idCol)
+        applyBatch(spark, b, id, table, textCol, idCol, ns)
       }
       .start()
   }

@@ -53,8 +53,9 @@ object StreamingHeavyHitters {
 
   /** One micro-batch: aggregate → merge → tagged commit (replay-skipped). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      keyCol: String, capacity: Int, stateTable: String): Unit = {
-    val tag = s"batch-$batchId"
+      keyCol: String, capacity: Int, stateTable: String,
+      namespace: String = ""): Unit = {
+    val tag = BatchTags.tag(namespace, s"batch-$batchId")
     if (SnapshotTable.hasTag(stateTable, tag) || batch.isEmpty) return
     val agg = batch.agg(
       FrequentItems.misraGriesCounts(col(keyCol), capacity).as("s"),
@@ -78,6 +79,7 @@ object StreamingHeavyHitters {
       keyCol: String, capacity: Int, stateTable: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -85,7 +87,7 @@ object StreamingHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(spark, batch, id, keyCol, capacity, stateTable)
+        applyBatch(spark, batch, id, keyCol, capacity, stateTable, ns)
       }
       .start()
   }

@@ -17,10 +17,11 @@ import org.apache.spark.sql.types.StructType
   * flat at any table size. */
 object StreamingMorDeletes {
 
-  /** One micro-batch: semi-join positions, tagged Append, replay-skipped. */
+  /** One micro-batch: semi-join positions, tagged Append, replay-skipped
+    * ([[BatchTags]]-namespaced by the owning query's checkpoint). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      keyCol: String, table: String): Unit = {
-    val tag = s"del-$batchId"
+      keyCol: String, table: String, namespace: String = ""): Unit = {
+    val tag = BatchTags.tag(namespace, s"del-$batchId")
     if (SnapshotDv.hasTag(table, tag) || batch.isEmpty) return
     SnapshotDv.deleteKeys(spark, table, batch.select(keyCol), keyCol,
       tag = Some(tag)): Unit
@@ -31,6 +32,7 @@ object StreamingMorDeletes {
       keyCol: String, table: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -38,7 +40,7 @@ object StreamingMorDeletes {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(spark, b, id, keyCol, table)
+        applyBatch(spark, b, id, keyCol, table, ns)
       }
       .start()
   }

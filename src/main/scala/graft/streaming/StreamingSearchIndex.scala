@@ -32,19 +32,21 @@ object StreamingSearchIndex {
   /** One micro-batch: tokenize once, Append-commit postings + lengths,
     * tagged per table (replay-skipped per table). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      textCol: String, idCol: String, indexRoot: String): Unit = {
+      textCol: String, idCol: String, indexRoot: String,
+      namespace: String = ""): Unit = {
+    val tag = BatchTags.tag(namespace, batchId.toString)
     // hasTag, not tagOf: a foreign commit landing between the tagged
     // Append and an at-least-once redelivery must not hide the published
     // batch and double-append it (the X16/hasTag discipline)
     val pending = Tables.filter { n =>
-      !SnapshotTable.hasTag(s"$indexRoot/$n", batchId.toString)
+      !SnapshotTable.hasTag(s"$indexRoot/$n", tag)
     }
     if (pending.isEmpty || batch.isEmpty) return
     val (postings, doclen) = Search.indexComponents(batch, textCol, idCol)
     val byName = Map("postings" -> postings, "doclen" -> doclen)
     SnapshotTable.commitAll(spark,
       pending.map(n => s"$indexRoot/$n" -> byName(n)),
-      mode = SnapshotTable.Append, tag = Some(batchId.toString))
+      mode = SnapshotTable.Append, tag = Some(tag))
   }
 
   /** Watch `inDir` for parquet document shards; maintain the index. */
@@ -52,6 +54,7 @@ object StreamingSearchIndex {
       textCol: String, idCol: String, indexRoot: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -59,7 +62,7 @@ object StreamingSearchIndex {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(spark, batch, id, textCol, idCol, indexRoot)
+        applyBatch(spark, batch, id, textCol, idCol, indexRoot, ns)
       }
       .start()
   }

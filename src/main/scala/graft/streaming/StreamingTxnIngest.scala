@@ -39,8 +39,9 @@ object StreamingTxnIngest {
     * per-table latest. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       keyCol: String, valCol: String, root: String,
-      beforePublish: () => Unit = () => ()): Unit = {
-    val tag = s"batch-$batchId"
+      beforePublish: () => Unit = () => (),
+      namespace: String = ""): Unit = {
+    val tag = BatchTags.tag(namespace, s"batch-$batchId")
     if (SnapshotTxn.hasTag(root, tag) || batch.isEmpty) return
     val part = batch.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("n"),
@@ -68,6 +69,7 @@ object StreamingTxnIngest {
       keyCol: String, valCol: String, root: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -75,7 +77,7 @@ object StreamingTxnIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(spark, b, id, keyCol, valCol, root)
+        applyBatch(spark, b, id, keyCol, valCol, root, namespace = ns)
       }
       .start()
   }

@@ -31,11 +31,8 @@ object StreamingVariantIngest {
     * identity that matches batch-id semantics — same checkpoint ⇒ ids
     * continue (replay dedup must hold), fresh checkpoint ⇒ new id space
     * (tags must not collide). */
-  def namespaceFor(checkpointDir: String): String = {
-    val p = java.nio.file.Paths.get(checkpointDir)
-      .toAbsolutePath.normalize().toString
-    f"${scala.util.hashing.MurmurHash3.stringHash(p)}%08x"
-  }
+  def namespaceFor(checkpointDir: String): String =
+    BatchTags.namespace(checkpointDir)
 
   /** One micro-batch of (id, label) rows: Append the variant delta,
     * tagged `namespace#batchId`. hasTag, not latest-tag: a foreign commit
@@ -45,7 +42,7 @@ object StreamingVariantIngest {
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, strCol: String, indexTable: String,
       namespace: String = ""): Unit = {
-    val t = s"$namespace#$batchId"
+    val t = BatchTags.tag(namespace, batchId.toString)
     if (SnapshotTable.hasTag(indexTable, t) || batch.isEmpty)
       return
     EditJoin.appendIndexDelta(spark, indexTable, batch, idCol, strCol,

@@ -28,10 +28,11 @@ object WebIntakeStream {
   /** One micro-batch: batch-tagged [[WebIntake.intake]]. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       table: String, urlCol: String, textCol: String, idCol: String,
-      minWords: Int = 15): Unit = {
+      minWords: Int = 15, namespace: String = ""): Unit = {
     if (!batch.isEmpty)
       WebIntake.intake(spark, table, batch, urlCol, textCol, idCol,
-        minWords, tag = Some(s"intake-batch-$batchId")): Unit
+        minWords,
+        tag = Some(BatchTags.tag(namespace, s"intake-batch-$batchId"))): Unit
   }
 
   /** Watch `inDir` for parquet crawl shards carrying (url, text). */
@@ -42,6 +43,7 @@ object WebIntakeStream {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(SnapshotTable.latestVersion(table).nonEmpty,
       s"bootstrap $table before tailing crawl shards into it")
+    val ns = BatchTags.namespace(checkpointDir)
     val reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -49,7 +51,7 @@ object WebIntakeStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(spark, b, id, table, urlCol, textCol, idCol, minWords)
+        applyBatch(spark, b, id, table, urlCol, textCol, idCol, minWords, ns)
       }
       .start()
   }

@@ -105,21 +105,24 @@ object WikidataEtl {
         explode(col("claims")).as("claim"))
       .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
 
-    // the snak is typed by the parse; only the polymorphic value is variant,
-    // cast once as a bare string and once as one wide struct covering every
-    // object variant's fields (absent fields → null)
     val staged = exploded.select(
       col("id"), col("property_id"), col("claim.mainsnak").as("snak"))
+    projectSnak(staged, Seq("id", "property_id"))
+  }
 
-    staged.select(
-      col("id"),
-      col("property_id"),
+  /** The snak projection shared by [[claimCore]] and [[truthyCore]]: the
+    * snak is typed by the parse; only the polymorphic value is variant,
+    * cast once as a bare string and once as one wide struct covering every
+    * object variant's fields (absent fields → null). `keyCols` carry
+    * through untouched (the truthy core keeps `claim_id`). */
+  private def projectSnak(staged: DataFrame, keyCols: Seq[String]): DataFrame =
+    staged.select(keyCols.map(col) ++ Seq(
       col("snak.snaktype").as("snaktype"),
       col("snak.datavalue.type").as("value_type"),
       try_variant_get(col("snak.datavalue.value"), "$", "string").as("v_string"),
-      try_variant_get(col("snak.datavalue.value"), "$", WideValue).as("w"))
-      .select(
-        col("id"), col("property_id"), col("snaktype"), col("value_type"), col("v_string"),
+      try_variant_get(col("snak.datavalue.value"), "$", WideValue).as("w")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("snaktype"), col("value_type"), col("v_string"),
         col("w.text").as("v_text"),
         col("w.language").as("v_language"),
         col("w.id").as("v_entity_id"),
@@ -132,8 +135,7 @@ object WikidataEtl {
         col("w.upperBound").as("v_upper"),
         col("w.unit").as("v_unit"),
         col("w.time").as("v_time"),
-        col("w.precision").cast("int").as("v_time_precision"))
-  }
+        col("w.precision").cast("int").as("v_time_precision")): _*)
 
   /** `meta`: one row per entity with English label/description or NULL
     * (reference: src/main.rs:78-84). */
@@ -327,41 +329,55 @@ object WikidataEtl {
       .filter(col("entity_id").isNotNull)
   }
 
-  /** W46: TRUTHY entity statements — Wikidata's BestRank law, the
-    * `wdt:` vs `p:` SPARQL split the reference flattens away: when an
-    * entity carries any PREFERRED statement for a property, only the
-    * preferred ones are truthy; otherwise the normal ones are (deprecated
-    * never). The reference treats preferred ≡ normal, so a user asking
-    * "the population of X" gets every historical figure ever asserted;
-    * truthy returns what `wdt:` returns. One (id, property)-keyed partial
-    * max + a co-partitioned join back on the same key — a single shuffle
-    * of the entity-valued slice. Input must come from
-    * [[DumpReader.readQualified]] (statement ids key the spine). */
-  def truthyStatements(entities: DataFrame): DataFrame = {
+  /** W46/W47: the TRUTHY claim core — Wikidata's BestRank law, the `wdt:`
+    * vs `p:` SPARQL split the reference flattens away: when an entity
+    * carries any PREFERRED statement for a property, only the preferred
+    * ones are truthy; otherwise the normal ones are (deprecated never).
+    *
+    * The best flag aggregates over ALL surviving statements of the (id,
+    * property) group — every value family AND novalue/somevalue snaks,
+    * which carry ranks too — BEFORE any value-type routing: a preferred
+    * quantity must suppress normal entity statements in the same group
+    * (the law is per statement group, not per value family). An earlier
+    * cut computed the flag inside the entity-valued slice only, which the
+    * round-9 advisor showed diverges exactly there.
+    *
+    * Output: [[claimCore]]'s column set plus `claim_id`, so every routed
+    * table composes — `quantityTable(truthyCore(e))` is "the preferred
+    * population figures", the reference README's own example finally
+    * under `wdt:` semantics. One window max over (id, property_id) — a
+    * single shuffle of the claim-grain slice, no join. Input must come
+    * from [[DumpReader.readQualified]] (statement ids key the spine). */
+  def truthyCore(entities: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exploded = entities
       .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
       .select(
         IdCodec.encodeTextCol(col("id_text")).as("id"),
         IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
         explode(col("claims")).as("claim"))
-      .withColumn("rank", coalesce(col("claim.rank"), lit("normal")))
-      .filter(col("rank") =!= "deprecated")
-      .filter(col("claim.mainsnak.snaktype") === "value")
-    val routed = exploded
-      .select(col("id"), col("property_id"), col("claim.id").as("claim_id"),
-        col("rank"),
-        col("claim.mainsnak.datavalue.type").as("value_type"),
-        try_variant_get(col("claim.mainsnak.datavalue.value"), "$", WideValue).as("w"))
-      .filter(col("value_type") === "wikibase-entityid")
-      .select(col("id"), col("property_id"), col("claim_id"), col("rank"),
-        IdCodec.encodeTextCol(col("w.id")).as("entity_id"))
-      .filter(col("entity_id").isNotNull)
-      .withColumn("__p", (col("rank") === "preferred").cast("int"))
-    val best = routed.groupBy("id", "property_id").agg(max(col("__p")).as("__hp"))
-    routed.join(best, Seq("id", "property_id"))
+      .withColumn("__p",
+        (coalesce(col("claim.rank"), lit("normal")) === "preferred").cast("int"))
+      .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
+    val w = Window.partitionBy("id", "property_id")
+    val cut = exploded
+      .withColumn("__hp", max(col("__p")).over(w))
       .filter(col("__p") === col("__hp"))
-      .select("id", "property_id", "claim_id", "entity_id")
+      .select(col("id"), col("property_id"), col("claim.id").as("claim_id"),
+        col("claim.mainsnak").as("snak"))
+    projectSnak(cut, Seq("id", "property_id", "claim_id"))
   }
+
+  /** W46: the truthy ENTITY statement spine — [[truthyCore]] routed to the
+    * entity family, the shape [[TemporalClaims.validAt]] composes with
+    * (W48: "what was the preferred population at T"). */
+  def truthyStatements(entities: DataFrame): DataFrame =
+    truthyCore(entities)
+      .filter(col("snaktype") === "value" &&
+        col("value_type") === "wikibase-entityid")
+      .select(col("id"), col("property_id"), col("claim_id"),
+        IdCodec.encodeTextCol(col("v_entity_id")).as("entity_id"))
+      .filter(col("entity_id").isNotNull)
 
   /** Full pipeline: parsed entities → all 8 tables. `cache=true` persists
     * the PARSED entity structs so all 8 sinks — meta included, which the

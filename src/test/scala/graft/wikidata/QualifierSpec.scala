@@ -201,6 +201,76 @@ class QualifierSpec extends SparkSpec {
       (IdCodec.pId(71), 13L), (IdCodec.pId(71), 14L)) // no preferred → all normals
   }
 
+  test("the truthy flag aggregates over ALL value families and snaktypes (W46/W47)") {
+    def ent(q: String, rank: String, sid: String) =
+      s"""{"id":"$sid","mainsnak":{"snaktype":"value","property":"PX","datavalue":{"value":{"entity-type":"item","id":"$q"},"type":"wikibase-entityid"}},"type":"statement","rank":"$rank"}"""
+    def qty(amt: String, rank: String, sid: String) =
+      s"""{"id":"$sid","mainsnak":{"snaktype":"value","property":"PX","datavalue":{"value":{"amount":"+$amt","unit":"1"},"type":"quantity"}},"type":"statement","rank":"$rank"}"""
+    def noval(rank: String, sid: String) =
+      s"""{"id":"$sid","mainsnak":{"snaktype":"novalue","property":"PX"},"type":"statement","rank":"$rank"}"""
+    val lines = Seq("[",
+      s"""{"id":"Q60","type":"item","claims":{
+         |"P80":[${ent("Q10", "normal", "Q60$$0")},${qty("7.5", "preferred", "Q60$$1")}],
+         |"P81":[${ent("Q11", "normal", "Q60$$2")},${qty("8.5", "normal", "Q60$$3")}],
+         |"P82":[${qty("1.5", "normal", "Q60$$4")},${qty("2.5", "preferred", "Q60$$5")}],
+         |"P83":[${ent("Q12", "normal", "Q60$$6")},${noval("preferred", "Q60$$7")}]
+         |}},""".stripMargin.replaceAll("\n", ""),
+      "]")
+    val core = WikidataEtl.truthyCore(
+      DumpReader.fromLines(spark, lines, DumpReader.entitySchemaQualified))
+    // entity slice: P80's normal Q10 is suppressed by the PREFERRED
+    // QUANTITY in the same group (the cross-family law); P83's normal Q12
+    // by the preferred NOVALUE (ranks apply to valueless snaks too); P81
+    // has no preferred → both normals truthy
+    WikidataEtl.entityTable(core)
+      .collect().map(r => (r.getAs[Long]("property_id"), r.getAs[Long]("entity_id")))
+      .toSet shouldBe Set((IdCodec.pId(81), 11L))
+    // quantity slice: the preferred figures + P81's uncontested normal
+    WikidataEtl.quantityTable(core)
+      .collect().map(r => (r.getAs[Long]("property_id"), r.getAs[Double]("amount")))
+      .toSet shouldBe Set(
+        (IdCodec.pId(80), 7.5), (IdCodec.pId(81), 8.5), (IdCodec.pId(82), 2.5))
+    // the preferred novalue itself routes to none — truthy, not dropped
+    WikidataEtl.noneTable(core)
+      .collect().map(r => r.getAs[Long]("property_id"))
+      .toSet shouldBe Set(IdCodec.pId(83))
+  }
+
+  test("truthyCore is ONE hash shuffle of the claim slice — window max, no join back (W46 scale shape)") {
+    // repartition the source so the window's required distribution is not
+    // trivially satisfied by a single input partition; executedPlan, not
+    // sparkPlan — EnsureRequirements inserts the exchanges there
+    val core = WikidataEtl.truthyCore(ents.repartition(3))
+    val plan = core.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1 // the (id, property_id) window exchange
+    plan should not include "Join" // best-flag via window, never a groupBy + join back
+  }
+
+  test("truthy × validAt: the preferred statement's own span decides the group (W48)") {
+    def ent(q: String, rank: String, sid: String, quals: String = "") = {
+      val qq = if (quals.isEmpty) "" else s""","qualifiers":{$quals}"""
+      s"""{"id":"$sid","mainsnak":{"snaktype":"value","property":"PX","datavalue":{"value":{"entity-type":"item","id":"$q"},"type":"wikibase-entityid"}},"type":"statement","rank":"$rank"$qq}"""
+    }
+    val lines = Seq("[",
+      s"""{"id":"Q70","type":"item","claims":{
+         |"P90":[${ent("Q20", "preferred", "Q70$$0",
+                s""""P582":[${timeSnak("P582", "+1940-01-01T00:00:00Z")}]""")},${ent("Q21", "normal", "Q70$$1")}],
+         |"P91":[${ent("Q22", "preferred", "Q70$$2",
+                s""""P580":[${timeSnak("P580", "+1920-01-01T00:00:00Z")}],"P582":[${timeSnak("P582", "+1980-01-01T00:00:00Z")}]""")},${ent("Q23", "normal", "Q70$$3")}]
+         |}},""".stripMargin.replaceAll("\n", ""),
+      "]")
+    val e = DumpReader.fromLines(spark, lines, DumpReader.entitySchemaQualified)
+    val alive = TemporalClaims.validAt(
+      WikidataEtl.truthyStatements(e), WikidataEtl.qualifiersTable(e),
+      lit("1950-06-01 00:00:00").cast("timestamp"))
+      .collect().map(r => (r.getAs[Long]("property_id"), r.getAs[Long]("entity_id"))).toSet
+    // P90: truthy keeps ONLY the preferred Q20 (normal Q21 suppressed),
+    // whose span ended 1940 → dead at 1950 → the group answers NOTHING
+    // (NOT Q21 — wdt: semantics, then time). P91: preferred Q22's span
+    // straddles 1950 → it answers.
+    alive shouldBe Set((IdCodec.pId(91), 22L))
+  }
+
   test("temporalCoverage rolls up spans per property (W44)") {
     val cov = TemporalClaims.temporalCoverage(stmts, quals)
       .collect().map(r => r.getAs[Long]("property_id") -> r).toMap

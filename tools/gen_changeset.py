@@ -40,10 +40,12 @@ def main():
     g.rng = random.Random(20260812)
     g.qrng = random.Random(20260815)
     g.rrng = random.Random(20260816)
+    g.trng = random.Random(20260817)
     v1 = []
     for i in range(300):
         ent = g.gen_entity(i)
         g.add_rank_contests(ent)
+        g.add_typed_contests(ent)
         g.add_qualifiers(ent, ent["id"])
         v1.append(ent)
 
@@ -51,6 +53,7 @@ def main():
     g.rng = random.Random(77)       # fresh content stream for new revisions
     g.qrng = random.Random(88)      # fresh qualifier stream for revisions
     g.rrng = random.Random(89)      # fresh rank-contest stream for revisions
+    g.trng = random.Random(90)      # fresh typed-contest stream for revisions
 
     idx = list(range(300))
     rng.shuffle(idx)
@@ -65,6 +68,7 @@ def main():
         ent = g.gen_entity(i)
         ent["id"] = v1[i]["id"]
         g.add_rank_contests(ent)
+        g.add_typed_contests(ent)
         g.add_qualifiers(ent, ent["id"])
         return ent
 
@@ -114,6 +118,7 @@ def main():
     for i in range(300, 312):
         ent = g.gen_entity(i)
         g.add_rank_contests(ent)
+        g.add_typed_contests(ent)
         g.add_qualifiers(ent, ent["id"])
         winners[ent["id"]] = put(ent, next_revid())
 

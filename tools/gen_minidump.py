@@ -30,6 +30,8 @@ rng = random.Random(20260812)
 qrng = random.Random(20260815)
 # rank-contest planting (W46) — its own stream, same isolation argument
 rrng = random.Random(20260816)
+# typed + span rank contests (W47/W48) — its own stream again
+trng = random.Random(20260817)
 
 WORDS = ["alpha", "beta", "gamma", "delta", "rho", "sigma", "omega", "kappa"]
 
@@ -118,6 +120,100 @@ def add_rank_contests(ent):
                               "rank": rrng.choice(["preferred", "preferred", "normal", "deprecated"])})
 
 
+def _t_quantity_snak(pid_text):
+    amt = round(trng.uniform(0, 9999), 2)
+    value = {"amount": f"+{amt}",
+             "unit": "1" if trng.random() < 0.5
+             else f"http://www.wikidata.org/entity/Q{trng.randint(1, 999)}"}
+    return {"snaktype": "value", "property": pid_text,
+            "datavalue": {"value": value, "type": "quantity"}}
+
+
+def _t_time_snak(pid_text):
+    year = trng.randint(1900, 1999)
+    return {"snaktype": "value", "property": pid_text,
+            "datavalue": {"value": {"time": f"+{year:04d}-01-01T00:00:00Z",
+                                    "timezone": 0, "precision": 9},
+                          "type": "time"}}
+
+
+def _t_string_snak(pid_text):
+    return {"snaktype": "value", "property": pid_text,
+            "datavalue": {"value": trng.choice(WORDS) + str(trng.randint(0, 99)),
+                          "type": "string"}}
+
+
+def _t_entity_snak(pid_text):
+    return {"snaktype": "value", "property": pid_text,
+            "datavalue": {"value": {"entity-type": "item",
+                                    "id": f"Q{trng.randint(1, 99999)}"},
+                          "type": "wikibase-entityid"}}
+
+
+def add_typed_contests(ent):
+    """W47/W48 fixtures, three families of contested statement groups:
+
+    1. SAME-FAMILY contests on quantity/time/string claims — a second
+       statement of the same value type under the same property with a
+       random rank (incl. preferred), so the typed truthy cut over the
+       quantity and time tables actually removes rows ("the population of
+       X" returns only the preferred figure).
+    2. MIXED-TYPE contests — a preferred statement of a DIFFERENT value
+       family planted into the group (a preferred quantity next to normal
+       entity statements, a preferred NOVALUE next to valued ones): the
+       BestRank flag must aggregate over ALL statements of the group, not
+       within one value family — a flag computed per-slice diverges here.
+    3. RANK+SPAN contests (W48) — a preferred ENTITY statement carrying
+       its own P580/P582 validity span (sometimes dead at the 1950 gate
+       timestamp, sometimes alive) alongside the normals: truthy keeps
+       only the preferred one, validAt then decides whether the group
+       answers at all — the composition is only testable when both cuts
+       bite the same group.
+    """
+    for pid_text, stmts in list(ent["claims"].items()):
+        for st in list(stmts):
+            ms = st.get("mainsnak", {})
+            if ms.get("snaktype") != "value":
+                continue
+            vt = ms.get("datavalue", {}).get("type")
+            r = trng.random()
+            if vt in ("quantity", "time", "string") and r < 0.5:
+                snak = {"quantity": _t_quantity_snak, "time": _t_time_snak,
+                        "string": _t_string_snak}[vt](pid_text)
+                stmts.append({"mainsnak": snak, "type": "statement",
+                              "rank": trng.choice(["preferred", "preferred",
+                                                   "normal", "deprecated"])})
+            elif r < 0.12:
+                maker = trng.choice([_t_quantity_snak, _t_time_snak,
+                                     _t_string_snak, _t_entity_snak])
+                stmts.append({"mainsnak": maker(pid_text), "type": "statement",
+                              "rank": "preferred"})
+            elif r < 0.16:
+                stmts.append({"mainsnak": {"snaktype": "novalue",
+                                           "property": pid_text},
+                              "type": "statement", "rank": "preferred"})
+            if vt == "wikibase-entityid" and trng.random() < 0.2:
+                span_kind = trng.randrange(3)
+                if span_kind == 0:   # ended before 1950: dead at the gate T
+                    quals = {"P582": [_t_span_time("P582", trng.randint(1900, 1949))]}
+                elif span_kind == 1:  # starts after 1950: not yet at T
+                    quals = {"P580": [_t_span_time("P580", trng.randint(1951, 1999))]}
+                else:                 # alive at T
+                    quals = {"P580": [_t_span_time("P580", trng.randint(1900, 1949))],
+                             "P582": [_t_span_time("P582", trng.randint(1951, 1999))]}
+                stmts.append({"mainsnak": _t_entity_snak(pid_text),
+                              "type": "statement", "rank": "preferred",
+                              "qualifiers": quals,
+                              "qualifiers-order": list(quals.keys())})
+
+
+def _t_span_time(qpid_text, year):
+    return {"snaktype": "value", "property": qpid_text,
+            "datavalue": {"value": {"time": f"+{year:04d}-06-15T00:00:00Z",
+                                    "timezone": 0, "precision": 11},
+                          "type": "time"}}
+
+
 def add_qualifiers(ent, id_text):
     """Plant statement ids + qualifiers on ~40% of statements (deprecated
     statements included — the router must drop their qualifiers too)."""
@@ -126,6 +222,8 @@ def add_qualifiers(ent, id_text):
         for st in stmts:
             st["id"] = f"{id_text}${sidx}"
             sidx += 1
+            if "qualifiers" in st:  # span-contest statements keep theirs
+                continue
             if qrng.random() < 0.4:
                 quals = {}
                 for _ in range(qrng.randint(1, 3)):
@@ -229,6 +327,7 @@ def main():
     for i in range(300):
         ent = gen_entity(i)
         add_rank_contests(ent)
+        add_typed_contests(ent)
         add_qualifiers(ent, ent["id"])
         lines.append(json.dumps(ent, separators=(",", ":")) + ",")
         if i % 60 == 17:
