@@ -1633,6 +1633,36 @@ object Relational {
         .orderBy("src", "dst")
     },
 
+    "w49_truthy_closure" -> { (s, dir) =>
+      // W49 = W20 × W46: the ontology closure under wdt: semantics — the
+      // BestRank cut picks each node's edge set, THEN path doubling runs
+      // over the survivors. Deterministic contested hierarchy over ids
+      // 2..4095: every id asserts a NORMAL P279 edge to id div 2; ids %5==0
+      // also assert a PREFERRED edge to id div 4 (truthy must keep ONLY
+      // that one — reachability genuinely changes); ids %7==0 also assert
+      // a DEPRECATED edge to 1 (must drop AND never suppress). A cut that
+      // keeps deprecated edges, misses preferred suppression, or computes
+      // the flag in the wrong group diverges from the oracle's residue
+      // arithmetic. Two claim-keyed stages: one window shuffle for the
+      // cut, O(log diameter) joins for the closure.
+      import graft.wikidata.{IdCodec, WikidataEtl}
+      val ids = s.range(2, 4096)
+      val pid = lit(IdCodec.encodeText("P279").get)
+      val normal = ids.select(col("id"), pid.as("property_id"),
+        lit("normal").as("rank"), expr("id div 2").as("entity_id"))
+      val preferred = ids.filter(col("id") % 5 === 0).select(col("id"),
+        pid.as("property_id"), lit("preferred").as("rank"),
+        expr("id div 4").as("entity_id"))
+      val deprecated = ids.filter(col("id") % 7 === 0).select(col("id"),
+        pid.as("property_id"), lit("deprecated").as("rank"),
+        lit(1L).as("entity_id"))
+      val truthy = WikidataEtl.truthyCut(
+        normal.unionAll(preferred).unionAll(deprecated))
+      graft.operators.PropertyPath.closure(
+          truthy.select(col("id").as("src"), col("entity_id").as("dst")))
+        .orderBy("src", "dst")
+    },
+
     "w31_ontology_cycles" -> { (s, dir) =>
       // W31: the P279-loop audit over a deterministic 2046-node class tree
       // with three planted back-edges (parent → child), each closing a
@@ -2613,6 +2643,21 @@ object Relational {
         |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
         |)
         |SELECT src, dst FROM cl""".stripMargin,
+
+    // W49: the truthy edge set re-derived as residue arithmetic — a %5 id
+    // keeps ONLY its preferred id//4 edge, everyone else the normal id//2
+    // edge, deprecated edges never exist — then the same recursive CTE.
+    "w49_truthy_closure" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id AS src,
+        |    CASE WHEN id % 5 = 0 THEN id // 4 ELSE id // 2 END AS dst
+        |  FROM range(2, 4096) t(id)
+        |), cl AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
+        |)
+        |SELECT src, dst FROM cl ORDER BY src, dst""".stripMargin,
 
     // W31: closure over the planted-cycle tree, self-pairs = loop members,
     // taint = everything whose ancestor chain reaches one

@@ -349,23 +349,36 @@ object WikidataEtl {
     * single shuffle of the claim-grain slice, no join. Input must come
     * from [[DumpReader.readQualified]] (statement ids key the spine). */
   def truthyCore(entities: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val exploded = entities
       .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
       .select(
         IdCodec.encodeTextCol(col("id_text")).as("id"),
         IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
         explode(col("claims")).as("claim"))
-      .withColumn("__p",
-        (coalesce(col("claim.rank"), lit("normal")) === "preferred").cast("int"))
-      .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
-    val w = Window.partitionBy("id", "property_id")
-    val cut = exploded
-      .withColumn("__hp", max(col("__p")).over(w))
-      .filter(col("__p") === col("__hp"))
+      .withColumn("rank", coalesce(col("claim.rank"), lit("normal")))
+    val cut = truthyCut(exploded)
       .select(col("id"), col("property_id"), col("claim.id").as("claim_id"),
         col("claim.mainsnak").as("snak"))
     projectSnak(cut, Seq("id", "property_id", "claim_id"))
+  }
+
+  /** The BestRank cut over ANY claim-grain frame carrying `id`,
+    * `property_id` and a literal `rank` column ("preferred" / "normal" /
+    * "deprecated") — the frame-level form [[truthyCore]] is built on, and
+    * the one synthetic-graph gates compose with (W49: ontology closure
+    * under `wdt:` semantics). Deprecated rows are dropped AND never
+    * suppress; a preferred row suppresses every non-preferred row of its
+    * (id, property) group; other columns pass through untouched. One
+    * window max over (id, property_id) — a single hash shuffle. */
+  def truthyCut(statements: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id", "property_id")
+    statements
+      .filter(col("rank") =!= "deprecated")
+      .withColumn("__p", (col("rank") === "preferred").cast("int"))
+      .withColumn("__hp", max(col("__p")).over(w))
+      .filter(col("__p") === col("__hp"))
+      .drop("__p", "__hp")
   }
 
   /** W46: the truthy ENTITY statement spine — [[truthyCore]] routed to the

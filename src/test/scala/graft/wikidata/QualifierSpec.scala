@@ -236,6 +236,20 @@ class QualifierSpec extends SparkSpec {
       .toSet shouldBe Set(IdCodec.pId(83))
   }
 
+  test("truthyCut: frame-level BestRank laws — deprecated drops and never suppresses; columns pass through (W49)") {
+    import spark.implicits._
+    val stmts = Seq(
+      (1L, 10L, "normal", 100L),     // contested by a preferred → suppressed
+      (1L, 10L, "preferred", 200L),
+      (1L, 11L, "normal", 300L),     // contested only by deprecated → survives
+      (1L, 11L, "deprecated", 400L),
+      (2L, 10L, "normal", 500L)      // uncontested normal → survives
+    ).toDF("id", "property_id", "rank", "entity_id")
+    val cut = WikidataEtl.truthyCut(stmts)
+    cut.columns.toSeq shouldBe Seq("id", "property_id", "rank", "entity_id")
+    cut.select("entity_id").as[Long].collect().toSet shouldBe Set(200L, 300L, 500L)
+  }
+
   test("truthyCore is ONE hash shuffle of the claim slice — window max, no join back (W46 scale shape)") {
     // repartition the source so the window's required distribution is not
     // trivially satisfied by a single input partition; executedPlan, not
