@@ -81,6 +81,12 @@ object DumpReader {
   }
 
   /** Read a dump file (or directory of shards) into entity variants. */
+  /** `path` may be one file, a shard directory, or a glob; compressed
+    * shards (`.gz`, `.bz2` — the official Wikidata dump shipping formats)
+    * decode transparently through the Hadoop codecs, and bz2 is
+    * SPLITTABLE, so one multi-GB `.bz2` dump file parallelizes across
+    * executors without pre-decompression (gz is not — shard gz inputs).
+    * Gate `w50_compressed_dump` certifies mixed-codec shard ingestion. */
   def read(spark: SparkSession, path: String): DataFrame =
     entities(spark.read.text(path))
 
