@@ -110,6 +110,104 @@ class EtlDifferentialSpec extends SparkSpec {
       "claims" -> claims.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}"))
   }
 
+  test("truthy matches a pure-Scala BestRank interpreter on 200 random contested entities (W46/W47)") {
+    // The mini-dump plants SPECIFIC contests; this fuzzes the law itself:
+    // multi-statement (entity, property) groups with random value families
+    // and ranks, the expectation derived by a 6-line Scala interpreter of
+    // BestRank (kept = non-deprecated; any preferred in the WHOLE group →
+    // only preferred are truthy), then every routed table compared as a
+    // MULTISET (identical novalue rows must keep their multiplicity).
+    val trng = new scala.util.Random(20260818L)
+    val expEntity  = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val expString  = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val expQty     = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Any)]()
+    val expNone    = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val expUnknown = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+
+    case class St(rank: String, kind: String, json: String, payload: Any)
+    def genSt(pidN: Int): St = {
+      val rank = Seq("normal", "normal", "preferred", "deprecated")(trng.nextInt(4))
+      trng.nextInt(5) match {
+        case 0 =>
+          val s = "w" + trng.nextInt(100000)
+          St(rank, "string", obj("snaktype" -> jstr("value"), "property" -> jstr(s"P$pidN"),
+            "datavalue" -> obj("value" -> jstr(s), "type" -> jstr("string"))), s)
+        case 1 =>
+          val q = 1 + trng.nextInt(99999)
+          St(rank, "entity", obj("snaktype" -> jstr("value"), "property" -> jstr(s"P$pidN"),
+            "datavalue" -> obj(
+              "value" -> obj("entity-type" -> jstr("item"), "id" -> jstr(s"Q$q")),
+              "type" -> jstr("wikibase-entityid"))), q.toLong)
+        case 2 =>
+          val amt = math.round(trng.nextDouble() * 10000) / 100.0
+          val unit = if (trng.nextBoolean()) "1" else s"http://www.wikidata.org/entity/Q${1 + trng.nextInt(999)}"
+          val unitId: Any = if (unit == "1") null else unit.split("Q").last.toLong
+          St(rank, "quantity", obj("snaktype" -> jstr("value"), "property" -> jstr(s"P$pidN"),
+            "datavalue" -> obj(
+              "value" -> obj("amount" -> jstr(s"+$amt"), "unit" -> jstr(unit)),
+              "type" -> jstr("quantity"))), (amt, unitId))
+        case 3 =>
+          St(rank, "none", obj("snaktype" -> jstr("novalue"), "property" -> jstr(s"P$pidN")), ())
+        case _ =>
+          St(rank, "unknown", obj("snaktype" -> jstr("somevalue"), "property" -> jstr(s"P$pidN")), ())
+      }
+    }
+
+    val lines = (0 until 200).map { i =>
+      val id = i + 1L
+      // DISTINCT pids per entity: a duplicate JSON map key would silently
+      // drop one group on the parse side while the interpreter counts both
+      val pidNs = Iterator.continually(1 + trng.nextInt(9999))
+        .distinct.take(1 + trng.nextInt(3)).toSeq
+      val claims = pidNs.map { pidN =>
+        val pid = pidN + 1000000000L
+        val group = (0 until 1 + trng.nextInt(4)).map(_ => genSt(pidN))
+        // the interpreter: BestRank over the WHOLE group, then route
+        val kept = group.filter(_.rank != "deprecated")
+        val hp = kept.exists(_.rank == "preferred")
+        kept.filter(st => (st.rank == "preferred") == hp).foreach { st =>
+          st.kind match {
+            case "string"   => expString += ((id, pid, st.payload.asInstanceOf[String]))
+            case "entity"   => expEntity += ((id, pid, st.payload.asInstanceOf[Long]))
+            case "quantity" =>
+              val (a, u) = st.payload.asInstanceOf[(Double, Any)]
+              expQty += ((id, pid, a, u))
+            case "none"     => expNone += ((id, pid))
+            case "unknown"  => expUnknown += ((id, pid))
+          }
+        }
+        s"P$pidN" -> group.map(st =>
+          obj("mainsnak" -> st.json, "type" -> jstr("statement"), "rank" -> jstr(st.rank)))
+          .mkString("[", ",", "]")
+      }
+      obj("id" -> jstr(s"Q${i + 1}"), "type" -> jstr("item"),
+        "labels" -> "{}", "descriptions" -> "{}",
+        "claims" -> claims.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}"))
+    }
+
+    val core = WikidataEtl.truthyCore(DumpReader.fromLines(
+      spark, lines.map(_ + ","), DumpReader.entitySchemaQualified))
+    def multiset[A](xs: Seq[A]): Map[A, Int] =
+      xs.groupBy(identity).view.mapValues(_.size).toMap
+
+    multiset(WikidataEtl.entityTable(core).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq) shouldBe
+      multiset(expEntity.toSeq)
+    multiset(WikidataEtl.stringTable(core).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq) shouldBe
+      multiset(expString.toSeq)
+    multiset(WikidataEtl.quantityTable(core).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(5)) null else r.getLong(5))).toSeq) shouldBe
+      multiset(expQty.toSeq.map { case (a, b, c, d) => (a, b, c, d) })
+    multiset(WikidataEtl.noneTable(core).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq) shouldBe
+      multiset(expNone.toSeq)
+    multiset(WikidataEtl.unknownTable(core).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq) shouldBe
+      multiset(expUnknown.toSeq)
+  }
+
   test("ETL matches the pure-Scala reference interpreter on 300 random entities") {
     val lines  = (0 until 300).map(genEntity) // also fills expectMeta/expectClaims
     val tables = WikidataEtl.run(DumpReader.fromLines(spark, lines.map(_ + ",")))
