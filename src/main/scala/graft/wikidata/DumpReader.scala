@@ -70,6 +70,18 @@ object DumpReader {
       StructField("en", StructType(Seq(StructField("value", StringType))))))),
     StructField("claims", MapType(StringType, ArrayType(statementTypeQualified)))))
 
+  /** W51/W52: the name-and-link surface the reference drops entirely —
+    * sitelinks ("which enwiki article is this entity") and aliases (every
+    * language's alternate names, not just the one English label `meta`
+    * keeps). Opt-in like the qualified schema: the 8-table fast path keeps
+    * the minimal parse, the links run pays only for what it routes. */
+  val entitySchemaLinks: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("aliases", MapType(StringType, ArrayType(StructType(Seq(
+      StructField("value", StringType)))))),
+    StructField("sitelinks", MapType(StringType, StructType(Seq(
+      StructField("title", StringType)))))))
+
   /** Raw dump lines → one pruned-struct column `entity`, malformed lines
     * (null id — the reference can't emit anything without one) dropped. */
   def entities(lines: DataFrame, schema: StructType = entitySchema): DataFrame = {
@@ -93,6 +105,10 @@ object DumpReader {
   /** Read with statement ids + qualifiers retained (the W34 superset). */
   def readQualified(spark: SparkSession, path: String): DataFrame =
     entities(spark.read.text(path), entitySchemaQualified)
+
+  /** Read the sitelinks + aliases slice (the W51/W52 superset). */
+  def readLinks(spark: SparkSession, path: String): DataFrame =
+    entities(spark.read.text(path), entitySchemaLinks)
 
   /** Parse an in-memory dataset of dump lines (tests, streaming sources). */
   def fromLines(spark: SparkSession, lines: Seq[String],

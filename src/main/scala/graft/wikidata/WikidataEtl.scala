@@ -146,6 +146,32 @@ object WikidataEtl {
       col(s"$E.descriptions.en.value").as("description"))
       .filter(col("id").isNotNull)
 
+  /** W51: `sitelinks` — (id, site, title), one row per wiki page linked to
+    * the entity. The reference drops sitelinks entirely, yet "which enwiki
+    * article is Q42" is the join every wiki-corpus pipeline starts from
+    * (aligning dump entities with article text). Explode of the pruned
+    * map — shuffle-free, WholeStageCodegen like every routed table. Input
+    * from [[DumpReader.readLinks]]. */
+  def sitelinksTable(entities: DataFrame): DataFrame =
+    entities
+      .select(IdCodec.encodeTextCol(col(s"$E.id")).as("id"),
+        explode(col(s"$E.sitelinks")).as(Seq("site", "sl")))
+      .select(col("id"), col("site"), col("sl.title").as("title"))
+      .filter(col("id").isNotNull && col("title").isNotNull)
+
+  /** W52: `aliases` — (id, language, alias), EVERY language's alternate
+    * names (meta keeps only the one English label; the reference drops
+    * aliases entirely). The other half of name lookup: "Douglas Noël
+    * Adams" and "DNA" both resolve. Two nested explodes, shuffle-free.
+    * Input from [[DumpReader.readLinks]]. */
+  def aliasesTable(entities: DataFrame): DataFrame =
+    entities
+      .select(IdCodec.encodeTextCol(col(s"$E.id")).as("id"),
+        explode(col(s"$E.aliases")).as(Seq("language", "vals")))
+      .select(col("id"), col("language"), explode(col("vals")).as("a"))
+      .select(col("id"), col("language"), col("a.value").as("alias"))
+      .filter(col("id").isNotNull && col("alias").isNotNull)
+
   /** Wikidata entity URI or bare id → encoded id (globes/units arrive as
     * "http://www.wikidata.org/entity/Q2"). */
   private def uriToId(c: Column): Column =

@@ -41,11 +41,13 @@ def main():
     g.qrng = random.Random(20260815)
     g.rrng = random.Random(20260816)
     g.trng = random.Random(20260817)
+    g.srng = random.Random(20260819)
     v1 = []
     for i in range(300):
         ent = g.gen_entity(i)
         g.add_rank_contests(ent)
         g.add_typed_contests(ent)
+        g.add_links(ent)
         g.add_qualifiers(ent, ent["id"])
         v1.append(ent)
 
@@ -54,6 +56,7 @@ def main():
     g.qrng = random.Random(88)      # fresh qualifier stream for revisions
     g.rrng = random.Random(89)      # fresh rank-contest stream for revisions
     g.trng = random.Random(90)      # fresh typed-contest stream for revisions
+    g.srng = random.Random(91)      # fresh links stream for revisions
 
     idx = list(range(300))
     rng.shuffle(idx)
@@ -69,6 +72,7 @@ def main():
         ent["id"] = v1[i]["id"]
         g.add_rank_contests(ent)
         g.add_typed_contests(ent)
+        g.add_links(ent)
         g.add_qualifiers(ent, ent["id"])
         return ent
 
@@ -119,6 +123,7 @@ def main():
         ent = g.gen_entity(i)
         g.add_rank_contests(ent)
         g.add_typed_contests(ent)
+        g.add_links(ent)
         g.add_qualifiers(ent, ent["id"])
         winners[ent["id"]] = put(ent, next_revid())
 

@@ -32,6 +32,8 @@ qrng = random.Random(20260815)
 rrng = random.Random(20260816)
 # typed + span rank contests (W47/W48) — its own stream again
 trng = random.Random(20260817)
+# sitelinks + aliases (W51/W52) — its own stream again
+srng = random.Random(20260819)
 
 WORDS = ["alpha", "beta", "gamma", "delta", "rho", "sigma", "omega", "kappa"]
 
@@ -214,6 +216,29 @@ def _t_span_time(qpid_text, year):
                           "type": "time"}}
 
 
+def add_links(ent):
+    """W51/W52 fixtures: sitelinks (several wikis, some entities none) and
+    multilingual alias lists (1-3 per language, some languages absent) —
+    the name-and-link surface the reference drops."""
+    if srng.random() < 0.6:
+        sl = {}
+        for site in ("enwiki", "dewiki", "frwiki", "commonswiki"):
+            if srng.random() < 0.4:
+                title = (srng.choice(WORDS) + " " + str(srng.randint(0, 999))).title()
+                sl[site] = {"site": site, "title": title}
+        if sl:
+            ent["sitelinks"] = sl
+    if srng.random() < 0.5:
+        al = {}
+        for lang in ("en", "de", "fr"):
+            if srng.random() < 0.5:
+                al[lang] = [{"language": lang,
+                             "value": srng.choice(WORDS) + str(srng.randint(0, 99))}
+                            for _ in range(1 + srng.randrange(3))]
+        if al:
+            ent["aliases"] = al
+
+
 def add_qualifiers(ent, id_text):
     """Plant statement ids + qualifiers on ~40% of statements (deprecated
     statements included — the router must drop their qualifiers too)."""
@@ -328,6 +353,7 @@ def main():
         ent = gen_entity(i)
         add_rank_contests(ent)
         add_typed_contests(ent)
+        add_links(ent)
         add_qualifiers(ent, ent["id"])
         lines.append(json.dumps(ent, separators=(",", ":")) + ",")
         if i % 60 == 17:
