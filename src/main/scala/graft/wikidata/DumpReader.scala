@@ -82,6 +82,22 @@ object DumpReader {
     StructField("sitelinks", MapType(StringType, StructType(Seq(
       StructField("title", StringType)))))))
 
+  /** W54: the complete superset parse — qualified statements PLUS
+    * sitelinks and aliases, still pruned (no references, no non-English
+    * labels/descriptions): everything the 12-table full run consumes from
+    * ONE `from_json` pass. */
+  val entitySchemaFull: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("labels", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("descriptions", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("claims", MapType(StringType, ArrayType(statementTypeQualified))),
+    StructField("aliases", MapType(StringType, ArrayType(StructType(Seq(
+      StructField("value", StringType)))))),
+    StructField("sitelinks", MapType(StringType, StructType(Seq(
+      StructField("title", StringType)))))))
+
   /** Raw dump lines → one pruned-struct column `entity`, malformed lines
     * (null id — the reference can't emit anything without one) dropped. */
   def entities(lines: DataFrame, schema: StructType = entitySchema): DataFrame = {
@@ -109,6 +125,10 @@ object DumpReader {
   /** Read the sitelinks + aliases slice (the W51/W52 superset). */
   def readLinks(spark: SparkSession, path: String): DataFrame =
     entities(spark.read.text(path), entitySchemaLinks)
+
+  /** Read the complete superset slice (the W54 12-table run). */
+  def readFull(spark: SparkSession, path: String): DataFrame =
+    entities(spark.read.text(path), entitySchemaFull)
 
   /** Parse an in-memory dataset of dump lines (tests, streaming sources). */
   def fromLines(spark: SparkSession, lines: Seq[String],

@@ -22,13 +22,18 @@ final case class WikidataTables(
       * ran qualified ([[WikidataEtl.runQualified]]) — a strict superset of
       * the reference's 8-table output. */
     qualifiers: Option[DataFrame] = None,
-    statements: Option[DataFrame] = None) {
+    statements: Option[DataFrame] = None,
+    /** W51/W52: the name-and-link tables, present when the ETL ran full
+      * ([[WikidataEtl.runFull]]). */
+    sitelinks: Option[DataFrame] = None,
+    aliases: Option[DataFrame] = None) {
 
   def byName: Map[String, DataFrame] = Map(
     "meta" -> meta, "string" -> string, "entity" -> entity,
     "coordinates" -> coordinates, "quantity" -> quantity, "time" -> time,
     "none" -> none, "unknown" -> unknown) ++
-    qualifiers.map("qualifiers" -> _) ++ statements.map("statements" -> _)
+    qualifiers.map("qualifiers" -> _) ++ statements.map("statements" -> _) ++
+    sitelinks.map("sitelinks" -> _) ++ aliases.map("aliases" -> _)
 
   /** Release the cached claim core (bounded-memory long-running callers —
     * streaming micro-batches — must pair every `run` with this). */
@@ -451,6 +456,22 @@ object WikidataEtl {
     base.copy(
       qualifiers = Some(qualifiersTable(src)),
       statements = Some(entityStatements(src)))
+  }
+
+  /** W54: the COMPLETE one-pass superset run — all 12 tables (the
+    * reference's 8, the W34 qualifier table + claim spine, and the
+    * W51/W52 sitelinks + aliases) derived from ONE cached parse of the
+    * [[DumpReader.entitySchemaFull]] slice. This is the "switch from
+    * wd2sql" entry point: one dump scan, every surface the reference has
+    * plus every superset table, all riding `writeParquet`'s concurrent
+    * stat-sorted sink discipline (and [[JdbcSink.writeTables]], which
+    * iterates `byName`, lands all 12 relationally). */
+  def runFull(entities: DataFrame, cache: Boolean = true): WikidataTables = {
+    val base = runQualified(entities, cache)
+    val src = base.core.getOrElse(entities)
+    base.copy(
+      sitelinks = Some(sitelinksTable(src)),
+      aliases = Some(aliasesTable(src)))
   }
 
   /** End-to-end: dump path → parquet tables at `outDir`. The cached claim
