@@ -44,6 +44,10 @@ object IncrementalEtl {
     * claim table). */
   val tableNamesQualified: Seq[String] = tableNames ++ Seq("qualifiers", "statements")
 
+  /** W55: the complete 12-table surface (W54's run) — sitelinks and
+    * aliases are id-keyed too, so the same law covers them. */
+  val tableNamesFull: Seq[String] = tableNamesQualified ++ Seq("sitelinks", "aliases")
+
   /** Changeset entity schema: the pruned dump entity plus revision metadata.
     * A deletion marker carries only (id, lastrevid, deleted). */
   val changeSchema: StructType = StructType(
@@ -55,6 +59,12 @@ object IncrementalEtl {
     * retained on every revision's claims). */
   val changeSchemaQualified: StructType = StructType(
     DumpReader.entitySchemaQualified.fields ++ Seq(
+      StructField("lastrevid", LongType),
+      StructField("deleted", BooleanType)))
+
+  /** W55: the full changeset schema (qualified + sitelinks + aliases). */
+  val changeSchemaFull: StructType = StructType(
+    DumpReader.entitySchemaFull.fields ++ Seq(
       StructField("lastrevid", LongType),
       StructField("deleted", BooleanType)))
 
@@ -72,9 +82,11 @@ object IncrementalEtl {
 
   /** Read a changeset file (or directory of shards). */
   def readChangeset(spark: SparkSession, path: String,
-      qualified: Boolean = false): DataFrame =
+      qualified: Boolean = false, full: Boolean = false): DataFrame =
     changesFrom(spark.read.text(path),
-      if (qualified) changeSchemaQualified else changeSchema)
+      if (full) changeSchemaFull
+      else if (qualified) changeSchemaQualified
+      else changeSchema)
 
   /** LWW winners: one row per encoded entity id — the max-`lastrevid`
     * revision, deletes outranking puts on a tie. One partial-agg `max_by`
@@ -94,27 +106,33 @@ object IncrementalEtl {
     * on the result once sinks are done (the delta core is cached, as in the
     * full ETL). */
   def applyChangeset(base: Map[String, DataFrame], changes: DataFrame,
-      qualified: Boolean = false): WikidataTables =
-    applyWinners(base, winners(changes), qualified)
+      qualified: Boolean = false, full: Boolean = false): WikidataTables =
+    applyWinners(base, winners(changes), qualified, full)
 
   /** Apply an already-resolved winners frame (`id`, `c`) — one row per
     * entity — to base tables. Split out so the streaming path
     * ([[graft.streaming.IncrementalEtlStream]]) can interpose its
     * cross-batch revision guard between [[winners]] and the merge. */
   def applyWinners(base: Map[String, DataFrame], win: DataFrame,
-      qualified: Boolean = false): WikidataTables = {
+      qualified: Boolean = false, full: Boolean = false): WikidataTables = {
     // surviving revisions, reshaped to DumpReader's pruned entity struct so
     // the delta tables come from the SAME routing code as a full rebuild —
-    // incremental and full cannot drift
+    // incremental and full cannot drift. The full (W55) shape carries the
+    // links fields through; full implies the qualified tables too.
+    val extraFields =
+      if (full) Seq(col("c.aliases").as("aliases"),
+        col("c.sitelinks").as("sitelinks"))
+      else Seq.empty
     val survivors = win
       .filter(!coalesce(col("c.deleted"), lit(false)))
-      .select(struct(
+      .select(struct(Seq(
         col("c.id").as("id"),
         col("c.labels").as("labels"),
         col("c.descriptions").as("descriptions"),
-        col("c.claims").as("claims")).as("entity"))
+        col("c.claims").as("claims")) ++ extraFields: _*).as("entity"))
     val delta =
-      if (qualified) WikidataEtl.runQualified(survivors, cache = true)
+      if (full) WikidataEtl.runFull(survivors, cache = true)
+      else if (qualified) WikidataEtl.runQualified(survivors, cache = true)
       else WikidataEtl.run(survivors, cache = true)
     val touched = win.select("id")
     def merged(name: String): DataFrame =
@@ -131,17 +149,21 @@ object IncrementalEtl {
       none = merged("none"),
       unknown = merged("unknown"),
       core = delta.core,
-      qualifiers = if (qualified) Some(merged("qualifiers")) else None,
-      statements = if (qualified) Some(merged("statements")) else None)
+      qualifiers = if (qualified || full) Some(merged("qualifiers")) else None,
+      statements = if (qualified || full) Some(merged("statements")) else None,
+      sitelinks = if (full) Some(merged("sitelinks")) else None,
+      aliases = if (full) Some(merged("aliases")) else None)
   }
 
   /** File-level apply: parquet tables at `baseDir` + changeset dump at
     * `changesetPath` → next-version frames. */
   def applyFile(spark: SparkSession, baseDir: String, changesetPath: String,
-      qualified: Boolean = false): WikidataTables = {
-    val names = if (qualified) tableNamesQualified else tableNames
+      qualified: Boolean = false, full: Boolean = false): WikidataTables = {
+    val names = if (full) tableNamesFull
+      else if (qualified) tableNamesQualified else tableNames
     val base = names.map(n => n -> spark.read.parquet(s"$baseDir/$n")).toMap
-    applyChangeset(base, readChangeset(spark, changesetPath, qualified), qualified)
+    applyChangeset(base,
+      readChangeset(spark, changesetPath, qualified, full), qualified, full)
   }
 
   /** Atomic refresh: apply the changeset and commit each table as the next
