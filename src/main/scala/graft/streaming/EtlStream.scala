@@ -43,33 +43,48 @@ object EtlStream {
     * table state, X8's discipline at the table-format layer. */
   def startSnapshot(spark: SparkSession, inDir: String, tableRoot: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      full: Boolean = false): StreamingQuery = {
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     val ns = BatchTags.namespace(checkpointDir)
-    val entities = DumpReader.entities(reader.text(inDir))
+    val schema = if (full) DumpReader.entitySchemaFull else DumpReader.entitySchema
+    val entities = DumpReader.entities(reader.text(inDir), schema)
     entities.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        commitBatch(spark, batch.toDF(), tableRoot, batchId, ns)
+        commitBatch(spark, batch.toDF(), tableRoot, batchId, ns, full)
       }
       .start()
   }
 
-  /** One micro-batch of [[startSnapshot]], exposed for direct replay tests. */
+  /** One micro-batch of [[startSnapshot]], exposed for direct replay tests.
+    *
+    * X28 (`full = true`): the same exactly-once publication over the
+    * COMPLETE 12-table surface — the batch must be parsed with
+    * [[DumpReader.entitySchemaFull]], runs through [[WikidataEtl.runFull]]
+    * (one cached parse, every table the W54 one-pass run produces), and the
+    * per-table tag law covers all 12: a crash that published only some of
+    * the 12 is repaired by the replay committing exactly the missing ones.
+    * The scale shape is unchanged — the extra tables are explodes of the
+    * SAME cached batch parse, so the full surface costs four more appends
+    * per batch, never a second dump scan. */
   def commitBatch(spark: SparkSession, parsedBatch: org.apache.spark.sql.DataFrame,
-      tableRoot: String, batchId: Long, namespace: String = ""): Unit = {
+      tableRoot: String, batchId: Long, namespace: String = "",
+      full: Boolean = false): Unit = {
     import graft.operators.SnapshotTable
     val tag = BatchTags.tag(namespace, batchId.toString)
     // tag check FIRST (cheap manifest reads — table names are static): a
     // fully-replayed batch must not pay the batch ETL for a guaranteed no-op
-    val pendingNames = graft.wikidata.IncrementalEtl.tableNames.filter { name =>
+    val allNames = if (full) graft.wikidata.IncrementalEtl.tableNamesFull
+      else graft.wikidata.IncrementalEtl.tableNames
+    val pendingNames = allNames.filter { name =>
       !SnapshotTable.tagOf(s"$tableRoot/$name").contains(tag)
     }
     if (pendingNames.isEmpty) return
-    val tables = WikidataEtl.run(parsedBatch)
+    val tables = if (full) WikidataEtl.runFull(parsedBatch) else WikidataEtl.run(parsedBatch)
     try {
       tables.core.foreach(_.count()) // materialize before the fan-out race
       SnapshotTable.commitAll(spark,

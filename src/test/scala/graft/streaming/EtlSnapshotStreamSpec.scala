@@ -43,6 +43,55 @@ class EtlSnapshotStreamSpec extends SparkSpec {
     }
   }
 
+  test("full-surface snapshot stream ≡ batch runFull on all 12 tables, each tagged (X28)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val in   = graft.Scratch.fresh("x28spec_in")
+    val root = graft.Scratch.fresh("x28spec_tables")
+    val ckpt = graft.Scratch.fresh("x28spec_ckpt")
+    val lines = Files.readAllLines(Paths.get(dumpPath)).asScala.toSeq
+    val third = (lines.size + 2) / 3
+    lines.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(Paths.get(in, f"shard-$i%05d.jsonl"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+    EtlStream.startSnapshot(spark, in, root, ckpt, maxFilesPerTrigger = 1,
+      full = true).awaitTermination()
+    val full = WikidataEtl.runFull(DumpReader.readFull(spark, dumpPath), cache = false)
+    full.byName.keySet shouldBe graft.wikidata.IncrementalEtl.tableNamesFull.toSet
+    for ((name, df) <- full.byName) {
+      withClue(s"table $name: ") {
+        multiset(SnapshotTable.read(spark, s"$root/$name")) shouldBe multiset(df)
+      }
+    }
+    full.byName.keys.foreach { n =>
+      SnapshotTable.tagOf(s"$root/$n") shouldBe defined
+    }
+  }
+
+  test("full-surface replay is a per-table no-op incl. the links tables (X28)") {
+    val root = graft.Scratch.fresh("x28spec_replay")
+    val line =
+      """{"id":"Q9","labels":{"en":{"language":"en","value":"nine"}},"descriptions":{},""" +
+      """"claims":{},"aliases":{"en":[{"language":"en","value":"niner"}]},""" +
+      """"sitelinks":{"enwiki":{"site":"enwiki","title":"Nine"}}},"""
+    val batch = DumpReader.fromLines(spark, Seq("[", line, "]"),
+      DumpReader.entitySchemaFull)
+    EtlStream.commitBatch(spark, batch, root, batchId = 0L, full = true)
+    val aliasRows = multiset(SnapshotTable.read(spark, s"$root/aliases"))
+    aliasRows.keySet shouldBe Set("[9,en,niner]")
+    multiset(SnapshotTable.read(spark, s"$root/sitelinks")).keySet shouldBe
+      Set("[9,enwiki,Nine]")
+    val versions = graft.wikidata.IncrementalEtl.tableNamesFull
+      .map(n => n -> SnapshotTable.latestVersion(s"$root/$n")).toMap
+    // full replay: every one of the 12 tables already carries tag 0
+    EtlStream.commitBatch(spark, batch, root, batchId = 0L, full = true)
+    graft.wikidata.IncrementalEtl.tableNamesFull.foreach { n =>
+      SnapshotTable.latestVersion(s"$root/$n") shouldBe versions(n)
+    }
+    multiset(SnapshotTable.read(spark, s"$root/aliases")) shouldBe aliasRows
+  }
+
   test("a replayed batch is a per-table no-op; a partially-published batch is repaired (X13)") {
     val root = graft.Scratch.fresh("x13spec_replay")
     val batch1 = DumpReader.fromLines(spark, Seq("[", ent("Q1", "one"), "]"))
