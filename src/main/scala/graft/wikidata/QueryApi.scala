@@ -123,4 +123,46 @@ final case class QueryApi(tables: WikidataTables) {
       graft.operators.EditJoin.variantIndex(labels, "id", "label"),
       labels, "id", "label", term)
   }
+
+  /** W53/W56 name universe: English labels ∪ every language's aliases as
+    * ONE (id, name) frame — the lookup surface users actually mean by
+    * "the entity called X" ("Douglas Noël Adams", "DNA" and the label all
+    * resolve). Needs the links surface ([[WikidataEtl.runFull]] /
+    * [[DumpReader.readFull]]); throws loudly otherwise. */
+  def anyNames: DataFrame = {
+    val aliases = tables.aliases.getOrElse(throw new IllegalArgumentException(
+      "any-name lookup needs the links surface: parse with DumpReader.readFull/" +
+        "readLinks and run WikidataEtl.runFull (W52 aliases)"))
+    tables.meta.filter(col("label").isNotNull)
+      .select(col("id"), col("label").as("name"))
+      .unionAll(aliases.select(col("id"), col("alias").as("name")))
+      .distinct()
+  }
+
+  /** W56: typo-tolerant ANY-name lookup — [[byLabelFuzzy]] over the
+    * [[anyNames]] universe: rows within Levenshtein 1 of `term` whether
+    * the near-match is the label or any alias in any language. Same
+    * FastSS deletion-variant probe + exact verify as W32; the alias rows
+    * simply widen the indexed universe. */
+  def byAnyNameFuzzy(term: String): DataFrame = {
+    val names = anyNames
+    graft.operators.EditJoin.fuzzyLookup(
+      graft.operators.EditJoin.variantIndex(names, "id", "name"),
+      names, "id", "name", term)
+  }
+
+  /** W56: persist the any-name variant index as a W33-style range-clustered
+    * snapshot table — a stored fuzzy ANY-name lookup is then at most
+    * |term|+1 footer-pruned point reads whatever the corpus size
+    * ([[graft.operators.EditJoin.saveIndex]] owns the clustering contract;
+    * [[graft.operators.EditJoin.appendIndexDelta]] maintains it under
+    * label/alias churn exactly as W36 does for labels). */
+  def saveAnyNameIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      files: Int = 64): Long =
+    graft.operators.EditJoin.saveIndex(spark, table, anyNames, "id", "name", files)
+
+  /** W56: [[byAnyNameFuzzy]] against a [[saveAnyNameIndex]] store. */
+  def byAnyNameFuzzyStored(spark: org.apache.spark.sql.SparkSession,
+      table: String, term: String): DataFrame =
+    graft.operators.EditJoin.fuzzyLookupStored(spark, table, anyNames, "id", "name", term)
 }

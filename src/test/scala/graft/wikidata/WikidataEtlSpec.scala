@@ -127,4 +127,33 @@ class WikidataEtlSpec extends SparkSpec {
     rowsOf(back) shouldBe rowsOf(tables.entity)
     spark.read.parquet(s"$dir/meta").count() shouldBe 7
   }
+
+  test("typo-tolerant any-name lookup matches labels AND aliases, exactly ed<=1 (W56)") {
+    val lines = Seq(
+      "[",
+      // Q1: label "apple", aliases "appl" (ed 1 from apple) + "pomme"
+      """{"id":"Q1","labels":{"en":{"language":"en","value":"apple"}},"descriptions":{},"claims":{},"aliases":{"en":[{"language":"en","value":"appl"},{"language":"en","value":"pomme"}]}},""",
+      // Q2: label "appla" — an ed-1 LABEL hit, no aliases
+      """{"id":"Q2","labels":{"en":{"language":"en","value":"appla"}},"descriptions":{},"claims":{}},""",
+      // Q3: no label, alias "apple" in French — an alias-only exact hit
+      """{"id":"Q3","labels":{},"descriptions":{},"claims":{},"aliases":{"fr":[{"language":"fr","value":"apple"}]}},""",
+      // Q4: far from the term on every name
+      """{"id":"Q4","labels":{"en":{"language":"en","value":"banana"}},"descriptions":{},"claims":{},"aliases":{"en":[{"language":"en","value":"plantain"}]}},""",
+      "]")
+    val api = QueryApi(WikidataEtl.runFull(
+      DumpReader.fromLines(spark, lines, DumpReader.entitySchemaFull), cache = false))
+    val got = api.byAnyNameFuzzy("apple").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    got shouldBe Set((1L, "apple", 0), (1L, "appl", 1), (2L, "appla", 1), (3L, "apple", 0))
+    // stored form ≡ in-memory form, and the store is footer-point-probed
+    val t = graft.Scratch.fresh("w56spec_index")
+    api.saveAnyNameIndex(spark, t, files = 8)
+    val stored = api.byAnyNameFuzzyStored(spark, t, "apple").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    stored shouldBe got
+    // without the links surface the lookup fails loudly, never silently
+    val bare = QueryApi(WikidataEtl.run(
+      DumpReader.fromLines(spark, lines), cache = false))
+    an[IllegalArgumentException] should be thrownBy bare.anyNames
+  }
 }
