@@ -15,5 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // R45: MV auto-rewrite inside the operator-optimization fixed point,
     // so the substituted MV scan gets its own pushdown/pruning passes
     ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule())
+    // R63: stats-informed SQL joins — graft-pinned sides whose exact
+    // manifest bytes fit the budget get a BROADCAST hint at plan time
+    ext.injectOptimizerRule(_ => graft.plans.StatsJoinRule())
   }
 }

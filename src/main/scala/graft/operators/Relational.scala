@@ -1274,6 +1274,49 @@ object Relational {
       dfa.select("c_custkey", "nationkey", "n_name")
     },
 
+    "r63_stats_sql_join" -> { (s, dir) =>
+      // R63: R61's broadcast law consumed INSIDE the SQL planner — a pure
+      // SQL join of two R58 catalog tables, session broadcast threshold
+      // DISABLED, must still plan the map-side join because the rule reads
+      // the dim's EXACT manifest-pinned bytes at plan time; with the rule
+      // off the same query sort-merge-joins, and both answers equal the
+      // DuckDB re-derivation (strategy invisible to the answer, the point).
+      val t = Tables(s, dir)
+      val wh = graft.Scratch.fresh("r63_wh")
+      SnapshotTable.commit(s, s"$wh/orders_fact",
+        t.orders.select(col("o_orderkey"), col("o_custkey")))
+      SnapshotTable.commit(s, s"$wh/cust_dim",
+        t.customer.select(col("c_custkey"), col("c_mktsegment")))
+      graft.plans.StatsJoinRule.attach(s)
+      s.conf.set("spark.sql.catalog.graft_c63", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_c63.warehouse", wh)
+      val sql =
+        """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+          |  sum(o.o_orderkey) AS key_sum
+          |FROM graft_c63.orders_fact o
+          |JOIN graft_c63.cust_dim c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment""".stripMargin
+      val prevAuto = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val on = s.sql(sql)
+        on.count()
+        require(on.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "pinned manifest bytes fit the budget; the SQL plan must broadcast")
+        s.conf.set("spark.graft.statsJoin.enabled", "false")
+        val off = s.sql(sql)
+        off.count()
+        require(off.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+          "rule disabled + threshold disabled must sort-merge-join")
+        require(on.collect().toSet == off.collect().toSet,
+          "the rule must never change the answer, only the strategy")
+        on.orderBy("segment")
+      } finally {
+        s.conf.set("spark.graft.statsJoin.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      }
+    },
+
     "r39_aqe_skew_join" -> { (s, dir) =>
       // AQE runtime skew split, the complement of R16's static salting: a
       // deliberately skewed fact join (~3/4 of lineitem maps to key 0)
@@ -2090,6 +2133,14 @@ object Relational {
     "r61_stats_join" ->
       """SELECT c_custkey, c_nationkey AS nationkey, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    // R63: the plain-join re-derivation — broadcast promotion from the
+    // manifest bytes must be invisible to the answer
+    "r63_stats_sql_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // ndv_ok is the in-plan HLL bound (literal true on the oracle side —
     // the s2_recall hash-gated-quality pattern)
