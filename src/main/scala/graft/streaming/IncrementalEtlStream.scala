@@ -36,12 +36,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IncrementalEtlStream {
 
-  private val names = IncrementalEtl.tableNames
-
-
   /** Publish initial full-ETL tables as version 1 of each snapshot table,
     * plus an empty `revisions` mark (full-dump entities carry rev 0: any
-    * changeset revision outranks them). */
+    * changeset revision outranks them). Works unchanged for the 8-table,
+    * 10-table and 12-table surfaces — `byName` carries whatever the
+    * bootstrap run produced (X29 streams the full surface by
+    * bootstrapping with [[graft.wikidata.WikidataEtl.runFull]]). */
   def bootstrap(spark: SparkSession, tableRoot: String, tables: WikidataTables): Unit = {
     tables.core.foreach(_.count()) // materialize the shared cache once
     val empty = spark.createDataFrame(
@@ -57,11 +57,20 @@ object IncrementalEtlStream {
   /** One micro-batch: frame the lines, resolve within-batch winners, admit
     * only revisions above the persisted high-water mark, merge + commit.
     * Empty or fully-stale batches commit nothing (version alignment across
-    * tables is preserved because NO table commits). */
-  def applyBatch(spark: SparkSession, lines: DataFrame, tableRoot: String): Unit = {
+    * tables is preserved because NO table commits).
+    *
+    * X29 (`full = true`): the same loop over the COMPLETE 12-table surface —
+    * the changeset parses with the full schema (links + qualifiers carried
+    * through), and W55's law makes the merge identical in shape: sitelinks
+    * and aliases are id-keyed, so the broadcast anti-join covers them with
+    * zero extra shuffles of base data. */
+  def applyBatch(spark: SparkSession, lines: DataFrame, tableRoot: String,
+      full: Boolean = false): Unit = {
+    val names = if (full) IncrementalEtl.tableNamesFull else IncrementalEtl.tableNames
+    val schema = if (full) IncrementalEtl.changeSchemaFull else IncrementalEtl.changeSchema
     // cached: the winners frame feeds the stale probe, the admitted set,
     // the touched-id anti-joins and the revision marks
-    val win = IncrementalEtl.winners(IncrementalEtl.changesFrom(lines)).cache()
+    val win = IncrementalEtl.winners(IncrementalEtl.changesFrom(lines, schema)).cache()
     val revPath = s"$tableRoot/revisions"
     val current = SnapshotTable.read(spark, revPath)
     // map-only guard, formulated so the broadcast side is always the inner
@@ -78,7 +87,7 @@ object IncrementalEtlStream {
     try {
       if (!guarded.isEmpty) {
         val base = names.map(n => n -> SnapshotTable.read(spark, s"$tableRoot/$n")).toMap
-        val next = IncrementalEtl.applyWinners(base, guarded)
+        val next = IncrementalEtl.applyWinners(base, guarded, full = full)
         val marks = current
           .join(broadcast(guarded.select("id")), Seq("id"), "left_anti")
           .unionByName(guarded.select(col("id"),
@@ -105,7 +114,8 @@ object IncrementalEtlStream {
     * multi-batch runs; convergence is batch-split-independent regardless). */
   def start(spark: SparkSession, inDir: String, tableRoot: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      full: Boolean = false): StreamingQuery = {
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -113,7 +123,7 @@ object IncrementalEtlStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        applyBatch(spark, batch.toDF(), tableRoot)
+        applyBatch(spark, batch.toDF(), tableRoot, full)
       }
       .start()
   }

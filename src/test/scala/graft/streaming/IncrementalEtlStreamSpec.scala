@@ -84,4 +84,33 @@ class IncrementalEtlStreamSpec extends SparkSpec {
       .map(n => SnapshotTable.latestVersion(s"$root/$n"))
     versions.distinct.size shouldBe 1
   }
+
+  test("full-surface sharded stream converges to the v2 12-table rebuild (X29)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val in   = graft.Scratch.fresh("x29spec_in")
+    val root = graft.Scratch.fresh("x29spec_tables")
+    val ckpt = graft.Scratch.fresh("x29spec_ckpt")
+    val v1 = WikidataEtl.runFull(DumpReader.readFull(spark, v1Path), cache = true)
+    IncrementalEtlStream.bootstrap(spark, root, v1)
+    v1.unpersist()
+    val lines = Files.readAllLines(Paths.get(csPath)).asScala.toSeq
+    val third = (lines.size + 2) / 3
+    lines.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(Paths.get(in, f"shard-$i%05d.jsonl"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+    IncrementalEtlStream.start(spark, in, root, ckpt, maxFilesPerTrigger = 1,
+      full = true).awaitTermination()
+    val full = WikidataEtl.runFull(DumpReader.readFull(spark, v2Path), cache = false)
+    full.byName.keySet shouldBe IncrementalEtl.tableNamesFull.toSet
+    for ((name, df) <- full.byName) {
+      withClue(s"table $name: ") {
+        multiset(SnapshotTable.read(spark, s"$root/$name")) shouldBe multiset(df)
+      }
+    }
+    val versions = (IncrementalEtl.tableNamesFull :+ "revisions")
+      .map(n => SnapshotTable.latestVersion(s"$root/$n"))
+    versions.distinct.size shouldBe 1
+  }
 }
