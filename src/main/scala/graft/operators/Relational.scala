@@ -762,6 +762,41 @@ object Relational {
       SnapshotTable.read(s, t)
     },
 
+    "r64_vacuum" -> { (s, dir) =>
+      // R64: retention VACUUM — the storage-lifecycle bound every
+      // long-lived table format needs (Delta/Iceberg VACUUM / expire
+      // snapshots): drop manifests below the retention floor and
+      // physically delete the data files no retained version references.
+      // A three-version lifecycle (overwrite, overwrite, append), then
+      // vacuum(keepFrom = 2): in-gate requires prove the dropped
+      // version's files are GONE from disk, its manifest no longer
+      // resolves, and the retained versions read exactly as before; the
+      // emitted frame is the post-vacuum LATEST read, which the oracle
+      // re-derives from the base table — vacuum must be invisible to
+      // every retained reader. In-flight-commit safety and
+      // vacuum-keeps-restored are SnapshotTableSpec/SnapshotRestoreSpec's.
+      import java.nio.file.{Files, Paths}
+      val t = graft.Scratch.fresh("r64_table")
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      SnapshotTable.commit(s, t, o.filter(col("o_orderkey") % 3 === 2),
+        mode = SnapshotTable.Append)
+      val v1Files = SnapshotTable.filesOf(t, 1L)
+      val keptBefore = SnapshotTable.read(s, t, 2L).count()
+      SnapshotTable.vacuum(t, keepFrom = 2L)
+      require(v1Files.nonEmpty && v1Files.forall(f => !Files.exists(Paths.get(f))),
+        "vacuum must physically delete the dropped version's unreferenced files")
+      require(SnapshotTable.versions(t) == Seq(2L, 3L),
+        s"retention floor 2 must keep exactly [2, 3], got ${SnapshotTable.versions(t)}")
+      val v1Gone = try { SnapshotTable.read(s, t, 1L).count(); false }
+        catch { case _: Exception => true }
+      require(v1Gone, "the vacuumed version must no longer resolve")
+      require(SnapshotTable.read(s, t, 2L).count() == keptBefore,
+        "a retained version must read exactly as before the vacuum")
+      SnapshotTable.read(s, t)
+    },
+
     "r49_shallow_clone" -> { (s, dir) =>
       // R49: zero-copy fork. Clone the source, then OVERWRITE the source —
       // the clone must still read the forked content (independence), and
@@ -2256,6 +2291,12 @@ object Relational {
     "r47_snapshot_restore" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 = 0""".stripMargin,
+
+    // R64: the post-vacuum latest = v2 overwrite + v3 append — vacuum must
+    // be invisible to every retained reader
+    "r64_vacuum" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (1, 2)""".stripMargin,
 
     // R41: OPTIMIZE is invisible to readers — same rows, better layout
     "r41_optimize" ->
