@@ -959,6 +959,23 @@ object LlmOps {
         graft.functions.Bpe.tokenCount(col("text")).as("bpe_true_tokens"))
     },
 
+    // T29: BPE tokenizer TRAINING in-engine — the first 8 greedy merges
+    // over this SF's documents corpus, hash-compared against a DuckDB
+    // re-derivation that UNROLLS the training steps in SQL (per step: a
+    // corpus-weighted pair-count argmax with the count-desc-then-
+    // lexicographically-greatest tie law, then a list_reduce merge fold
+    // over every word). A true cross-engine differential of the training
+    // law itself; incremental ≡ naive-rescan, prefix stability and the
+    // python-tool anchor (the shipped 8192-merge table's own prefix) are
+    // BpeTrainSpec's.
+    "t29_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      val merges = BpeTrain.train(Tables(s, dir).documents, Seq("text"), 8)
+      require(merges.size == 8, s"corpus must support 8 merges, got ${merges.size}")
+      merges.zipWithIndex.map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("step", "lhs", "rhs").orderBy("step")
+    },
+
     "t5_tfidf" -> { (s, dir) =>
       // integer columns only (tf/df exact in any engine); the double tfidf
       // score itself is spec-gated, not hash-gated, to dodge libm ulps
@@ -2758,6 +2775,50 @@ object LlmOps {
       |WHERE a.doc_id >= 20
       |  AND a.sh IN (SELECT b.sh FROM sh b WHERE b.doc_id < 20)""".stripMargin
 
+  /** T29 oracle: BPE training unrolled step by step in SQL. Per step i,
+    * `p_i` re-counts the corpus-weighted adjacent pairs over the current
+    * token lists, `m_i` takes the argmax under the deterministic tie law,
+    * and `s_i` applies the chosen merge with a list_reduce fold (elements
+    * lifted to singleton lists so the accumulator can BE the rebuilt token
+    * list; a freshly merged token can never equal the merge's left side —
+    * left||right is strictly longer — so the fold cannot cascade within a
+    * pass, matching the non-overlapping left-to-right law). */
+  private val t29OracleSql: String = {
+    val k = 8
+    val steps = (1 to k).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s""", p$i AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT s.c AS c,
+         |      unnest(list_transform(range(1, len(s.toks)),
+         |        j -> {'a': s.toks[j], 'b': s.toks[j+1]})) AS pr
+         |    FROM $prev s) q
+         |  GROUP BY 1, 2
+         |), m$i AS (
+         |  SELECT a, b FROM p$i ORDER BY cnt DESC, a DESC, b DESC LIMIT 1
+         |), s$i AS (
+         |  SELECT s.c,
+         |    list_reduce(list_transform(s.toks, t -> [t]),
+         |      (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+         |        THEN acc[1:len(acc)-1] || [m.a || m.b]
+         |        ELSE acc || x END) AS toks
+         |  FROM $prev s, m$i m
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+       |    FROM documents) GROUP BY w
+       |), s0 AS (
+       |  SELECT c, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM words
+       |)$steps
+       |$sel
+       |ORDER BY step""".stripMargin
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   /** t27/t28 shared oracle: dirt replanted with chr(), flags + chain
     * replayed from the SAME compiled constants (see t27 gate doc). */
@@ -3951,6 +4012,13 @@ object LlmOps {
     // the documents table so the oracle is total over docs — an empty or
     // all-whitespace doc counts 0, matching the kernel, instead of
     // vanishing from the result.
+    // T29: training UNROLLED — per step, the weighted pair-count argmax
+    // (count desc, then lexicographically greatest pair) and a
+    // list_reduce fold applying the chosen merge left-to-right,
+    // non-overlapping, to every word. Generated programmatically (the w23
+    // unrolled-pagerank pattern).
+    "t29_bpe_train" -> t29OracleSql,
+
     "t16_bpe_tokens" ->
       s"""WITH RECURSIVE
         |merges(a, b, rank) AS (VALUES ${graft.functions.Bpe.mergeValuesSql()}),
