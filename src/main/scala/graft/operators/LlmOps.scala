@@ -976,6 +976,19 @@ object LlmOps {
         .toDF("step", "lhs", "rhs").orderBy("step")
     },
 
+    // P19: retrain-and-apply — the T29 trainer's fresh table handed
+    // straight to T16's codegen'd tokenizer kernel: per-doc token counts
+    // under the JUST-TRAINED merges, the tokenizer-refresh loop a curation
+    // pipeline runs after its corpus mix shifts. The oracle re-derives the
+    // WHOLE chain in one SQL statement (unrolled training feeding the
+    // recursive tokenizer), so a drift in either half breaks the hash.
+    "p19_bpe_retrain" -> { (s, dir) =>
+      val merges = BpeTrain.train(Tables(s, dir).documents, Seq("text"), 8)
+      require(merges.size == 8, s"corpus must support 8 merges, got ${merges.size}")
+      Tables(s, dir).documents.select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text"), merges).as("fresh_tokens"))
+    },
+
     "t5_tfidf" -> { (s, dir) =>
       // integer columns only (tf/df exact in any engine); the double tfidf
       // score itself is spec-gated, not hash-gated, to dodge libm ulps
@@ -2783,8 +2796,11 @@ object LlmOps {
     * list; a freshly merged token can never equal the merge's left side —
     * left||right is strictly longer — so the fold cannot cascade within a
     * pass, matching the non-overlapping left-to-right law). */
-  private val t29OracleSql: String = {
-    val k = 8
+  /** The unrolled-training CTE chain shared by t29 (emits the merges) and
+    * p19 (feeds them into the t16 recursive tokenizer): `wfreq`/`s0` set up
+    * the weighted codepoint state, then per step i `p_i` (pair recount),
+    * `m_i` (argmax under the tie law) and `s_i` (merge fold). */
+  private def bpeTrainCtes(k: Int): String = {
     val steps = (1 to k).map { i =>
       val prev = if (i == 1) "s0" else s"s${i - 1}"
       s""", p$i AS (
@@ -2805,18 +2821,64 @@ object LlmOps {
          |  FROM $prev s, m$i m
          |)""".stripMargin
     }.mkString
-    val sel = (1 to k).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs FROM m$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""wfreq AS (
        |  SELECT w, count(*) AS c FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
        |    FROM documents) GROUP BY w
        |), s0 AS (
-       |  SELECT c, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM words
-       |)$steps
+       |  SELECT c, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM wfreq
+       |)$steps""".stripMargin
+  }
+
+  private val t29OracleSql: String = {
+    val k = 8
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainCtes(k)}
        |$sel
        |ORDER BY step""".stripMargin
+  }
+
+  /** P19 oracle: the trained table (m1..m8 with ranks) handed straight to
+    * the t16 recursive tokenizer — one SQL statement re-derives the WHOLE
+    * retrain-and-apply chain from the raw corpus. */
+  private val p19OracleSql: String = {
+    val k = 8
+    val mergeTab = (1 to k).map(i => s"SELECT $i AS rank, a, b FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${bpeTrainCtes(k)},
+       |mergetab AS (
+       |$mergeTab
+       |),
+       |words AS (
+       |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+       |  FROM documents
+       |),
+       |state AS (
+       |  SELECT w, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM words
+       |  UNION ALL
+       |  SELECT s.w,
+       |    s.toks[1:p.i-1] || [s.toks[p.i] || s.toks[p.i+1]] || s.toks[p.i+2:] AS toks
+       |  FROM state s
+       |  JOIN LATERAL (
+       |    SELECT i FROM unnest(range(1, len(s.toks))) AS t(i)
+       |    JOIN mergetab m ON m.a = s.toks[i] AND m.b = s.toks[i+1]
+       |    ORDER BY m.rank, i LIMIT 1
+       |  ) p ON true
+       |),
+       |final AS (
+       |  SELECT w, len(toks) AS n FROM state s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM unnest(range(1, len(s.toks))) AS t(i)
+       |    JOIN mergetab m ON m.a = s.toks[i] AND m.b = s.toks[i+1])
+       |)
+       |SELECT d.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS fresh_tokens
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+       |           FROM documents) dw ON dw.doc_id = d.doc_id
+       |LEFT JOIN final f ON f.w = dw.w
+       |GROUP BY d.doc_id""".stripMargin
   }
 
   /** DuckDB oracles for the SQL-expressible subset. */
@@ -4018,6 +4080,10 @@ object LlmOps {
     // non-overlapping, to every word. Generated programmatically (the w23
     // unrolled-pagerank pattern).
     "t29_bpe_train" -> t29OracleSql,
+
+    // P19: the whole retrain-and-apply chain in one statement — training
+    // CTEs (bpeTrainCtes) feeding the t16 recursive tokenizer.
+    "p19_bpe_retrain" -> p19OracleSql,
 
     "t16_bpe_tokens" ->
       s"""WITH RECURSIVE
