@@ -142,6 +142,33 @@ object WikidataEtl {
         col("w.time").as("v_time"),
         col("w.precision").cast("int").as("v_time_precision")): _*)
 
+  /** W58: property co-occurrence audit — for each unordered property pair,
+    * the number of entities asserting BOTH (claim multiplicity ignored):
+    * the schema-discovery rollup KG users run to find modeling patterns
+    * and anomalies ("P569 without P31"), and the raw signal behind
+    * property suggestion. The reference's per-table indices can answer
+    * one property at a time; the pairwise rollup needs the engine.
+    *
+    * Scale shape: ONE shuffle builds per-entity sorted property sets
+    * (`collect_set` dedups inside the partial aggregate), the pair
+    * explode runs in codegen on the grouped row, and the pair count is
+    * map-side combined. Per-entity cost is quadratic only in the entity's
+    * DISTINCT property count — bounded by ontology width (~1e2 on real
+    * Wikidata), independent of corpus rows. */
+  def propertyCooccurrence(entities: DataFrame): DataFrame = {
+    val sets = claimCore(entities)
+      .filter(col("id").isNotNull && col("property_id").isNotNull)
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("property_id"))).as("ps"))
+    sets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_entities"))
+  }
+
   /** `meta`: one row per entity with English label/description or NULL
     * (reference: src/main.rs:78-84). */
   def meta(entities: DataFrame): DataFrame =

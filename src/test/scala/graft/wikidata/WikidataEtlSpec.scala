@@ -128,6 +128,19 @@ class WikidataEtlSpec extends SparkSpec {
     spark.read.parquet(s"$dir/meta").count() shouldBe 7
   }
 
+  test("property co-occurrence counts entities per pair, ordered, multiplicity-free (W58)") {
+    val cooc = WikidataEtl.propertyCooccurrence(DumpReader.fromLines(spark, dumpLines))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // apple AND cherry carry both color (P462) and subclass-of (P279);
+    // ruby carries P462 only and must not count
+    cooc((IdCodec.pId(279), IdCodec.pId(462))) shouldBe 2L
+    // P18 appears twice on Q89 (one deprecated, one normal) — the pair
+    // with P462 still counts the ENTITY once
+    cooc((IdCodec.pId(18), IdCodec.pId(462))) shouldBe 1L
+    // unordered law: every emitted pair is strictly ordered
+    cooc.keys.foreach { case (a, b) => a should be < b }
+  }
+
   test("typo-tolerant any-name lookup matches labels AND aliases, exactly ed<=1 (W56)") {
     val lines = Seq(
       "[",
