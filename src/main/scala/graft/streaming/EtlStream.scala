@@ -63,13 +63,13 @@ object EtlStream {
   /** One micro-batch of [[startSnapshot]], exposed for direct replay tests.
     *
     * X28 (`full = true`): the same exactly-once publication over the
-    * COMPLETE 12-table surface — the batch must be parsed with
+    * COMPLETE 13-table surface — the batch must be parsed with
     * [[DumpReader.entitySchemaFull]], runs through [[WikidataEtl.runFull]]
     * (one cached parse, every table the W54 one-pass run produces), and the
-    * per-table tag law covers all 12: a crash that published only some of
-    * the 12 is repaired by the replay committing exactly the missing ones.
+    * per-table tag law covers all 13: a crash that published only some of
+    * them is repaired by the replay committing exactly the missing ones.
     * The scale shape is unchanged — the extra tables are explodes of the
-    * SAME cached batch parse, so the full surface costs four more appends
+    * SAME cached batch parse, so the full surface costs five more appends
     * per batch, never a second dump scan. */
   def commitBatch(spark: SparkSession, parsedBatch: org.apache.spark.sql.DataFrame,
       tableRoot: String, batchId: Long, namespace: String = "",

@@ -39,7 +39,7 @@ object IncrementalEtlStream {
   /** Publish initial full-ETL tables as version 1 of each snapshot table,
     * plus an empty `revisions` mark (full-dump entities carry rev 0: any
     * changeset revision outranks them). Works unchanged for the 8-table,
-    * 10-table and 12-table surfaces — `byName` carries whatever the
+    * 10-table and 13-table surfaces — `byName` carries whatever the
     * bootstrap run produced (X29 streams the full surface by
     * bootstrapping with [[graft.wikidata.WikidataEtl.runFull]]). */
   def bootstrap(spark: SparkSession, tableRoot: String, tables: WikidataTables): Unit = {
@@ -59,7 +59,7 @@ object IncrementalEtlStream {
     * Empty or fully-stale batches commit nothing (version alignment across
     * tables is preserved because NO table commits).
     *
-    * X29 (`full = true`): the same loop over the COMPLETE 12-table surface —
+    * X29 (`full = true`): the same loop over the COMPLETE 13-table surface —
     * the changeset parses with the full schema (links + qualifiers carried
     * through), and W55's law makes the merge identical in shape: sitelinks
     * and aliases are id-keyed, so the broadcast anti-join covers them with

@@ -70,6 +70,28 @@ object DumpReader {
       StructField("en", StructType(Seq(StructField("value", StringType))))))),
     StructField("claims", MapType(StringType, ArrayType(statementTypeQualified)))))
 
+  /** W59: statement with REFERENCES retained as well — the last piece of
+    * Wikidata's statement anatomy (mainsnak → the reference's 7 tables,
+    * qualifiers → W34, references → this): a list of reference records
+    * (one per cited source), each holding a snak map shaped exactly like
+    * the qualifiers map. Opt-in like every superset rung. */
+  val statementTypeReferenced: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("rank", StringType),
+    StructField("mainsnak", snakType),
+    StructField("qualifiers", MapType(StringType, ArrayType(snakType))),
+    StructField("references", ArrayType(StructType(Seq(
+      StructField("snaks", MapType(StringType, ArrayType(snakType)))))))))
+
+  /** The reference-aware entity schema (W59). */
+  val entitySchemaReferenced: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("labels", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("descriptions", StructType(Seq(
+      StructField("en", StructType(Seq(StructField("value", StringType))))))),
+    StructField("claims", MapType(StringType, ArrayType(statementTypeReferenced)))))
+
   /** W51/W52: the name-and-link surface the reference drops entirely —
     * sitelinks ("which enwiki article is this entity") and aliases (every
     * language's alternate names, not just the one English label `meta`
@@ -82,17 +104,17 @@ object DumpReader {
     StructField("sitelinks", MapType(StringType, StructType(Seq(
       StructField("title", StringType)))))))
 
-  /** W54: the complete superset parse — qualified statements PLUS
-    * sitelinks and aliases, still pruned (no references, no non-English
-    * labels/descriptions): everything the 12-table full run consumes from
-    * ONE `from_json` pass. */
+  /** W54: the complete superset parse — statements with qualifiers AND
+    * references (W59) PLUS sitelinks and aliases, still pruned (no
+    * non-English labels/descriptions): everything the 13-table full run
+    * consumes from ONE `from_json` pass. */
   val entitySchemaFull: StructType = StructType(Seq(
     StructField("id", StringType),
     StructField("labels", StructType(Seq(
       StructField("en", StructType(Seq(StructField("value", StringType))))))),
     StructField("descriptions", StructType(Seq(
       StructField("en", StructType(Seq(StructField("value", StringType))))))),
-    StructField("claims", MapType(StringType, ArrayType(statementTypeQualified))),
+    StructField("claims", MapType(StringType, ArrayType(statementTypeReferenced))),
     StructField("aliases", MapType(StringType, ArrayType(StructType(Seq(
       StructField("value", StringType)))))),
     StructField("sitelinks", MapType(StringType, StructType(Seq(
@@ -126,7 +148,11 @@ object DumpReader {
   def readLinks(spark: SparkSession, path: String): DataFrame =
     entities(spark.read.text(path), entitySchemaLinks)
 
-  /** Read the complete superset slice (the W54 12-table run). */
+  /** Read with statement references retained too (the W59 superset). */
+  def readReferenced(spark: SparkSession, path: String): DataFrame =
+    entities(spark.read.text(path), entitySchemaReferenced)
+
+  /** Read the complete superset slice (the W54 13-table run). */
   def readFull(spark: SparkSession, path: String): DataFrame =
     entities(spark.read.text(path), entitySchemaFull)
 

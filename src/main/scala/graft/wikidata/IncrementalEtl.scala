@@ -44,9 +44,11 @@ object IncrementalEtl {
     * claim table). */
   val tableNamesQualified: Seq[String] = tableNames ++ Seq("qualifiers", "statements")
 
-  /** W55: the complete 12-table surface (W54's run) — sitelinks and
-    * aliases are id-keyed too, so the same law covers them. */
-  val tableNamesFull: Seq[String] = tableNamesQualified ++ Seq("sitelinks", "aliases")
+  /** W55: the complete 13-table surface (W54's run) — sitelinks, aliases
+    * and the W59 reference table are id-keyed too, so the same law covers
+    * them. */
+  val tableNamesFull: Seq[String] =
+    tableNamesQualified ++ Seq("sitelinks", "aliases", "references")
 
   /** Changeset entity schema: the pruned dump entity plus revision metadata.
     * A deletion marker carries only (id, lastrevid, deleted). */
@@ -152,7 +154,8 @@ object IncrementalEtl {
       qualifiers = if (qualified || full) Some(merged("qualifiers")) else None,
       statements = if (qualified || full) Some(merged("statements")) else None,
       sitelinks = if (full) Some(merged("sitelinks")) else None,
-      aliases = if (full) Some(merged("aliases")) else None)
+      aliases = if (full) Some(merged("aliases")) else None,
+      references = if (full) Some(merged("references")) else None)
   }
 
   /** File-level apply: parquet tables at `baseDir` + changeset dump at

@@ -26,14 +26,18 @@ final case class WikidataTables(
     /** W51/W52: the name-and-link tables, present when the ETL ran full
       * ([[WikidataEtl.runFull]]). */
     sitelinks: Option[DataFrame] = None,
-    aliases: Option[DataFrame] = None) {
+    aliases: Option[DataFrame] = None,
+    /** W59: the statement-reference (provenance) table, present when the
+      * ETL ran full. */
+    references: Option[DataFrame] = None) {
 
   def byName: Map[String, DataFrame] = Map(
     "meta" -> meta, "string" -> string, "entity" -> entity,
     "coordinates" -> coordinates, "quantity" -> quantity, "time" -> time,
     "none" -> none, "unknown" -> unknown) ++
     qualifiers.map("qualifiers" -> _) ++ statements.map("statements" -> _) ++
-    sitelinks.map("sitelinks" -> _) ++ aliases.map("aliases" -> _)
+    sitelinks.map("sitelinks" -> _) ++ aliases.map("aliases" -> _) ++
+    references.map("references" -> _)
 
   /** Release the cached claim core (bounded-memory long-running callers —
     * streaming micro-batches — must pair every `run` with this). */
@@ -318,12 +322,51 @@ object WikidataEtl {
         IdCodec.encodeTextCol(col("qpid_text")).as("qual_property_id"),
         explode(col("qsnaks")).as("q"))
 
-    val routed = qsnaks.select(
-      col("id"), col("property_id"), col("claim_id"), col("qual_property_id"),
+    routeFlatSnaks(qsnaks,
+      Seq("id", "property_id", "claim_id", "qual_property_id"))
+  }
+
+  /** W59: `references` — one row per reference snak of a surviving
+    * (non-deprecated) statement, routed under the SAME flattened 7-way
+    * `kind` law as the qualifier table: the provenance surface the
+    * reference throws away with the qualifiers. `ref_idx` keys the
+    * reference RECORD (a statement can cite several sources; the snaks of
+    * one record belong together — "stated in X, retrieved at T"), so
+    * (claim_id, ref_idx) reconstructs each citation. The access path is
+    * "the sources of this claim", never "all time-reference-snaks" — the
+    * W34 sparse-satellite argument, so one flattened table, not seven.
+    * Input from [[DumpReader.readReferenced]]; shuffle-free explodes,
+    * WholeStageCodegen end to end. */
+  def referencesTable(entities: DataFrame): DataFrame = {
+    val rsnaks = entities
+      .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
+      .select(
+        IdCodec.encodeTextCol(col("id_text")).as("id"),
+        IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
+        explode(col("claims")).as("claim"))
+      .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
+      .select(col("id"), col("property_id"), col("claim.id").as("claim_id"),
+        posexplode(col("claim.references")).as(Seq("ref_idx", "ref")))
+      .select(col("id"), col("property_id"), col("claim_id"), col("ref_idx"),
+        explode(col("ref.snaks")).as(Seq("rpid_text", "rsnaks")))
+      .select(col("id"), col("property_id"), col("claim_id"), col("ref_idx"),
+        IdCodec.encodeTextCol(col("rpid_text")).as("ref_property_id"),
+        explode(col("rsnaks")).as("q"))
+    routeFlatSnaks(rsnaks,
+      Seq("id", "property_id", "claim_id", "ref_idx", "ref_property_id"))
+  }
+
+  /** The flattened-kind routing shared by the W34 qualifier and W59
+    * reference tables: input carries `keyCols` plus one snak struct `q`;
+    * output is keyCols + `kind` + the 7-way typed columns under the exact
+    * main-table value laws (English-else-none monolingual, unit "1" →
+    * NULL, unencodable entity refs dropped). */
+  private def routeFlatSnaks(snaks: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val routed = snaks.select(keyCols.map(col) ++ Seq(
       col("q.snaktype").as("snaktype"),
       col("q.datavalue.type").as("value_type"),
       try_variant_get(col("q.datavalue.value"), "$", "string").as("v_string"),
-      try_variant_get(col("q.datavalue.value"), "$", WideValue).as("w"))
+      try_variant_get(col("q.datavalue.value"), "$", WideValue).as("w")): _*)
 
     val hasValue = col("snaktype") === "value"
     val kind =
@@ -345,8 +388,7 @@ object WikidataEtl {
       // unencodable entity refs: drop the row, exactly like entityTable
       .filter(!(col("kind") === "entity" &&
         IdCodec.encodeTextCol(col("w.id")).isNull))
-      .select(
-        col("id"), col("property_id"), col("claim_id"), col("qual_property_id"),
+      .select(keyCols.map(col) ++ Seq(
         col("kind"),
         onlyFor("string", coalesce(col("w.text"), col("v_string"))).as("string"),
         onlyFor("entity", IdCodec.encodeTextCol(col("w.id"))).as("entity_id"),
@@ -361,7 +403,7 @@ object WikidataEtl {
           when(col("w.unit") === "1", lit(null).cast("long"))
             .otherwise(uriToId(col("w.unit")))).as("unit_id"),
         onlyFor("time", wikidataTime(col("w.time"))).as("time"),
-        onlyFor("time", coalesce(col("w.precision").cast("int"), lit(0))).as("time_precision"))
+        onlyFor("time", coalesce(col("w.precision").cast("int"), lit(0))).as("time_precision")): _*)
   }
 
   /** Statement spine at claim grain for the entity-valued claims: (id,
@@ -485,20 +527,22 @@ object WikidataEtl {
       statements = Some(entityStatements(src)))
   }
 
-  /** W54: the COMPLETE one-pass superset run — all 12 tables (the
-    * reference's 8, the W34 qualifier table + claim spine, and the
+  /** W54: the COMPLETE one-pass superset run — all 13 tables (the
+    * reference's 8, the W34 qualifier table + claim spine, the W59
+    * reference/provenance table, and the
     * W51/W52 sitelinks + aliases) derived from ONE cached parse of the
     * [[DumpReader.entitySchemaFull]] slice. This is the "switch from
     * wd2sql" entry point: one dump scan, every surface the reference has
     * plus every superset table, all riding `writeParquet`'s concurrent
     * stat-sorted sink discipline (and [[JdbcSink.writeTables]], which
-    * iterates `byName`, lands all 12 relationally). */
+    * iterates `byName`, lands all 13 relationally). */
   def runFull(entities: DataFrame, cache: Boolean = true): WikidataTables = {
     val base = runQualified(entities, cache)
     val src = base.core.getOrElse(entities)
     base.copy(
       sitelinks = Some(sitelinksTable(src)),
-      aliases = Some(aliasesTable(src)))
+      aliases = Some(aliasesTable(src)),
+      references = Some(referencesTable(src)))
   }
 
   /** End-to-end: dump path → parquet tables at `outDir`. The cached claim

@@ -43,7 +43,7 @@ class EtlSnapshotStreamSpec extends SparkSpec {
     }
   }
 
-  test("full-surface snapshot stream ≡ batch runFull on all 12 tables, each tagged (X28)") {
+  test("full-surface snapshot stream ≡ batch runFull on all 13 tables, each tagged (X28)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val in   = graft.Scratch.fresh("x28spec_in")
@@ -84,7 +84,7 @@ class EtlSnapshotStreamSpec extends SparkSpec {
       Set("[9,enwiki,Nine]")
     val versions = graft.wikidata.IncrementalEtl.tableNamesFull
       .map(n => n -> SnapshotTable.latestVersion(s"$root/$n")).toMap
-    // full replay: every one of the 12 tables already carries tag 0
+    // full replay: every one of the 13 tables already carries tag 0
     EtlStream.commitBatch(spark, batch, root, batchId = 0L, full = true)
     graft.wikidata.IncrementalEtl.tableNamesFull.foreach { n =>
       SnapshotTable.latestVersion(s"$root/$n") shouldBe versions(n)

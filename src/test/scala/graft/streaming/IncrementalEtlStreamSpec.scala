@@ -85,7 +85,7 @@ class IncrementalEtlStreamSpec extends SparkSpec {
     versions.distinct.size shouldBe 1
   }
 
-  test("full-surface sharded stream converges to the v2 12-table rebuild (X29)") {
+  test("full-surface sharded stream converges to the v2 13-table rebuild (X29)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val in   = graft.Scratch.fresh("x29spec_in")

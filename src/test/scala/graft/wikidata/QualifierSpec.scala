@@ -295,6 +295,38 @@ class QualifierSpec extends SparkSpec {
     p462.getAs[java.sql.Timestamp]("latest_until").toString should startWith("1980-07-01")
   }
 
+  test("references route under the 7-way kind law, keyed by citation record (W59)") {
+    val lines = Seq(
+      "[",
+      // Q1: one statement citing TWO sources — record 0 is the classic
+      // "stated in + retrieved" pair (entity + time), record 1 a reference
+      // URL (string) plus an unencodable entity ref that must drop
+      s"""{"id":"Q1","type":"item","claims":{"P462":[{"id":"Q1$$0","mainsnak":$entRef,"type":"statement","rank":"normal","references":[""" +
+        s"""{"snaks":{"P248":[{"snaktype":"value","property":"P248","datavalue":{"value":{"entity-type":"item","id":"Q54919"},"type":"wikibase-entityid"}}],""" +
+        s""""P813":[${timeSnak("P813", "+2020-01-02T00:00:00Z")}]}},""" +
+        s"""{"snaks":{"P854":[{"snaktype":"value","property":"P854","datavalue":{"value":"https://x.test/a","type":"string"}}],""" +
+        s""""P999":[{"snaktype":"value","property":"P999","datavalue":{"value":{"entity-type":"item","id":"Qbroken"},"type":"wikibase-entityid"}}]}}]}]}},""",
+      // Q2: a deprecated statement's references must vanish with it
+      s"""{"id":"Q2","type":"item","claims":{"P462":[{"id":"Q2$$0","mainsnak":$entRef,"type":"statement","rank":"deprecated","references":[""" +
+        s"""{"snaks":{"P854":[{"snaktype":"value","property":"P854","datavalue":{"value":"ghost","type":"string"}}]}}]}]}},""",
+      "]")
+    val refs = WikidataEtl.referencesTable(
+      DumpReader.fromLines(spark, lines, DumpReader.entitySchemaReferenced))
+    val rows = refs.collect().map(r =>
+      (r.getAs[String]("claim_id"), r.getAs[Int]("ref_idx"),
+        r.getAs[Long]("ref_property_id"), r.getAs[String]("kind"))).toSet
+    rows shouldBe Set(
+      ("Q1$0", 0, IdCodec.pId(248), "entity"),
+      ("Q1$0", 0, IdCodec.pId(813), "time"),
+      ("Q1$0", 1, IdCodec.pId(854), "string"))
+    // typed values land in their kind's columns only
+    val statedIn = refs.filter(col("ref_property_id") === IdCodec.pId(248)).head()
+    statedIn.getAs[Long]("entity_id") shouldBe 54919L
+    statedIn.getAs[String]("string") should be(null)
+    val url = refs.filter(col("ref_property_id") === IdCodec.pId(854)).head()
+    url.getAs[String]("string") shouldBe "https://x.test/a"
+  }
+
   test("validAt ≡ brute-force span filter on every claim (W35)") {
     val at = lit("1950-06-01 00:00:00").cast("timestamp")
     val fast = TemporalClaims.validAt(stmts, quals, at)

@@ -42,6 +42,7 @@ def main():
     g.rrng = random.Random(20260816)
     g.trng = random.Random(20260817)
     g.srng = random.Random(20260819)
+    g.frng = random.Random(20260821)
     v1 = []
     for i in range(300):
         ent = g.gen_entity(i)
@@ -49,6 +50,7 @@ def main():
         g.add_typed_contests(ent)
         g.add_links(ent)
         g.add_qualifiers(ent, ent["id"])
+        g.add_references(ent)
         v1.append(ent)
 
     rng = random.Random(20260813)   # choreography: which ids, which cases
@@ -57,6 +59,7 @@ def main():
     g.rrng = random.Random(89)      # fresh rank-contest stream for revisions
     g.trng = random.Random(90)      # fresh typed-contest stream for revisions
     g.srng = random.Random(91)      # fresh links stream for revisions
+    g.frng = random.Random(92)      # fresh references stream for revisions
 
     idx = list(range(300))
     rng.shuffle(idx)
@@ -74,6 +77,7 @@ def main():
         g.add_typed_contests(ent)
         g.add_links(ent)
         g.add_qualifiers(ent, ent["id"])
+        g.add_references(ent)
         return ent
 
     revid = 1000

@@ -34,6 +34,8 @@ rrng = random.Random(20260816)
 trng = random.Random(20260817)
 # sitelinks + aliases (W51/W52) — its own stream again
 srng = random.Random(20260819)
+# statement references (W59) — its own stream again
+frng = random.Random(20260821)
 
 WORDS = ["alpha", "beta", "gamma", "delta", "rho", "sigma", "omega", "kappa"]
 
@@ -50,51 +52,53 @@ def qword():
     return qrng.choice(WORDS) + str(qrng.randint(0, 99))
 
 
-def qual_snak(qpid):
+def qual_snak(qpid, r=None):
     """One qualifier snak (same shape as a mainsnak, property key lives on the
     enclosing map). Mix of every value family the 7-way router handles, plus
-    novalue/somevalue and the none-routed text-less monolingual."""
-    k = qrng.randrange(12)
+    novalue/somevalue and the none-routed text-less monolingual. `r` picks
+    the stream (default: the qualifier stream; W59 references pass frng)."""
+    r = qrng if r is None else r
+    k = r.randrange(12)
     if k <= 2:  # time — the P580/P582 temporal-validity workhorse
-        year = qrng.randint(1900, 1999)
-        month = 0 if qrng.random() < 0.3 else qrng.randint(1, 12)
-        day = 0 if month == 0 or qrng.random() < 0.3 else qrng.randint(1, 28)
+        year = r.randint(1900, 1999)
+        month = 0 if r.random() < 0.3 else r.randint(1, 12)
+        day = 0 if month == 0 or r.random() < 0.3 else r.randint(1, 28)
         return {"snaktype": "value", "property": f"P{qpid}",
                 "datavalue": {"value": {"time": f"+{year:04d}-{month:02d}-{day:02d}T00:00:00Z",
-                                        "timezone": 0, "precision": qrng.randint(9, 11)},
+                                        "timezone": 0, "precision": r.randint(9, 11)},
                               "type": "time"}}
     if k <= 4:  # plain string
         return {"snaktype": "value", "property": f"P{qpid}",
-                "datavalue": {"value": qword(), "type": "string"}}
+                "datavalue": {"value": (r.choice(WORDS) + str(r.randint(0, 99))), "type": "string"}}
     if k == 5:  # monolingual with text
         return {"snaktype": "value", "property": f"P{qpid}",
-                "datavalue": {"value": {"text": qword(), "language": "en"},
+                "datavalue": {"value": {"text": (r.choice(WORDS) + str(r.randint(0, 99))), "language": "en"},
                               "type": "monolingualtext"}}
     if k == 6:  # monolingual WITHOUT text -> none kind
         return {"snaktype": "value", "property": f"P{qpid}",
                 "datavalue": {"value": {"language": "en"}, "type": "monolingualtext"}}
     if k == 7:  # entity ref (rarely malformed -> row dropped, like the main table)
-        target = f"Q{qrng.randint(1, 99999)}" if qrng.random() < 0.9 else "Qbroken"
+        target = f"Q{r.randint(1, 99999)}" if r.random() < 0.9 else "Qbroken"
         return {"snaktype": "value", "property": f"P{qpid}",
                 "datavalue": {"value": {"entity-type": "item", "id": target},
                               "type": "wikibase-entityid"}}
     if k == 8:  # quantity (sometimes malformed amount, sometimes bounds)
-        amt = round(qrng.uniform(-50, 500), 2)
-        value = {"amount": "+not-a-number" if qrng.random() < 0.1
+        amt = round(r.uniform(-50, 500), 2)
+        value = {"amount": "+not-a-number" if r.random() < 0.1
                  else (f"+{amt}" if amt >= 0 else str(amt))}
-        value["unit"] = "1" if qrng.random() < 0.5 \
-            else f"http://www.wikidata.org/entity/Q{qrng.randint(1, 999)}"
-        if qrng.random() < 0.3:
+        value["unit"] = "1" if r.random() < 0.5 \
+            else f"http://www.wikidata.org/entity/Q{r.randint(1, 999)}"
+        if r.random() < 0.3:
             value["lowerBound"] = f"+{round(amt - 1, 2)}"
             value["upperBound"] = f"+{round(amt + 1, 2)}"
         return {"snaktype": "value", "property": f"P{qpid}",
                 "datavalue": {"value": value, "type": "quantity"}}
     if k == 9:  # coordinates
-        value = {"latitude": round(qrng.uniform(-90, 90) * 2) / 2.0,
-                 "longitude": round(qrng.uniform(-180, 180) * 2) / 2.0,
+        value = {"latitude": round(r.uniform(-90, 90) * 2) / 2.0,
+                 "longitude": round(r.uniform(-180, 180) * 2) / 2.0,
                  "globe": "http://www.wikidata.org/entity/Q2"}
-        if qrng.random() < 0.7:
-            value["precision"] = qrng.choice([0.1, 0.01, 1.0])
+        if r.random() < 0.7:
+            value["precision"] = r.choice([0.1, 0.01, 1.0])
         return {"snaktype": "value", "property": f"P{qpid}",
                 "datavalue": {"value": value, "type": "globecoordinate"}}
     if k == 10:
@@ -264,6 +268,25 @@ def add_qualifiers(ent, id_text):
                 st["qualifiers-order"] = list(quals.keys())
 
 
+def add_references(ent):
+    """W59 fixtures: reference records on ~30% of statements (deprecated
+    statements included — the router must drop their references too): 1-2
+    records per statement, 1-2 snaks each, every value family via qual_snak
+    on the independent frng stream (v1 entity bytes for the pre-W59 fields
+    are untouched — references are a pure superset of the old file)."""
+    for pid_text, stmts in ent["claims"].items():
+        for st in stmts:
+            if frng.random() < 0.3:
+                refs = []
+                for _ in range(1 + (1 if frng.random() < 0.3 else 0)):
+                    snaks = {}
+                    for _ in range(1 + (1 if frng.random() < 0.4 else 0)):
+                        rpid = 248 if frng.random() < 0.3 else frng.randint(1, 9999)
+                        snaks.setdefault(f"P{rpid}", []).append(qual_snak(rpid, frng))
+                    refs.append({"snaks": snaks, "snaks-order": list(snaks.keys())})
+                st["references"] = refs
+
+
 def gen_entity(i):
     kind = rng.randrange(3)
     n = i + 1
@@ -355,6 +378,7 @@ def main():
         add_typed_contests(ent)
         add_links(ent)
         add_qualifiers(ent, ent["id"])
+        add_references(ent)
         lines.append(json.dumps(ent, separators=(",", ":")) + ",")
         if i % 60 == 17:
             lines.append("this is not json,")  # tolerant reader must skip
