@@ -356,6 +356,30 @@ object WikidataEtl {
       Seq("id", "property_id", "claim_id", "ref_idx", "ref_property_id"))
   }
 
+  /** W61: reference-coverage audit — per property of the surviving
+    * statements: how many statements, how many carry at least one
+    * citation, and how many citation records in total. The sanity check a
+    * provenance consumer runs BEFORE trusting the W59 table ("is P569
+    * actually sourced in this corpus?"), exactly as W44's temporal
+    * coverage gates trust in validAt. One property-keyed aggregate with
+    * map-side partials off the statement explode — answer is
+    * property-count-sized. Input from [[DumpReader.readReferenced]]. */
+  def referenceCoverage(entities: DataFrame): DataFrame =
+    entities
+      .select(col(s"$E.id").as("id_text"), explode(col(s"$E.claims")).as(Seq("pid_text", "claims")))
+      .select(IdCodec.encodeTextCol(col("id_text")).as("id"),
+        IdCodec.encodeTextCol(col("pid_text")).as("property_id"),
+        explode(col("claims")).as("claim"))
+      .filter(col("id").isNotNull)
+      .filter(coalesce(col("claim.rank"), lit("normal")) =!= "deprecated")
+      .select(col("property_id"),
+        coalesce(size(col("claim.references")), lit(0)).as("nrefs"))
+      .groupBy("property_id")
+      .agg(
+        count(lit(1)).as("n_statements"),
+        sum(when(col("nrefs") > 0, 1L).otherwise(0L)).as("n_referenced"),
+        sum(col("nrefs").cast("long")).as("n_ref_records"))
+
   /** The flattened-kind routing shared by the W34 qualifier and W59
     * reference tables: input carries `keyCols` plus one snak struct `q`;
     * output is keyCols + `kind` + the 7-way typed columns under the exact
