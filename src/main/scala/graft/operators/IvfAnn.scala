@@ -267,4 +267,55 @@ object IvfAnn {
     Similarity.topKFinish(paired.select(col("query_id"), col("neighbor_id"),
       VectorExpressions.cosineNative(col("__qv"), col("__cv")).as("cosine")), k)
   }
+
+  /** S17: the [[knnJoin]] under SIGN QUANTIZATION (S14 × S15) — the
+    * corpus-vs-corpus join where the dominant cost is the cell shuffle's
+    * WIRE VOLUME: here the right side ships (id, cell, packed sign words)
+    * — one bit per dimension, 32× under float32 — the in-cell scan scores
+    * the float query against the words with the native asymmetric
+    * [[graft.functions.SignDot]], a per-query `shortlist` survives, and
+    * exact cosine over the full float vectors decides the final k.
+    * Quantization error can only cost recall at the shortlist boundary,
+    * never mis-rank the shortlisted (the S7/S15 re-rank law).
+    *
+    * The re-rank joins the shortlist ids back to BOTH float sides as
+    * shuffled hash joins — neither side broadcasts, both corpora are
+    * cluster-scale by contract — priced at shortlist·|left| rows, not the
+    * cell fan-out. With `shortlist` covering every in-cell candidate the
+    * result is exactly [[knnJoin]] at the same geometry, and with
+    * `nprobe = cells` too it is exactly the brute-force join
+    * (spec-asserted). Zero vectors follow [[knnJoin]]'s semantics. */
+  def knnJoinQuantized(left: DataFrame, right: DataFrame, leftId: String,
+      rightId: String, vecCol: String, k: Int = 5, cells: Int = 0,
+      nprobe: Int = 0, shortlist: Int = 32, excludeSelf: Boolean = false,
+      knownN: Long = -1L): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val n = if (knownN >= 0) knownN else right.count()
+    val plan = ivfPlan(n)
+    val c = if (cells > 0) cells else plan.cells
+    val np = math.min(if (nprobe > 0) nprobe else plan.nprobe, c)
+    val cents = trainCentroids(right, vecCol, c, knownN = n)
+    val cellsOf = cellSelector(cents)
+    val r = right.select(col(rightId).as("neighbor_id"),
+      graft.functions.VectorExpressions.signPackNative(col(vecCol)).as("__w"),
+      element_at(cellsOf(col(vecCol), 1), 1).as("cid"))
+    val l = left.select(col(leftId).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cid", explode(cellsOf(col("__qv"), np)))
+    val joined = l.join(r, Seq("cid"))
+    val paired = if (excludeSelf)
+      joined.filter(col("query_id") =!= col("neighbor_id")) else joined
+    val scored = paired.select(col("query_id"), col("neighbor_id"),
+      graft.functions.VectorExpressions.signDotNative(col("__qv"), col("__w")).as("__a"))
+    val short = graft.plans.TopK.perGroupOrdered(scored, Seq("query_id"),
+        Seq("__a" -> false, "neighbor_id" -> true), shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(right.select(col(rightId).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .join(left.select(col(leftId).as("query_id"), col(vecCol).as("__qv")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorExpressions.cosineNative(col("__qv"), col("__cv")).as("cosine"))
+    Similarity.topKFinish(exact, k)
+  }
 }

@@ -672,6 +672,25 @@ object LlmOps {
         .orderBy("query_id")
     },
 
+    // S17: the S14 join under sign quantization — the cell shuffle ships
+    // packed sign words (32× under float32), the asymmetric SignDot scan
+    // shortlists, exact cosine re-ranks. Same structural oracle as s14:
+    // each query's planted exact copy packs to identical words, uniquely
+    // maximizes the asymmetric score, heads the shortlist and re-ranks to
+    // top-1 at cosine 1 — a shortlist leak, a scan mis-rank or a re-rank
+    // drift all break the hash. Equivalence laws are IvfAnnSpec's.
+    "s17_quantized_knn_join" -> { (s, dir) =>
+      val n = Tables(s, dir).embeddings.count()
+      val vecs = plantedVecsExact(s, dir)
+      IvfAnn.knnJoinQuantized(Tables(s, dir).embeddings.repartition(parallelism(s)),
+          vecs, "vec_id", "vec_id", "embedding",
+          k = 1, cells = 8, nprobe = 3, shortlist = 16,
+          excludeSelf = true, knownN = 2 * n)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id")
+    },
+
     // S13: REINDEX under drift — the s10 store (odd copies tombstoned) is
     // re-trained at a DIFFERENT geometry (8 → 12 cells) from its live
     // membership; the in-gate requires prove the new geometry took and the
@@ -3935,6 +3954,12 @@ object LlmOps {
 
     // s14: every base row recovers its planted copy through the join
     "s14_knn_join" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // S17: the identical planted-copy law — quantization, the shortlist
+    // and the re-rank are all invisible to the top-1
+    "s17_quantized_knn_join" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1.0 AS cosine
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 

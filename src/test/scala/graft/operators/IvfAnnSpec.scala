@@ -96,6 +96,46 @@ class IvfAnnSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("quantized knnJoin: covering shortlist ≡ exact knnJoin; full probe too ≡ brute force (S17)") {
+    val rng = new scala.util.Random(37)
+    val right = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val left = (1000 until 1150).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    // shortlist ≥ |right| covers every in-cell candidate → the quantized
+    // scan cannot lose anything the exact join would keep
+    val quantFull = IvfAnn.knnJoinQuantized(left, right, "vec_id", "vec_id",
+        "embedding", k = 3, cells = 4, nprobe = 4, shortlist = 300, knownN = 300)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(left, right, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    quantFull shouldBe brute
+    val quantProbe = IvfAnn.knnJoinQuantized(left, right, "vec_id", "vec_id",
+        "embedding", k = 3, cells = 4, nprobe = 2, shortlist = 300, knownN = 300)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactProbe = IvfAnn.knnJoin(left, right, "vec_id", "vec_id", "embedding",
+        k = 3, cells = 4, nprobe = 2, knownN = 300)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    quantProbe shouldBe exactProbe
+  }
+
+  test("quantized knnJoin: planted copies head the shortlist and re-rank to top-1 (S17)") {
+    val rng = new scala.util.Random(41)
+    val base = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val planted = (base ++ base.map { case (i, v) => (i + 1000L, v) })
+      .toDF("vec_id", "embedding")
+    val top1 = IvfAnn.knnJoinQuantized(base.toDF("vec_id", "embedding"), planted,
+        "vec_id", "vec_id", "embedding",
+        k = 1, cells = 4, nprobe = 2, shortlist = 8, excludeSelf = true, knownN = 400)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    top1.length shouldBe 200
+    top1.foreach { case (q, nb, cos) =>
+      nb shouldBe q + 1000L
+      cos shouldBe 1.0 +- 1e-9
+    }
+  }
+
   test("knnJoin self-join: excludeSelf drops the trivial match, copies surface at top-1 (S14)") {
     val rng = new scala.util.Random(29)
     val base = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
