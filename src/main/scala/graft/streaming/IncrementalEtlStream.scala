@@ -63,9 +63,22 @@ object IncrementalEtlStream {
     * the changeset parses with the full schema (links + qualifiers carried
     * through), and W55's law makes the merge identical in shape: sitelinks
     * and aliases are id-keyed, so the broadcast anti-join covers them with
-    * zero extra shuffles of base data. */
+    * zero extra shuffles of base data.
+    *
+    * X30 (`anyNameIndex = Some(path)`, requires `full`): the W56 fuzzy
+    * ANY-name index maintained IN the refresh loop — after the data tables
+    * commit, ONE batch-tagged Append of the touched entities' current
+    * names' variant rows lands on the index (W57's law: stale variants
+    * self-neutralize at the exact verify, so appends alone keep lookups
+    * exact). Ordering is the crash contract: data tables → index delta →
+    * revisions mark. A crash before the mark replays the whole batch — the
+    * index append is then skipped by ITS OWN tag, and the mark-guarded
+    * tables by theirs — so every surface converges exactly once. */
   def applyBatch(spark: SparkSession, lines: DataFrame, tableRoot: String,
-      full: Boolean = false): Unit = {
+      full: Boolean = false, anyNameIndex: Option[String] = None,
+      batchTag: Option[String] = None): Unit = {
+    require(anyNameIndex.isEmpty || full,
+      "anyNameIndex maintenance needs the full surface (aliases): pass full = true")
     val names = if (full) IncrementalEtl.tableNamesFull else IncrementalEtl.tableNames
     val schema = if (full) IncrementalEtl.changeSchemaFull else IncrementalEtl.changeSchema
     // cached: the winners frame feeds the stale probe, the admitted set,
@@ -96,6 +109,22 @@ object IncrementalEtlStream {
           next.core.foreach(_.count()) // materialize before the fan-out race
           SnapshotTable.commitAll(spark,
             next.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df })
+          // X30: the index delta lands BETWEEN the data tables and the
+          // mark, guarded by its own batch tag — a replay after a crash
+          // here re-runs the data commits (mark still old) but skips the
+          // already-tagged index append
+          anyNameIndex.foreach { idx =>
+            val alreadyApplied = batchTag.exists(t =>
+              SnapshotTable.tagOf(idx).contains(t))
+            if (!alreadyApplied) {
+              val touched = guarded.select("id")
+              val names = graft.wikidata.QueryApi
+                .anyNamesOf(next.meta, next.aliases.get)
+                .join(broadcast(touched), Seq("id"), "left_semi")
+              graft.operators.EditJoin.appendIndexDelta(spark, idx, names,
+                "id", "name", tag = batchTag): Unit
+            }
+          }
           // the high-water mark commits STRICTLY AFTER the data tables: a
           // crash inside the window replays the batch with the OLD mark, so
           // the re-apply repairs any table the crash left behind (equal
@@ -115,15 +144,18 @@ object IncrementalEtlStream {
   def start(spark: SparkSession, inDir: String, tableRoot: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
-      full: Boolean = false): StreamingQuery = {
+      full: Boolean = false,
+      anyNameIndex: Option[String] = None): StreamingQuery = {
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val ns = BatchTags.namespace(checkpointDir)
     reader.text(inDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        applyBatch(spark, batch.toDF(), tableRoot, full)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBatch(spark, batch.toDF(), tableRoot, full, anyNameIndex,
+          Some(BatchTags.tag(ns, batchId.toString)))
       }
       .start()
   }

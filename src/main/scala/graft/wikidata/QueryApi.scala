@@ -133,10 +133,7 @@ final case class QueryApi(tables: WikidataTables) {
     val aliases = tables.aliases.getOrElse(throw new IllegalArgumentException(
       "any-name lookup needs the links surface: parse with DumpReader.readFull/" +
         "readLinks and run WikidataEtl.runFull (W52 aliases)"))
-    tables.meta.filter(col("label").isNotNull)
-      .select(col("id"), col("label").as("name"))
-      .unionAll(aliases.select(col("id"), col("alias").as("name")))
-      .distinct()
+    QueryApi.anyNamesOf(tables.meta, aliases)
   }
 
   /** W56: typo-tolerant ANY-name lookup — [[byLabelFuzzy]] over the
@@ -165,4 +162,15 @@ final case class QueryApi(tables: WikidataTables) {
   def byAnyNameFuzzyStored(spark: org.apache.spark.sql.SparkSession,
       table: String, term: String): DataFrame =
     graft.operators.EditJoin.fuzzyLookupStored(spark, table, anyNames, "id", "name", term)
+}
+
+object QueryApi {
+  /** The W53/W56 name universe from bare frames — callers holding
+    * published tables (snapshot reads, X30's streaming maintenance)
+    * rather than a [[WikidataTables]]. */
+  def anyNamesOf(meta: DataFrame, aliases: DataFrame): DataFrame =
+    meta.filter(col("label").isNotNull)
+      .select(col("id"), col("label").as("name"))
+      .unionAll(aliases.select(col("id"), col("alias").as("name")))
+      .distinct()
 }

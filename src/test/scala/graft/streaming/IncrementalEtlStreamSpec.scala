@@ -85,6 +85,58 @@ class IncrementalEtlStreamSpec extends SparkSpec {
     versions.distinct.size shouldBe 1
   }
 
+  test("any-name index rides the refresh loop; a consumed tag skips the index only (X30)") {
+    import graft.operators.{EditJoin, SnapshotTable}
+    import graft.wikidata.QueryApi
+    val root = graft.Scratch.fresh("x30spec_tables")
+    val idx  = graft.Scratch.fresh("x30spec_index")
+    def fent(id: String, label: String, alias: String, rev: Long): String =
+      s"""{"id":"$id","lastrevid":$rev,"labels":{"en":{"language":"en","value":"$label"}},""" +
+      s""""descriptions":{},"claims":{},"aliases":{"en":[{"language":"en","value":"$alias"}]}},"""
+    val v1 = WikidataEtl.runFull(DumpReader.fromLines(spark,
+      Seq("[", fent("Q1", "apple", "pomme", 1), "]"),
+      DumpReader.entitySchemaFull), cache = false)
+    IncrementalEtlStream.bootstrap(spark, root, v1)
+    EditJoin.saveIndex(spark, idx, QueryApi(v1).anyNames, "id", "name", files = 4)
+    def currentNames() = QueryApi.anyNamesOf(
+      SnapshotTable.read(spark, s"$root/meta"),
+      SnapshotTable.read(spark, s"$root/aliases"))
+    def lookup(term: String) = EditJoin
+      .fuzzyLookupStored(spark, idx, currentNames(), "id", "name", term)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    import spark.implicits._
+    // batch 0: Q1 renamed (alias churn too) + a brand-new entity
+    IncrementalEtlStream.applyBatch(spark,
+      Seq(fent("Q1", "apfel", "mela", 9), fent("Q2", "pear", "poire", 3)).toDF("value"),
+      root, full = true, Some(idx), Some("t0"))
+    lookup("mela") shouldBe Set((1L, "mela"))   // new alias findable
+    lookup("pomme") shouldBe Set.empty          // stale variant self-neutralizes
+    lookup("poire") shouldBe Set((2L, "poire")) // new entity findable
+    val vIdx = SnapshotTable.latestVersion(idx)
+    val vMeta = SnapshotTable.latestVersion(s"$root/meta")
+    // full replay of the consumed batch: guard rejects → total no-op
+    IncrementalEtlStream.applyBatch(spark,
+      Seq(fent("Q1", "apfel", "mela", 9), fent("Q2", "pear", "poire", 3)).toDF("value"),
+      root, full = true, Some(idx), Some("t0"))
+    SnapshotTable.latestVersion(idx) shouldBe vIdx
+    SnapshotTable.latestVersion(s"$root/meta") shouldBe vMeta
+    // crash-window form: a NEW batch arriving under the index's consumed
+    // tag (data commits re-ran, index append already landed) must apply
+    // the tables but skip the index — and the lookup STAYS exact because
+    // the verify runs against current names
+    IncrementalEtlStream.applyBatch(spark,
+      Seq(fent("Q3", "plum", "prune", 4)).toDF("value"),
+      root, full = true, Some(idx), Some("t0"))
+    SnapshotTable.latestVersion(idx) shouldBe vIdx // index skipped by tag
+    SnapshotTable.read(spark, s"$root/meta").count() shouldBe 3 // tables applied
+    // Q3's names are not yet indexed (no candidates) — a later batch with
+    // a fresh tag repairs the index delta
+    IncrementalEtlStream.applyBatch(spark,
+      Seq(fent("Q3", "plum", "prune", 5)).toDF("value"),
+      root, full = true, Some(idx), Some("t1"))
+    lookup("prune") shouldBe Set((3L, "prune"))
+  }
+
   test("full-surface sharded stream converges to the v2 13-table rebuild (X29)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
