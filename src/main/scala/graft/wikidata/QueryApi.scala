@@ -158,6 +158,32 @@ final case class QueryApi(tables: WikidataTables) {
       files: Int = 64): Long =
     graft.operators.EditJoin.saveIndex(spark, table, anyNames, "id", "name", files)
 
+  /** W62: [[conjunctiveEntitySearch]] under a PROVENANCE requirement —
+    * every conjunct must be satisfied by a claim carrying at least one
+    * reference record (W59): "red fruits, according to some source". The
+    * skeptical form of the reference README's own query pattern, which
+    * its users cannot ask because the reference drops references with the
+    * qualifiers. Each conjunct filters the entity-valued claim spine to
+    * (pid, qid) FIRST (tiny), semi-joins the sourced claim-id set (also
+    * claim-keyed), and the surviving per-conjunct id sets chain as LEFT
+    * SEMI joins against meta — all broadcast-scale, the W15 shape with
+    * one extra claim-keyed cut. Needs the full surface
+    * ([[WikidataEtl.runFull]]); throws loudly otherwise. */
+  def conjunctiveSourcedSearch(conjuncts: Seq[(Long, Long)]): DataFrame = {
+    val spine = tables.statements.getOrElse(throw new IllegalArgumentException(
+      "sourced search needs the claim spine: run WikidataEtl.runQualified/runFull"))
+    val refs = tables.references.getOrElse(throw new IllegalArgumentException(
+      "sourced search needs the references surface: run WikidataEtl.runFull (W59)"))
+    val sourcedIds = refs.select("claim_id").distinct()
+    conjuncts.foldLeft(tables.meta) { case (acc, (pid, qid)) =>
+      val sourcedClaim = spine
+        .filter(col("property_id") === pid && col("entity_id") === qid)
+        .join(sourcedIds, Seq("claim_id"), "left_semi")
+        .select(col("id").as("match_id"))
+      acc.join(sourcedClaim, col("id") === col("match_id"), "left_semi")
+    }
+  }
+
   /** W56: [[byAnyNameFuzzy]] against a [[saveAnyNameIndex]] store. */
   def byAnyNameFuzzyStored(spark: org.apache.spark.sql.SparkSession,
       table: String, term: String): DataFrame =
