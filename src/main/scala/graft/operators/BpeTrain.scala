@@ -49,9 +49,11 @@ object BpeTrain {
     * desc), so a capped run is reproducible too. */
   def wordCounts(df: DataFrame, textCols: Seq[String],
       maxVocab: Int = 1 << 20): Seq[(String, Long)] = {
+    // typed function, NOT expr(): a SQL string literal would eat the \s
+    // escape and the pattern would silently capture spaces as pretokens
     val scans = textCols.map(c =>
       df.select(explode(
-        expr(s"regexp_extract_all(lower(`$c`), '$pretokenRegex', 0)")).as("w")))
+        regexp_extract_all(lower(col(c)), lit(pretokenRegex), lit(0))).as("w")))
     scans.reduce(_ unionAll _)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").desc)
@@ -130,4 +132,21 @@ object BpeTrain {
   def train(df: DataFrame, textCols: Seq[String], nMerges: Int,
       maxVocab: Int = 1 << 20): Seq[(String, String)] =
     trainFromCounts(wordCounts(df, textCols, maxVocab), nMerges)
+
+  /** T30: the PUBLISHABLE vocabulary of a trained table — what a model
+    * config actually consumes: (token_id, token, kind) with the GPT-2
+    * construction, base tokens first (the training vocabulary's distinct
+    * codepoints in lexicographic order), then one token per merge in
+    * merge order. Ids are dense ranks of that deterministic order, so two
+    * engines — and two runs — assign identical ids; T29's determinism
+    * extends to the id space. */
+  def vocabulary(wordCounts: Seq[(String, Long)],
+      merges: Seq[(String, String)]): Seq[(Long, String, String)] = {
+    val base = wordCounts.iterator
+      .flatMap { case (w, _) => codepoints(w) }
+      .toSeq.distinct.sorted
+    base.zipWithIndex.map { case (t, i) => (i.toLong, t, "base") } ++
+      merges.zipWithIndex.map { case ((a, b), i) =>
+        ((base.size + i).toLong, a + b, "merge") }
+  }
 }

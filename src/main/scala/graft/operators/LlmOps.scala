@@ -995,6 +995,21 @@ object LlmOps {
         .toDF("step", "lhs", "rhs").orderBy("step")
     },
 
+    // T30: the trained table's PUBLISHABLE vocabulary — (token_id, token,
+    // kind) under the GPT-2 construction: base codepoints in lexicographic
+    // order, then merges in merge order, ids = dense ranks. The oracle
+    // re-derives base tokens AND ids from the same corpus CTEs and the
+    // unrolled merges — a drift in training, char splitting or ordering
+    // moves an id and breaks the hash.
+    "t30_bpe_vocab" -> { (s, dir) =>
+      import s.implicits._
+      val counts = BpeTrain.wordCounts(Tables(s, dir).documents, Seq("text"))
+      val merges = BpeTrain.trainFromCounts(counts, 8)
+      require(merges.size == 8, s"corpus must support 8 merges, got ${merges.size}")
+      BpeTrain.vocabulary(counts, merges)
+        .toDF("token_id", "token", "kind").orderBy("token_id")
+    },
+
     // P19: retrain-and-apply — the T29 trainer's fresh table handed
     // straight to T16's codegen'd tokenizer kernel: per-doc token counts
     // under the JUST-TRAINED merges, the tokenizer-refresh loop a curation
@@ -2900,6 +2915,28 @@ object LlmOps {
        |GROUP BY d.doc_id""".stripMargin
   }
 
+  /** T30 oracle: the vocabulary re-derived — base tokens are the distinct
+    * codepoints of the training words in lexicographic order (DuckDB's
+    * binary collation ≡ codepoint order), ids their dense ranks; merge
+    * tokens follow in merge order off the unrolled chain. */
+  private val t30OracleSql: String = {
+    val k = 8
+    val mergedSel = (1 to k).map(i =>
+      s"SELECT CAST((SELECT c FROM nb) + ${i - 1} AS BIGINT) AS token_id, a || b AS token, 'merge' AS kind FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainCtes(k)},
+       |base AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT unnest(list_transform(range(1, len(w)+1), i -> w[i])) AS tok
+       |    FROM wfreq)
+       |), nb AS (SELECT CAST(count(*) AS BIGINT) AS c FROM base)
+       |SELECT CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS token_id,
+       |  tok AS token, 'base' AS kind FROM base
+       |UNION ALL
+       |$mergedSel
+       |ORDER BY token_id""".stripMargin
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   /** t27/t28 shared oracle: dirt replanted with chr(), flags + chain
     * replayed from the SAME compiled constants (see t27 gate doc). */
@@ -4109,6 +4146,10 @@ object LlmOps {
     // P19: the whole retrain-and-apply chain in one statement — training
     // CTEs (bpeTrainCtes) feeding the t16 recursive tokenizer.
     "p19_bpe_retrain" -> p19OracleSql,
+
+    // T30: base codepoints + merge tokens with dense-rank ids, off the
+    // same unrolled-training CTEs.
+    "t30_bpe_vocab" -> t30OracleSql,
 
     "t16_bpe_tokens" ->
       s"""WITH RECURSIVE
