@@ -9,8 +9,41 @@ import org.apache.spark.sql.SparkSession
   * partitions sized to the parallelism rather than the 200 default.
   */
 object GraftSession {
+
+  /** Cross-cutting performance settings shared by every graft session
+    * (tests, Verify, Bench). Each is measured (OPTIMIZATION_r10.md §C1),
+    * env-overridable, and chosen to hold beyond local mode:
+    *
+    *   - `bypassMergeThreshold = 1`: always use the sort-based shuffle
+    *     writer. The bypass writer opens/creates R partition files per map
+    *     task and concatenates them with mmap'd NIO copies — M×R file
+    *     creations + maps per shuffle. Thread dumps of hot stages showed
+    *     tasks pinned in `FileChannelImpl.map0` doing exactly this (tiny
+    *     shuffles paying ~0.5 s/task of fixed syscall cost on this kernel);
+    *     the sort writer emits ONE data+index file per map task whatever R
+    *     is. At cluster scale this is the default code path anyway (bypass
+    *     only ever applies at R ≤ 200 with no map-side combine), so forcing
+    *     it trades nothing structural.
+    *   - committer algorithm v2 + no _SUCCESS markers: every graft write is
+    *     published by a snapshot-table manifest link or read back
+    *     explicitly — job-level rename-on-commit and _SUCCESS files are
+    *     pure per-commit overhead here (hundreds of commits per run).
+    *   - `parallelPartitionDiscovery.threshold = 4096`: a snapshot read
+    *     passes an explicit file list; above 32 paths Spark launches a
+    *     LISTING JOB for what is a driver-side stat of known paths (~0.1-0.5
+    *     s per read measured). Listing jobs only pay off on object stores
+    *     with thousands of directories; the threshold stays a conf knob.
+    */
+  def perfDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.shuffle.sort.bypassMergeThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+      sys.env.getOrElse("SPARK_GRAFT_LISTING_THRESHOLD", "4096"))
+
   def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession = {
-    val spark = SparkSession
+    val spark = perfDefaults(SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
@@ -24,7 +57,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
