@@ -48,10 +48,16 @@ object AnnIndexStore {
     val t = tag.orElse(Some(
       s"ivfpq-cells${index.centroids.size}-m${index.cb.m}-k${index.cb.k}" +
         s"-${java.util.UUID.randomUUID().toString.take(8)}"))
+    // file sizing (§6): the codebook tables are KB-sized BY CONSTRUCTION
+    // (driver-resident matrices exploded to rows) — one file each, always;
+    // a default-parallelism LocalRelation write was emitting 32 near-empty
+    // files per table per save. The encoded corpus right-sizes by its own
+    // estimate: fixture-sized stores collapse to one file, a real corpus
+    // keeps its partitioning.
     SnapshotTable.commitAll(spark, Seq(
-      s"$root/centroids" -> cents,
-      s"$root/codebooks" -> books,
-      s"$root/encoded"   -> encoded), tag = t)
+      s"$root/centroids" -> cents.coalesce(1),
+      s"$root/codebooks" -> books.coalesce(1),
+      s"$root/encoded"   -> SnapshotTable.rightSized(encoded)), tag = t)
   }
 
   /** The newest (centroids, codebooks, encoded) version triple sharing one
@@ -131,7 +137,9 @@ object AnnIndexStore {
     val mode = if (SnapshotTable.latestVersion(t).isDefined) SnapshotTable.Append
                else SnapshotTable.Overwrite
     SnapshotTable.commit(spark, t,
-      ids.select(col(ids.columns.head).cast("long").as("id")), mode = mode, tag = tag)
+      SnapshotTable.rightSized(
+        ids.select(col(ids.columns.head).cast("long").as("id"))),
+      mode = mode, tag = tag)
   }
 
   /** The live tombstone id set (empty frame before any delete, and after a
@@ -241,11 +249,18 @@ object AnnIndexStore {
       knownN: Long = -1L, tag: Option[String] = None): (IvfPq.Index, DataFrame) = {
     val tombT = s"$root/$TombstoneTable"
     val tombV = SnapshotTable.latestVersion(tombT).getOrElse(-1L)
-    val (_, encoded) = load(spark, root)
+    // encoded only — [[load]] would additionally collect the centroid and
+    // codebook tables (two driver round-trips) for an index this rebuild
+    // immediately discards
+    val encoded = SnapshotTable.read(spark, s"$root/encoded", pinnedVersions(root)._3)
     val liveIds = encoded.select(idCol).join(
       tombstones(spark, root).withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     val live = corpus.join(liveIds, Seq(idCol), "left_semi")
-    val index = IvfPq.build(live, vecCol, cells, m, k, knownN = knownN)
+    // one count feeds BOTH training passes' sampling decisions (knownN = -1
+    // used to cost one count() in build and a second in trainCentroids,
+    // each re-planning the semi-join lineage)
+    val n = if (knownN >= 0) knownN else live.count()
+    val index = IvfPq.build(live, vecCol, cells, m, k, knownN = n)
     val fresh = IvfPq.encode(live, idCol, vecCol, index)
     val extraCols = encoded.columns.filterNot(
       Set(idCol, "cid", "pq_codes").contains).toSeq
@@ -309,13 +324,16 @@ object AnnIndexStore {
     val tombT = s"$root/$TombstoneTable"
     val tombV = SnapshotTable.latestVersion(tombT).getOrElse(-1L)
     val dead = tombstones(spark, root)
-    val (_, encoded) = load(spark, root)
+    // encoded only — the codebook tables re-commit verbatim below; loading
+    // them into driver objects just to discard them was two extra jobs
+    val (vCents, vBooks, vEnc) = pinnedVersions(root)
+    val encoded = SnapshotTable.read(spark, s"$root/encoded", vEnc)
     val live = encoded.join(dead.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     val tag = Some(s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
     SnapshotTable.commitAll(spark, Seq(
-      s"$root/centroids" -> SnapshotTable.read(spark, s"$root/centroids"),
-      s"$root/codebooks" -> SnapshotTable.read(spark, s"$root/codebooks"),
-      s"$root/encoded"   -> live), tag = tag)
+      s"$root/centroids" -> SnapshotTable.read(spark, s"$root/centroids", vCents).coalesce(1),
+      s"$root/codebooks" -> SnapshotTable.read(spark, s"$root/codebooks", vBooks).coalesce(1),
+      s"$root/encoded"   -> SnapshotTable.rightSized(live)), tag = tag)
     if (tombV >= 0)
       SnapshotTable.commit(spark, tombT, spark.range(0).toDF("id"),
         mode = SnapshotTable.Overwrite, expectedVersion = tombV): Unit

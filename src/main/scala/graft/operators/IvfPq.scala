@@ -63,7 +63,8 @@ object IvfPq {
     // the residual frame is already ≤ sampleCap rows — disable PQ's second
     // sampling pass (and its count) rather than sampling a sample
     val cb = ProductQuantizer.train(resid, "r", m, k, iters,
-      sampleCap = Long.MaxValue, knownN = math.min(n, sampleCap))
+      sampleCap = Long.MaxValue, knownN = math.min(n, sampleCap),
+      knownDim = cents.head.length)
     Index(cents, cb)
   }
 

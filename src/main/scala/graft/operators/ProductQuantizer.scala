@@ -56,10 +56,15 @@ object ProductQuantizer {
     * kernel's strict `<` argmin keeps the old first-index tie-break, so
     * trained codebooks and codes are unchanged. */
   def train(df: DataFrame, vecCol: String, m: Int, k: Int, iters: Int = 5,
-      sampleCap: Long = 200000, knownN: Long = -1L): Codebooks = {
+      sampleCap: Long = 200000, knownN: Long = -1L,
+      knownDim: Int = -1): Codebooks = {
     require(m > 0 && k > 0 && iters > 0, s"need m/k/iters > 0, got $m/$k/$iters")
     val all = df.select(col(vecCol).cast("array<double>").as("v"))
-    val dim = all.select(size(col("v"))).head().getInt(0)
+    // `knownDim` skips a whole-lineage head() action when the caller
+    // already holds the dimensionality (IvfPq.build has it from the
+    // trained coarse centroids)
+    val dim = if (knownDim > 0) knownDim
+      else all.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val n = if (knownN >= 0) knownN else all.count()

@@ -40,7 +40,7 @@ object StreamingAnnIngest {
     if (SnapshotTable.hasTag(s"$indexRoot/encoded", tag) ||
       batch.isEmpty) return
     SnapshotTable.commit(spark, s"$indexRoot/encoded",
-      IvfPq.encode(batch, idCol, vecCol, index),
+      SnapshotTable.rightSized(IvfPq.encode(batch, idCol, vecCol, index)),
       mode = SnapshotTable.Append, tag = Some(tag)): Unit
   }
 
