@@ -43,13 +43,18 @@ object PropertyPath {
   def closureWithStats(edges: DataFrame, maxRounds: Int = 20,
       reliable: Boolean = false): Closure = {
     val Seq(ca, cb) = edges.columns.take(2).toSeq
-    def checkpoint(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    var r = checkpoint(
+    // one job per round, not two: the round's checkpoint materialization
+    // IS a count — localCheckpointCounted returns the number the separate
+    // `count()` action used to recompute (driver round-trips dominate
+    // iterative loops at any scale; guide §1.2). Reliable mode keeps the
+    // two-action shape (durable checkpoints need the FS write path).
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) =
+      if (reliable) { val c = df.checkpoint(true); (c, c.count()) }
+      else org.apache.spark.sql.graft.ColumnBridge.localCheckpointCounted(df)
+    var (r, n) = checkpointCounted(
       edges.select(col(ca).cast("long").as("src"), col(cb).cast("long").as("dst"))
         .filter(col("src") =!= col("dst") && col("dst").isNotNull)
         .distinct())
-    var n = r.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -57,8 +62,7 @@ object PropertyPath {
       val doubled = r.as("x")
         .join(r.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
-      val next = checkpoint(r.unionByName(doubled).distinct())
-      val nn = next.count()
+      val (next, nn) = checkpointCounted(r.unionByName(doubled).distinct())
       done = nn == n
       // a checkpointed round is self-contained; the superseded round's
       // blocks can never be read again (same ownership rule as CC)
@@ -89,34 +93,40 @@ object PropertyPath {
   def hopDistances(edges: DataFrame, sources: DataFrame, maxRounds: Int = 64,
       reliable: Boolean = false): DataFrame = {
     val Seq(ca, cb) = edges.columns.take(2).toSeq
-    def checkpoint(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = checkpoint(
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) =
+      if (reliable) { val c = df.checkpoint(true); (c, c.count()) }
+      else org.apache.spark.sql.graft.ColumnBridge.localCheckpointCounted(df)
+    val (e, _) = checkpointCounted(
       edges.select(col(ca).cast("long").as("src"), col(cb).cast("long").as("dst"))
         .filter(col("dst").isNotNull).distinct())
     val srcCol = sources.columns.head
-    var settled = checkpoint(sources
+    // `settled` is the FLAT UNION of the checkpointed frontiers, not a
+    // per-round re-materialization: each round used to checkpoint the
+    // grown settled set again — a second action writing O(|settled|)
+    // superseded blocks every round (O(R·V) total churn). The union's
+    // plan stays flat (≤ maxRounds checkpointed leaves) and scans the
+    // same bytes the settled copy held. Frontier blocks now back the
+    // RESULT, so they are owned by the ContextCleaner (the CC rule:
+    // freeing them early would make the result un-recomputable).
+    var (frontier, frontierN) = checkpointCounted(sources
       .select(col(srcCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L)))
-    var frontier = settled
+    var parts = Vector(frontier)
+    def settled: DataFrame = parts.reduce(_ unionByName _)
     var round = 0
-    var frontierN = frontier.count()
     while (frontierN > 0) {
       require(round < maxRounds,
         s"hopDistances did not settle within $maxRounds rounds")
       round += 1
-      val next = checkpoint(frontier.join(e, col("id") === col("src"))
-        .select(col("dst").as("id"))
-        .distinct()
-        .join(settled.select("id"), Seq("id"), "left_anti")
-        .withColumn("dist", lit(round.toLong)))
-      val nextSettled = checkpoint(settled.unionByName(next))
-      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(settled)
-      if (round > 1) // round 1's frontier IS the initial settled frame
-        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(frontier)
-      settled = nextSettled
+      val (next, nextN) = checkpointCounted(
+        frontier.join(e, col("id") === col("src"))
+          .select(col("dst").as("id"))
+          .distinct()
+          .join(settled.select("id"), Seq("id"), "left_anti")
+          .withColumn("dist", lit(round.toLong)))
+      parts :+= next
       frontier = next
-      frontierN = next.count()
+      frontierN = nextN
     }
     settled
   }
@@ -157,34 +167,41 @@ object PropertyPath {
     val Seq(ca, cb) = edges.columns.take(2).toSeq
     def checkpoint(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) =
+      if (reliable) { val c = df.checkpoint(true); (c, c.count()) }
+      else org.apache.spark.sql.graft.ColumnBridge.localCheckpointCounted(df)
     val fwd = checkpoint(
       edges.select(col(ca).cast("long").as("src"), col(cb).cast("long").as("dst"))
         .filter(col("dst").isNotNull).distinct())
     val bwd = checkpoint(fwd.select(col("dst").as("src"), col("src").as("dst")))
 
-    final case class Side(var settled: DataFrame, var frontier: DataFrame,
-      var depth: Int, var n: Long, edges: DataFrame)
+    // settled = union of the side's checkpointed frontiers (the
+    // hopDistances representation: one action per expansion instead of
+    // three — counted checkpoint of the new frontier, no re-checkpoint of
+    // the grown settled set; frontier blocks back the result, so the
+    // ContextCleaner owns them)
+    final case class Side(var parts: Vector[DataFrame], var frontier: DataFrame,
+      var depth: Int, var n: Long, edges: DataFrame) {
+      def settled: DataFrame = parts.reduce(_ unionByName _)
+    }
     def mkSide(id: Long, e: DataFrame): Side = {
       val s = checkpoint(spark.range(id, id + 1)
         .select(col("id"), lit(0L).as("d")))
-      Side(s, s, 0, 1L, e)
+      Side(Vector(s), s, 0, 1L, e)
     }
     val a = mkSide(srcId, fwd)
     val b = mkSide(dstId, bwd)
 
     def expand(s: Side): Unit = {
       s.depth += 1
-      val next = checkpoint(s.frontier.join(s.edges, col("id") === col("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(s.settled.select("id"), Seq("id"), "left_anti")
-        .withColumn("d", lit(s.depth.toLong)))
-      val nextSettled = checkpoint(s.settled.unionByName(next))
-      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(s.settled)
-      if (s.depth > 1)
-        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(s.frontier)
-      s.settled = nextSettled
+      val (next, nextN) = checkpointCounted(
+        s.frontier.join(s.edges, col("id") === col("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(s.settled.select("id"), Seq("id"), "left_anti")
+          .withColumn("d", lit(s.depth.toLong)))
+      s.parts :+= next
       s.frontier = next
-      s.n = next.count()
+      s.n = nextN
     }
     def meets: DataFrame = a.settled.select(col("id"), col("d").as("__da"))
       .join(b.settled.select(col("id"), col("d").as("__db")), "id")

@@ -21,6 +21,29 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
 
+  /** `localCheckpoint(eager = true)` + row count in ONE job. Iterative
+    * loops (closure doubling, BFS frontiers, CC rounds) need both the
+    * materialized round AND its size for loop control; `Dataset
+    * .localCheckpoint(true)` already runs a count internally to force
+    * materialization but throws the number away, so a `df.count()` after
+    * it pays a second driver round-trip per round. This mirrors the
+    * Dataset.checkpoint implementation (execute → copy rows → persist →
+    * mark for local checkpoint → count) and returns the count it was
+    * going to compute anyway. The returned frame is a [[LogicalRDD]] over
+    * the persisted blocks — lineage-truncated exactly like
+    * `localCheckpoint`, releasable via [[unpersistCheckpoint]]. */
+  def localCheckpointCounted(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val internal = ds.queryExecution.executedPlan.execute().map(_.copy())
+    internal.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    internal.localCheckpoint()
+    val n = internal.count()
+    (ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      ds.queryExecution.analyzed.output, internal)(spark)), n)
+  }
+
   /** Release the storage behind a `checkpoint`/`localCheckpoint(eager)`'d
     * frame. `Dataset.unpersist` only talks to the CacheManager and cannot
     * reach checkpoint storage; the RDD handle lives inside the `LogicalRDD`
