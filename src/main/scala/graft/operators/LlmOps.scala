@@ -1719,9 +1719,12 @@ object LlmOps {
       // schedules nightly, end to end.
       val root = graft.Scratch.fresh("p13_build")
       val q = curationV3Sampled(s, dir).select("doc_id", "source", "n_tokens")
-      val map = TextAnalysis.packSequences(q, "doc_id", "n_tokens",
+      // Caches-owned: `map` feeds BOTH txn tables (doc_map verbatim and
+      // shard_stats' aggregation) — unpinned, the full curation chain
+      // (T21 + D11 + D12 windows + P10 mixture) evaluates twice
+      val map = Caches.owned(TextAnalysis.packSequences(q, "doc_id", "n_tokens",
           seqLen = 128, shards = 4)
-        .select("doc_id", "source", "shard", "seq_id", "seq_off", "n_tokens")
+        .select("doc_id", "source", "shard", "seq_id", "seq_off", "n_tokens"))
       val stats = map.groupBy("shard").agg(
         count(lit(1)).as("shard_docs"),
         sum("n_tokens").as("shard_tokens"),
@@ -1746,8 +1749,10 @@ object LlmOps {
       val docs = Tables(s, dir).documents
       val q = docs.filter(TextAnalysis.isQuality(col("text")))
         .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      val map = TextAnalysis.packSequences(q, "doc_id", "toks", seqLen = 256, shards = 4)
-        .select("doc_id", "shard", "seq_id", "seq_off", "toks")
+      // Caches-owned for the same doc_map/shard_stats double-feed as p13
+      val map = Caches.owned(
+        TextAnalysis.packSequences(q, "doc_id", "toks", seqLen = 256, shards = 4)
+          .select("doc_id", "shard", "seq_id", "seq_off", "toks"))
       val stats = map.groupBy("shard").agg(
         count(lit(1)).as("shard_docs"),
         sum("toks").as("shard_tokens"),

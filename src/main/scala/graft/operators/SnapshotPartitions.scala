@@ -144,13 +144,18 @@ object SnapshotPartitions {
     }
     // per-LEAF stats sidecars: SnapshotTable.prunedFiles resolves a file's
     // sidecar from its immediate parent dir, so R42 skipping composes
-    try written.groupBy(f => f.take(f.lastIndexOf('/').max(0))).foreach {
-      case (leaf, fs) =>
-        val leafDir = if (leaf.isEmpty) base else base.resolve(leaf)
-        SnapshotStats.write(leafDir, fs.map { f =>
-          val name = f.split('/').last
-          name -> SnapshotStats.fileStats(s"$table/$commitDir/$f")
-        })
+    try {
+      // leaves are independent — footer opens were a sequential ~10-30 ms
+      // per file on the driver (same fix as SnapshotTable.commit)
+      import scala.collection.parallel.CollectionConverters._
+      written.groupBy(f => f.take(f.lastIndexOf('/').max(0))).par.foreach {
+        case (leaf, fs) =>
+          val leafDir = if (leaf.isEmpty) base else base.resolve(leaf)
+          SnapshotStats.write(leafDir, fs.map { f =>
+            val name = f.split('/').last
+            name -> SnapshotStats.fileStats(s"$table/$commitDir/$f")
+          })
+      }
     } catch { case e: Exception =>
       System.err.println(s"[snapshot] stats capture skipped: $e")
     }

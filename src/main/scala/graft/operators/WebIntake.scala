@@ -115,9 +115,16 @@ object WebIntake {
         .withColumn(HashCol, md5(col(textCol)))
         .join(corpus.select(HashCol), Seq(HashCol), "left_anti")
         .select(batch.columns.map(col) :+ col(UrlHashCol) :+ col(HashCol): _*)
-      if (novel.isEmpty) current
-      else SnapshotTable.commit(spark, table, novel,
-        mode = SnapshotTable.Append, tag = tag)
+      // one materialization answers the emptiness check AND feeds the
+      // write: `novel.isEmpty` + commit used to evaluate the scrub chain
+      // twice (isEmpty's limit-1 still plans and runs the joins)
+      val (mat, n) = org.apache.spark.sql.graft.ColumnBridge
+        .localCheckpointCounted(novel)
+      try {
+        if (n == 0) current
+        else SnapshotTable.commit(spark, table, mat,
+          mode = SnapshotTable.Append, tag = tag)
+      } finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(mat)
     } finally { norm.unpersist(false): Unit }
   }
 }

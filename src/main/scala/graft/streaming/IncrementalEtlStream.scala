@@ -107,6 +107,10 @@ object IncrementalEtlStream {
             coalesce(col("c.lastrevid"), lit(0L)).as("lastrevid")))
         try {
           next.core.foreach(_.count()) // materialize before the fan-out race
+          // NOT rightSized: these merged frames are base-files ∪ cached
+          // delta — already 1-2 partitions — and their ETL plans are large
+          // enough that the helper's extra optimizer pass measurably
+          // regressed the streaming gates (x29 1.9×) for zero file savings
           SnapshotTable.commitAll(spark,
             next.byName.toSeq.map { case (n, df) => s"$tableRoot/$n" -> df })
           // X30: the index delta lands BETWEEN the data tables and the
