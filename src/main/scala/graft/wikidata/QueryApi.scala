@@ -129,11 +129,17 @@ final case class QueryApi(tables: WikidataTables) {
     * "the entity called X" ("Douglas Noël Adams", "DNA" and the label all
     * resolve). Needs the links surface ([[WikidataEtl.runFull]] /
     * [[DumpReader.readFull]]); throws loudly otherwise. */
-  def anyNames: DataFrame = {
+  lazy val anyNames: DataFrame = {
     val aliases = tables.aliases.getOrElse(throw new IllegalArgumentException(
       "any-name lookup needs the links surface: parse with DumpReader.readFull/" +
         "readLinks and run WikidataEtl.runFull (W52 aliases)"))
-    QueryApi.anyNamesOf(tables.meta, aliases)
+    // Caches-owned: one QueryApi instance typically feeds the name universe
+    // to several actions (probe-term agg, index save, lookup verify) — the
+    // (id, name) frame is rows-of-names small, while its lineage is the
+    // full-surface parse; unpinned, that parse re-ran per consumer
+    // (measured: the w56/w57 gates evaluated it 3-6x). Released by
+    // Caches.releaseAll between gates/specs like every operator cache.
+    graft.operators.Caches.owned(QueryApi.anyNamesOf(tables.meta, aliases))
   }
 
   /** W56: typo-tolerant ANY-name lookup — [[byLabelFuzzy]] over the
