@@ -41,6 +41,18 @@ object GraftSession {
     .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
       sys.env.getOrElse("SPARK_GRAFT_LISTING_THRESHOLD", "4096"))
+    // AQE partition coalescing for CACHED plans (off by default since 3.4
+    // only to keep cache-hit partitioning byte-stable for exchange reuse):
+    // every operator cache here (changeset winners, ETL delta cores, merge
+    // pins) otherwise materializes at the full shuffle-partition count, and
+    // EVERY consumer action then scans that many near-empty cached
+    // partitions — measured as the dominant task count in the incremental-
+    // ETL streaming gates (32-task stages over KB-sized cached deltas).
+    // Scale-adaptive, not local-tuned: AQE sizes post-shuffle partitions by
+    // bytes (advisoryPartitionSizeInBytes), so a corpus-sized cached frame
+    // keeps its parallelism.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
 
   def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession = {
     val spark = perfDefaults(SparkSession

@@ -50,6 +50,7 @@ object Profile {
 
     names.foreach { name =>
       open.clear(); done.clear(); stageTasks.clear(); jobStages.clear()
+      stageNames.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9

@@ -39,8 +39,19 @@ object ConnectedComponents {
     * self-loops are ignored.
     */
   def run(edges: DataFrame, maxRounds: Int = 40, reliable: Boolean = false): DataFrame = {
-    def checkpoint(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // ONE action per round: the eager checkpoint's materialization pass
+    // also computes the convergence fingerprint (count, XOR of row
+    // hashes) — the separate SQL probe was a second driver round-trip per
+    // round (guide §1.2: driver actions dominate iterative loops). The
+    // reliable path keeps the two-action shape (durable checkpoints need
+    // the FS write path).
+    def checkpointFp(df: DataFrame): (DataFrame, (Long, Long)) =
+      if (reliable) { val c = df.checkpoint(true); (c, fingerprint(c)) }
+      else {
+        val (f, n, h) =
+          org.apache.spark.sql.graft.ColumnBridge.localCheckpointFingerprinted(df)
+        (f, (n, h))
+      }
     val Seq(ca, cb) = edges.columns.take(2).toSeq
     // Every round is localCheckpoint'd, NOT merely persisted: with persist()
     // alone each round's LOGICAL plan embeds the previous round's tree
@@ -50,16 +61,14 @@ object ConnectedComponents {
     // truncates lineage to the materialized partitions — the standard move
     // for iterative DataFrame algorithms (same reason GraphFrames
     // checkpoints its CC loop).
-    var e = checkpoint(edges
+    var (e, fp) = checkpointFp(edges
       .select(greatest(col(ca), col(cb)).as("__a"), least(col(ca), col(cb)).as("__b"))
       .filter(col("__a") =!= col("__b"))
       .distinct())
-    var fp    = fingerprint(e)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = checkpoint(smallStar(largeStar(e))) // materializes
-      val nfp  = fingerprint(next)
+      val (next, nfp) = checkpointFp(smallStar(largeStar(e))) // materializes
       // a checkpointed round is self-contained — the previous round's blocks
       // can never be read again; release them now (owned, deterministic)
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(e)
@@ -120,8 +129,10 @@ object ConnectedComponents {
 
   /** O(1)-driver convergence check: (row count, order-independent XOR of
     * row hashes — the edge set is distinct, so XOR is collision-safe up to
-    * a 2^-64 fluke, and `maxRounds` bounds the loop anyway). One
-    * aggregation action per round. `sum` would trip ANSI overflow. */
+    * a 2^-64 fluke, and `maxRounds` bounds the loop anyway). Used by the
+    * reliable-checkpoint path only; the local path folds the equivalent
+    * fingerprint into the checkpoint job itself. `sum` would trip ANSI
+    * overflow. */
   private def fingerprint(e: DataFrame): (Long, Long) = {
     val row = e.agg(
       count(lit(1)).as("n"),

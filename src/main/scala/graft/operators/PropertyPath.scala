@@ -206,13 +206,14 @@ object PropertyPath {
     def meets: DataFrame = a.settled.select(col("id"), col("d").as("__da"))
       .join(b.settled.select(col("id"), col("d").as("__db")), "id")
       .select(col("id").as("meet_id"), (col("__da") + col("__db")).as("dist"))
-    def candidate: Long =
-      meets.agg(min("dist")).head() match {
+    // the min-dist probe over a (sub)set of meet pairs — one small agg job
+    def minDist(pairs: DataFrame): Long =
+      pairs.agg(min("dist")).head() match {
         case r if r.isNullAt(0) => Long.MaxValue
         case r => r.getLong(0)
       }
 
-    var best = candidate // src == dst settles at 0 immediately
+    var best = minDist(meets) // src == dst settles at 0 immediately
     while (best > (a.depth.toLong + b.depth.toLong) && (a.n > 0 || b.n > 0)) {
       // expand the smaller LIVE frontier; an exhausted side certifies
       // distances by completeness, so only the other can still learn
@@ -220,7 +221,17 @@ object PropertyPath {
       require(side.depth < maxRounds,
         s"shortestMeet did not settle within depth $maxRounds")
       expand(side)
-      best = candidate
+      // INCREMENTAL candidate: an expand adds exactly `side.frontier` to
+      // one settled set, so every NEW meet pair involves a new-frontier
+      // node — probe new-frontier × other-settled (a small, flat join)
+      // and fold into the running best, instead of re-joining the two
+      // full settled unions (whose re-planned join grew O(rounds) leaves
+      // per side every round). Same action count, strictly fewer bytes.
+      val other = if (side eq a) b else a
+      val fresh = side.frontier.select(col("id"), col("d").as("__da"))
+        .join(other.settled.select(col("id"), col("d").as("__db")), "id")
+        .select(col("id").as("meet_id"), (col("__da") + col("__db")).as("dist"))
+      best = math.min(best, minDist(fresh))
     }
     if (best == Long.MaxValue)
       spark.emptyDataFrame.select(lit(0L).as("meet_id"), lit(0L).as("dist")).limit(0)

@@ -297,11 +297,20 @@ object SnapshotTable {
     // planning-only probe: optimizedPlan.stats never touches the physical
     // plan (df.rdd would — and under AQE, resolving the RDD's partition
     // count can eagerly materialize shuffle stages, running the query's
-    // jobs once before the write runs them again). Sub-target frames
-    // collapse to one file; anything larger (or without a usable estimate)
-    // keeps its partitioning untouched.
+    // jobs once before the write runs them again). Frames estimated under
+    // ⌈est / target⌉ × current-partition files coalesce down to that count
+    // (narrow — no shuffle); anything larger, or without a usable
+    // estimate, keeps its partitioning untouched. An under-estimate (post-
+    // filter/join without CBO) can only under-coalesce relative to the
+    // truth by the same factor — and never below one file per targetBytes
+    // of ESTIMATED bytes, so a wildly-wrong estimate degrades to fewer,
+    // larger files, not to a single-task stage for a corpus-sized frame
+    // unless the estimate itself said "sub-target".
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est.isValidLong && est > 0 && est <= targetBytes) df.coalesce(1) else df
+    if (est.isValidLong && est > 0) {
+      val parts = ((est.toLong + targetBytes - 1) / targetBytes).toInt.max(1)
+      df.coalesce(parts) // no-op when current partitions <= parts
+    } else df
   }
 
   def commit(spark: SparkSession, table: String, df: DataFrame,

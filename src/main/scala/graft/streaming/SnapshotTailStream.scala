@@ -59,21 +59,30 @@ object SnapshotTailStream {
     val (lo, hi) = (versions.head, versions.last)
     val tag = s"tail-$hi"
     if (SnapshotTable.hasTag(destTable, tag)) return // replayed span
-    val feed = SnapshotTable.changesBetween(spark, table, lo - 1, hi, keyCols)
-      // merge wants ONE image per key: U_pre is the old image (information
-      // the destination replaces anyway), U_post the row to land
-      .filter(col("op") =!= "U_pre")
-      .withColumn("op",
-        org.apache.spark.sql.functions.when(col("op") === "U_post", lit("U"))
-          .otherwise(col("op")))
-    if (feed.isEmpty) return // maintenance-only span (OPTIMIZE, restore round trip)
-    if (SnapshotTable.latestVersion(destTable).isEmpty)
-      // bootstrap: the first span's feed is pure inserts (version 0 has no
-      // files, so the diff takes the append-only path)
-      SnapshotTable.commit(spark, destTable,
-        feed.filter(col("op") =!= "D").drop("op"), tag = Some(tag)): Unit
-    else
-      SnapshotTable.merge(spark, destTable, feed, keyCols, tag = Some(tag)): Unit
+    // ONE evaluation of the churned-file diff: the emptiness probe and the
+    // downstream commit/merge (which itself reads the changeset 2-3×: key
+    // collect, anti-join, insert union) all consume the materialized
+    // blocks instead of re-running the full-outer diff join per action.
+    // Bounded by the span's churn, never table size — same bound the diff
+    // itself carries.
+    val (feed, feedN) = org.apache.spark.sql.graft.ColumnBridge.localCheckpointCounted(
+      SnapshotTable.changesBetween(spark, table, lo - 1, hi, keyCols)
+        // merge wants ONE image per key: U_pre is the old image (information
+        // the destination replaces anyway), U_post the row to land
+        .filter(col("op") =!= "U_pre")
+        .withColumn("op",
+          org.apache.spark.sql.functions.when(col("op") === "U_post", lit("U"))
+            .otherwise(col("op"))))
+    try {
+      if (feedN == 0) return // maintenance-only span (OPTIMIZE, restore round trip)
+      if (SnapshotTable.latestVersion(destTable).isEmpty)
+        // bootstrap: the first span's feed is pure inserts (version 0 has no
+        // files, so the diff takes the append-only path)
+        SnapshotTable.commit(spark, destTable,
+          feed.filter(col("op") =!= "D").drop("op"), tag = Some(tag)): Unit
+      else
+        SnapshotTable.merge(spark, destTable, feed, keyCols, tag = Some(tag)): Unit
+    } finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(feed)
   }
 
   /** Tail `table`'s manifest log into `destTable`. `maxFilesPerTrigger = 1`

@@ -129,7 +129,9 @@ final case class QueryApi(tables: WikidataTables) {
     * "the entity called X" ("Douglas Noël Adams", "DNA" and the label all
     * resolve). Needs the links surface ([[WikidataEtl.runFull]] /
     * [[DumpReader.readFull]]); throws loudly otherwise. */
-  lazy val anyNames: DataFrame = {
+  private var anyNamesMemo: Option[DataFrame] = None
+
+  def anyNames: DataFrame = synchronized {
     val aliases = tables.aliases.getOrElse(throw new IllegalArgumentException(
       "any-name lookup needs the links surface: parse with DumpReader.readFull/" +
         "readLinks and run WikidataEtl.runFull (W52 aliases)"))
@@ -138,8 +140,18 @@ final case class QueryApi(tables: WikidataTables) {
     // (id, name) frame is rows-of-names small, while its lineage is the
     // full-surface parse; unpinned, that parse re-ran per consumer
     // (measured: the w56/w57 gates evaluated it 3-6x). Released by
-    // Caches.releaseAll between gates/specs like every operator cache.
-    graft.operators.Caches.owned(QueryApi.anyNamesOf(tables.meta, aliases))
+    // Caches.releaseAll between gates/specs like every operator cache —
+    // and RE-OWNED on the next access if this instance outlives a release
+    // cycle (a lazy val would silently hand the unpersisted frame to every
+    // later consumer, re-running the full-surface parse per action again).
+    anyNamesMemo
+      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse {
+        val f = graft.operators.Caches.owned(
+          QueryApi.anyNamesOf(tables.meta, aliases))
+        anyNamesMemo = Some(f)
+        f
+      }
   }
 
   /** W56: typo-tolerant ANY-name lookup — [[byLabelFuzzy]] over the

@@ -29,9 +29,14 @@ object ColumnBridge {
     * it pays a second driver round-trip per round. This mirrors the
     * Dataset.checkpoint implementation (execute → copy rows → persist →
     * mark for local checkpoint → count) and returns the count it was
-    * going to compute anyway. The returned frame is a [[LogicalRDD]] over
-    * the persisted blocks — lineage-truncated exactly like
-    * `localCheckpoint`, releasable via [[unpersistCheckpoint]]. */
+    * going to compute anyway. The returned frame is built with
+    * [[LogicalRDD.fromDataset]] — the exact factory `Dataset.checkpoint`
+    * uses — so the checkpointed plan keeps the physical plan's
+    * outputPartitioning/outputOrdering (exprIds rewritten to the analyzed
+    * output) plus stats and constraints: a consumer keyed the same way
+    * (closure self-joins, BFS anti-joins) does NOT re-shuffle the round.
+    * Lineage-truncated exactly like `localCheckpoint`, releasable via
+    * [[unpersistCheckpoint]]. */
   def localCheckpointCounted(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Long) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
@@ -40,8 +45,42 @@ object ColumnBridge {
     internal.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     internal.localCheckpoint()
     val n = internal.count()
-    (ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
-      ds.queryExecution.analyzed.output, internal)(spark)), n)
+    (ofRows(spark, org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(internal, ds, isStreaming = false)), n)
+  }
+
+  /** [[localCheckpointCounted]] plus an order-independent 64-bit content
+    * fingerprint (count, XOR of per-row XXH64 over the UnsafeRow bytes) —
+    * all in ONE job. Iterative fixpoint loops (CC rounds) previously paid
+    * two actions per round: the eager checkpoint's internal count and a
+    * separate `agg(count, bit_xor(xxhash64(...)))` convergence probe; the
+    * fingerprint here folds into the materialization pass itself. The hash
+    * function differs from the SQL probe's (raw row bytes vs per-column
+    * xxhash64) but a convergence check only needs "equal row sets ⇒ equal
+    * fingerprints" (deterministic: fixed-width UnsafeRow bytes are a pure
+    * function of content for a given schema) and 64-bit collision odds —
+    * both identical. Requires UnsafeRow-producing plans (every aggregate/
+    * shuffle/codegen operator; loud error otherwise, it must never
+    * silently mis-fingerprint). Distinct row sets only: XOR cancels
+    * duplicate rows pairwise. */
+  def localCheckpointFingerprinted(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long, Long) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val internal = ds.queryExecution.executedPlan.execute().map(_.copy())
+    internal.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    internal.localCheckpoint()
+    val (n, h) = internal.aggregate((0L, 0L))(
+      (acc, r) => r match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          (acc._1 + 1, acc._2 ^ org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 42L))
+        case other => throw new IllegalStateException(
+          s"localCheckpointFingerprinted needs UnsafeRow output, got ${other.getClass}")
+      },
+      (a, b) => (a._1 + b._1, a._2 ^ b._2))
+    (ofRows(spark, org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(internal, ds, isStreaming = false)), n, h)
   }
 
   /** Release the storage behind a `checkpoint`/`localCheckpoint(eager)`'d
